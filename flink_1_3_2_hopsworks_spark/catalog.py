@@ -36,7 +36,20 @@ BROADCASTABLE = {"region", "nation", "supplier"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table as a DataFrame (lazy parquet scan)."""
+    """Load one corpus table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long nanos and convert to µs TimestampType
+    (the event-time column Structured Streaming expects — FIXTURES.md).
+    """
+    if name == "events":
+        import pyspark.sql.functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,64 @@
+"""Embedding-cosine near-duplicate detection.
+
+North-star extension (SURVEY.md §2.14). Pairs of rows whose embedding cosine
+similarity exceeds a threshold. Scale path: random-hyperplane LSH — each
+vector gets a sign-bit signature from s fixed seeded hyperplanes; vectors
+agreeing on all s bits land in one bucket; pairs are generated per bucket and
+verified with exact cosine. Hyperplanes are literal arrays baked into the
+plan (broadcast-free, deterministic from the seed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_3_2_hopsworks_spark.functions.vectors import cosine, dot
+
+
+def hyperplanes(dim: int, count: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((count, dim)).tolist()
+
+
+def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit signature: for each hyperplane, 1 if dot(vec, plane) >= 0."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold, via hyperplane-LSH
+    bucketing + exact verification. Recall rises with fewer planes (bigger
+    buckets); 8 planes catches a 0.9-cosine pair in one bucket with
+    p = (1 - acos(0.9)/pi)^8 ≈ 0.33 — production would union several plane
+    sets (OR-amplification); kept single-set here for plan compactness."""
+    planes = hyperplanes(dim, num_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("_sig", sign_signature(F.col("_v"), planes))
+    left = sig.select(F.col("_sig"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    right = sig.select(F.col("_sig"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        left.join(right, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

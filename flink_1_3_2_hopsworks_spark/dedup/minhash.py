@@ -1,0 +1,205 @@
+"""MinHash + LSH near-duplicate detection.
+
+North-star extension (SURVEY.md §2.14). The classic Broder pipeline,
+expressed entirely in JVM-side expressions (no Python in the hot path):
+
+  shingle (char n-grams) → k minhashes (xxhash64 with per-function salt)
+  → band the signature (b bands × r rows) → explode bands → groupBy
+  (band_id, band_hash) buckets → same-bucket candidate pairs → verify with
+  exact shingle Jaccard.
+
+Scale notes: the only shuffles are the band-bucket groupBy and the final
+verify join — both on well-distributed hash keys. Signature computation is
+a narrow map over the scan. Mega-buckets (a band hash shared by thousands of
+docs) are capped via ``max_bucket`` to bound the quadratic pair expansion —
+at 100 TB this cap is what keeps a degenerate band from exploding a task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of normalized text (array<string>)."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    n = F.length(normalized)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: normalized.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """k-minhash signature (array<bigint>): for each salt i, the min of
+    xxhash64(shingle, salt_i) over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """Group the signature into ``bands`` bands of ``rows`` values; hash each
+    band to one bucket key (array<struct<band:int, bucket:bigint>>)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(signature, b * rows + r + 1) for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    verify: str = "estimate",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``verify="estimate"`` (default, the scale path) scores candidates by the
+    MinHash estimator — the fraction of agreeing signature components, 32
+    integer compares per pair. ``verify="exact"`` re-joins the candidate
+    docs' shingle sets and computes true Jaccard (unbiased, costs a
+    collect_set + array intersection per pair — fine when candidates are few).
+
+    LSH recall: with b bands of r rows, P(candidate) = 1-(1-j^r)^b — at the
+    default 8×4, a 0.8-Jaccard pair is caught with p≈0.93; raise
+    ``num_hashes``/``bands`` for higher recall.
+
+    Plan shape (everything whole-stage-codegen'd, no interpreted HOF hot
+    path): normalize text once per row → explode shingle positions (Generate
+    keeps the normalized string materialized — substr per shingle is O(k)) →
+    project ``num_hashes`` xxhash64 columns → hash-aggregate per-doc minima →
+    band → bucket-join. Signature cost is linear in corpus size; the only
+    wide ops are the bucket groupBy/join and the final per-pair verify.
+    """
+    rows = num_hashes // bands
+    col = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    norm = df.select(F.col(id_col).alias("_id"), normalized.alias("_norm"))
+    n = F.length("_norm")
+    positions = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    # Generate (explode) materializes _norm per doc; substr per position is
+    # then O(k) — the direct HOF formulation would re-evaluate the whole
+    # normalization per element (interpreted, O(len²)).
+    shingles = norm.select(
+        "_id", F.explode(positions).alias("_pos"), F.col("_norm")
+    ).select(
+        "_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_shingle")
+    )
+
+    # Signature: min is duplicate-insensitive, so no distinct needed — one
+    # hash-aggregate over the exploded stream, 32 codegen'd mins. Persisted:
+    # the signature table (num_hashes longs per doc — tiny next to the
+    # corpus) feeds banding AND both verify sides; recomputing it means
+    # re-scanning the corpus three times.
+    sig = shingles.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64("_shingle", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    ).persist()
+
+    # Buckets ride WITHOUT the shingle sets: 8 small rows per doc, not 8
+    # copies of a multi-KB array (the arrays join back only for candidates).
+    buckets = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"))
+
+    # Cap degenerate buckets before the quadratic pair join.
+    capped = buckets.withColumn(
+        "_bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("_band", "_bucket")),
+    ).filter(F.col("_bsize") <= max_bucket)
+
+    left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
+    right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))
+    candidates = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    if verify == "exact":
+        # Shingle sets are built ONLY for candidate-involved docs (left-semi
+        # prune before the collect_set shuffle) — candidate count, not corpus
+        # size, bounds the verify cost.
+        cand_ids = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("_id")
+        ).distinct()
+        sets = (
+            shingles.join(cand_ids, "_id", "left_semi")
+            .groupBy("_id")
+            .agg(F.collect_set("_shingle").alias("_sh"))
+        )
+        return (
+            candidates.join(
+                sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+                "id_b",
+            )
+            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # MinHash estimator: E[fraction of agreeing components] = true Jaccard.
+    sig_a = sig.select(
+        F.col("_id").alias("id_a"), *[F.col(f"_h{i}").alias(f"_a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("_id").alias("id_b"), *[F.col(f"_h{i}").alias(f"_b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("jaccard", F.round(agree / F.lit(num_hashes), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,1 +1,86 @@
-"""Registry showcase queries for this domain (filled in as operators land)."""
+"""Registry showcase queries for deduplication + text analysis
+(north-star extensions, SURVEY.md §2.14)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.dedup.embedding import embedding_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
+from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_near_dups
+from flink_1_3_2_hopsworks_spark.functions import text as T
+
+
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative doc (min doc_id) per normalized-text
+    fingerprint, with duplicate-group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_documents(docs, "text", "doc_id")
+
+
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard near-dup pairs via inverted-index join — the
+    SQL-checkable ground truth that MinHash approximates. Bigrams (not
+    unigrams): this corpus's tiny vocabulary makes unigram posting lists
+    degenerate (every doc shares every token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.35, n=2)
+
+
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join),
+    verified with exact shingle Jaccard. Non-SQL-expressible (xxhash64) —
+    rows-only check; accuracy vs. the exact baseline is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, "doc_id", "text", threshold=0.8)
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit bit-majority fingerprint, 16-bit-chunk
+    blocking, Hamming verify). Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_distance=8)
+
+
+def dd_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH. Rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.3)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token/char counts, punctuation ratio,
+    average token length — all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_computed"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (reproducible in
+    any engine — the cross-engine dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (deterministic heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK ratio + stopword votes). Rows-only check
+    (the voting cascade is impractical as one SQL oracle); accuracy against
+    the corpus ``lang`` label is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))

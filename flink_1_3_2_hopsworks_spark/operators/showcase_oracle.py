@@ -1,3 +1,126 @@
-"""DuckDB oracle SQL for this domain's showcase queries."""
+"""DuckDB oracle SQL for the operator showcase queries."""
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "op_outer_join": """
+        SELECT
+            COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+            COALESCE(c.n_customers, 0) AS n_customers,
+            COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+          ON c.c_nationkey = s.s_nationkey
+    """,
+    "op_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    "op_anti_join": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "op_cross_join": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "op_cogroup": """
+        SELECT
+            COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+            COALESCE(c.n_customers, 0) AS n_customers,
+            COALESCE(s.n_suppliers, 0) AS n_suppliers,
+            ROUND(GREATEST(
+                COALESCE(c.max_bal, -1e308), COALESCE(s.max_bal, -1e308)
+            ), 2) AS best_acctbal
+        FROM (SELECT c_nationkey, COUNT(*) AS n_customers, MAX(c_acctbal) AS max_bal
+              FROM customer GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers, MAX(s_acctbal) AS max_bal
+                   FROM supplier GROUP BY 1) s
+          ON c.c_nationkey = s.s_nationkey
+    """,
+    "op_grouping_sets": """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "op_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "op_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "op_max_by": """
+        SELECT c_mktsegment, ROUND(c_acctbal, 2) AS best_acctbal, c_custkey, c_name
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey DESC
+            ) AS rn
+            FROM customer
+        )
+        WHERE rn = 1
+    """,
+    "op_min_by": """
+        SELECT s_nationkey, ROUND(s_acctbal, 2) AS worst_acctbal, s_suppkey, s_name
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY s_nationkey
+                ORDER BY s_acctbal ASC, s_suppkey ASC
+            ) AS rn
+            FROM supplier
+        )
+        WHERE rn = 1
+    """,
+    "op_distinct": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "op_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "op_intersect": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "op_minus": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "op_first_n_per_group": """
+        SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "op_top_k": """
+        SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 15
+    """,
+    "op_zip_with_index": """
+        SELECT
+            n_nationkey,
+            n_name,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
+        FROM nation
+    """,
+}

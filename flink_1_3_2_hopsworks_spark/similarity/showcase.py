@@ -1,1 +1,35 @@
-"""Registry showcase queries for this domain (filled in as operators land)."""
+"""Registry showcase queries for embedding similarity search
+(north-star extension, SURVEY.md §2.14)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.similarity.knn import brute_force_topk, lsh_topk
+
+
+def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors — the ANN
+    correctness baseline (broadcast queries × corpus scan, JVM-side math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, _queries_from_corpus(emb), "vec_id", "embedding", k=10
+    )
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-10 — the scale path (candidates limited
+    to the query's bucket). Approximate by design → rows-only check; recall
+    vs. brute force is pytest-covered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, _queries_from_corpus(emb), "vec_id", "embedding", k=10
+    )

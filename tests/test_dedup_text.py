@@ -1,0 +1,149 @@
+"""Dedup + text-analysis accuracy tests: the approximate paths (MinHash,
+SimHash) are validated against the exact Jaccard baseline; lang-ID against
+the corpus labels."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_exact_keep_min
+from flink_1_3_2_hopsworks_spark.dedup.minhash import jaccard, minhash_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_near_dups
+from flink_1_3_2_hopsworks_spark.functions import text as T
+from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+    documents_as_media,
+    extract_features,
+)
+from flink_1_3_2_hopsworks_spark.similarity.knn import brute_force_topk, lsh_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_keep_min(spark, docs):
+    out = dedup_exact_keep_min(docs, T.fingerprint("text"), "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3]  # 4 collapses into 1
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always caught
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_distance_zero_for_exact_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, "doc_id", "text", max_distance=16).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+    assert all(3 not in k for k in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=1).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # 8 shared tokens / 9 union ≈ 0.889
+    assert abs(pairs[(1, 2)] - round(8 / 9, 4)) < 1e-9
+
+
+def test_lang_id_accuracy(spark):
+    # The corpus's `lang` column is a random label over English word soup, so
+    # accuracy is asserted on true-language samples instead.
+    samples = [
+        ("en", "the cat and the dog are in the house and it is fine"),
+        ("es", "el perro y el gato en la casa de los vecinos y un dia"),
+        ("de", "der hund und die katze von dem haus mit der tür ist da"),
+        ("fr", "le chien et le chat est dans la maison des voisins une fois"),
+        ("zh", "这是一个中文句子用来测试语言识别功能"),
+        ("und", ""),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    out = df.select("lang", T.lang_id("text").alias("guess")).collect()
+    assert all(r["lang"] == r["guess"] for r in out)
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r["q"] for r in docs.select(T.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_knn_bruteforce_self_similarity_excluded(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+    # ranks are 1..5 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = lsh_topk(emb, queries, "vec_id", "embedding", k=10)
+    # Approximate results are valid pairs with correct cosines: join back and
+    # compare values.
+    joined = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.vec_id") == F.col("e.vec_id")),
+    )
+    for r in joined.select(F.col("a.cosine").alias("ca"), F.col("e.cosine").alias("ce")).collect():
+        assert abs(r["ca"] - r["ce"]) < 1e-6
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = documents_as_media(docs)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # Determinism: same payload → same features.
+    again = {r["media_id"]: r["features"] for r in extract_features(media, fake=True).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_decode_stub_raises(spark):
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+
+
+def test_jaccard_expression(spark):
+    df = spark.createDataFrame([(["a", "b"], ["b", "c"])], "x array<string>, y array<string>")
+    assert df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"] == pytest.approx(1 / 3)

@@ -1,0 +1,81 @@
+"""Bulk/delta iteration + graph algorithms (reference IterativeDataSet /
+DeltaIteration / Gelly subset)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_3_2_hopsworks_spark.graph.pregel import (
+    connected_components,
+    degrees,
+    pagerank,
+    sssp,
+)
+from flink_1_3_2_hopsworks_spark.operators.iterate import iterate, iterate_delta
+
+
+def test_bulk_iterate_converges(spark):
+    # x_{n+1} = x_n / 2 until max < 1 — classic convergence loop.
+    init = spark.createDataFrame([(float(2 ** 6),), (float(2 ** 4),)], "x double")
+
+    def step(df, i):
+        return df.select((F.col("x") / 2).alias("x"))
+
+    def converged(prev, curr):
+        return curr.agg(F.max("x")).collect()[0][0] < 1.0
+
+    out = iterate(init, step, max_iterations=20, converged=converged)
+    assert out.agg(F.max("x")).collect()[0][0] < 1.0
+
+
+def test_delta_iterate_stops_on_empty_workset(spark):
+    solution = spark.createDataFrame([(1, 0), (2, 99), (3, 99)], "k int, v int")
+    workset = spark.createDataFrame([(2, 1)], "k int, v int")
+
+    def step(sol, ws, i):
+        # Propagate: each workset row fixes its key's value and activates k+1.
+        delta = ws
+        nxt = ws.select((F.col("k") + 1).alias("k"), (F.col("v") + 1).alias("v")).join(
+            sol.select("k"), "k", "inner"
+        ).filter(F.col("k") <= 3)
+        return delta, nxt
+
+    out = iterate_delta(solution, workset, step, ["k"], max_iterations=10)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (4, 5)]
+
+
+def test_degrees(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: (r["out_degree"], r["in_degree"]) for r in degrees(edges).collect()}
+    assert got[1] == (1, 1) and got[4] == (1, 0) and got[5] == (0, 1)
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[1] != got[4]
+
+
+def test_pagerank_sums_to_one(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    ranks = pagerank(edges, iterations=10)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    # The 3-cycle nodes dominate the dangling pair.
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert got[1] > got[5]
+
+
+def test_sssp(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 10.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r["id"]: r["distance"] for r in sssp(edges, source=1).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 3.0 and got[4] == 4.0
