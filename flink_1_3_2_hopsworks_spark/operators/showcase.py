@@ -54,11 +54,15 @@ def op_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no pending ('P') orders.
+    (Every customer has some order in this corpus, so the unscoped variant
+    would be a trivially-empty check.)"""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    p_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
     return joins.anti_join(
-        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+        customer, p_orders, F.col("c_custkey") == F.col("o_custkey")
     ).select("c_custkey", "c_name")
 
 
@@ -244,6 +248,77 @@ def op_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round("l_extendedprice", 2).alias("extendedprice"),
     )
+
+
+def op_over_rows_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER ROWS window (reference RowsClauseBoundedOverProcessFunction,
+    1.3): per-customer 3-row moving sum of order totals."""
+    from flink_1_3_2_hopsworks_spark.operators.windows_over import rows_window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = rows_window(["o_custkey"], [F.asc("o_orderdate"), F.asc("o_orderkey")], 2)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_sum"),
+    )
+
+
+def op_over_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER RANGE window (reference RangeClauseBoundedOverProcessFunction,
+    1.3): per-customer trailing-30-day order count, range over epoch
+    seconds."""
+    from flink_1_3_2_hopsworks_spark.operators.windows_over import range_window
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_epoch", F.unix_timestamp("o_orderdate")
+    )
+    w = range_window(["o_custkey"], F.asc("_epoch"), 30 * 86400)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
+
+
+def op_over_unbounded_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-preceding OVER (reference UnboundedOverProcessFunction,
+    1.3): per-customer running revenue."""
+    from flink_1_3_2_hopsworks_spark.operators.windows_over import with_running_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = with_running_agg(
+        orders,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.sum("o_totalprice"),
+        "running_total",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("running_total", 2).alias("running_total"),
+    )
+
+
+def op_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset analytics (row_number/rank/dense_rank/lag/lead) —
+    native extras the reference's 1.3 SQL lacked (SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("c_custkey", 1).over(w).alias("prev_cust"),
+        F.lead("c_custkey", 1).over(w).alias("next_cust"),
+    ).filter(F.col("rn") <= 10)
 
 
 def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:

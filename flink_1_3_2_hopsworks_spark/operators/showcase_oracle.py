@@ -21,7 +21,10 @@ ORACLE: dict[str, str] = {
     "op_anti_join": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        )
     """,
     "op_cross_join": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -115,6 +118,56 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         LIMIT 15
+    """,
+    "op_over_rows_moving_sum": """
+        SELECT
+            o_custkey,
+            o_orderkey,
+            ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+            ), 2) AS moving_sum
+        FROM orders
+    """,
+    "op_over_range_trailing": """
+        SELECT
+            o_custkey,
+            o_orderkey,
+            COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT) ASC
+                RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+            ) AS orders_30d
+        FROM orders
+    """,
+    "op_over_unbounded_running": """
+        SELECT
+            o_custkey,
+            o_orderkey,
+            ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), 2) AS running_total
+        FROM orders
+    """,
+    "op_ranking_functions": """
+        SELECT * FROM (
+            SELECT
+                c_mktsegment,
+                c_custkey,
+                CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+                CAST(RANK() OVER w AS INTEGER) AS rnk,
+                CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+                LAG(c_custkey, 1) OVER w AS prev_cust,
+                LEAD(c_custkey, 1) OVER w AS next_cust
+            FROM customer
+            WINDOW w AS (
+                PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey ASC
+            )
+        ) WHERE rn <= 10
     """,
     "op_zip_with_index": """
         SELECT

@@ -43,9 +43,15 @@ def register_module(module, oracle_map: dict[str, str]) -> None:
 def _load_all() -> None:
     if _QUERIES:
         return
-    from flink_1_3_2_hopsworks_spark.plans import tpch, tpch_oracle
+    from flink_1_3_2_hopsworks_spark.plans import (
+        tpch,
+        tpch_extra,
+        tpch_extra_oracle,
+        tpch_oracle,
+    )
 
     register_module(tpch, tpch_oracle.ORACLE)
+    register_module(tpch_extra, tpch_extra_oracle.ORACLE)
 
     from flink_1_3_2_hopsworks_spark.operators import showcase, showcase_oracle
 
@@ -71,6 +77,13 @@ def _load_all() -> None:
     )
 
     register_module(sim_showcase, sim_showcase_oracle.ORACLE)
+
+    from flink_1_3_2_hopsworks_spark.streaming import showcase as st_showcase
+    from flink_1_3_2_hopsworks_spark.streaming import (
+        showcase_oracle as st_showcase_oracle,
+    )
+
+    register_module(st_showcase, st_showcase_oracle.ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

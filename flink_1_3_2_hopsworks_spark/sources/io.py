@@ -1,0 +1,161 @@
+"""Batch sources and sinks (§2.1).
+
+Reference parity: typed input formats — TextInputFormat (line-delimited),
+CsvInputFormat/CsvReader (typed CSV with field selection and quoting),
+AvroInputFormat, BinaryInputFormat/TypeSerializerInputFormat (the engine's
+native serialized blocks), CollectionInputFormat (env.fromElements),
+generateSequence, JDBCInputFormat/JDBCOutputFormat, and the table sinks
+(CsvTableSink; BucketingSink's time/size bucketing).
+
+Spark-first mapping: ``spark.read.<fmt>`` with explicit schemas (the
+reference is schema-fixed per operator edge — we keep that discipline:
+always pass a schema, never infer in production paths). Parquet plays the
+native-binary-format role. Writes: ``df.write`` with ``partitionBy`` as the
+BucketingSink analogue (directory buckets) and ``bucketBy`` for co-located
+join layouts.
+
+Scale notes: explicit schemas skip inference scans; parquet + partitionBy
+gives partition pruning on read; bucketBy pre-shuffles once so repeated
+joins/aggregations on the bucket key skip their exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-delimited text (reference TextInputFormat) — one `value` column."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = False,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """Typed CSV (reference CsvInputFormat: types fixed up front, quoted
+    strings honored). Field selection = .select after read (column pruning
+    reaches the reader)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .csv(path)
+    )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines with explicit schema (native extra; the reference handled
+    JSON only via user UDFs)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Native binary format (role of the reference's
+    TypeSerializerInputFormat blocks) — self-describing, predicate+projection
+    pushdown."""
+    return spark.read.parquet(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro (reference AvroInputFormat). Requires the spark-avro package on
+    the cluster; raises a clear error when absent."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "avro format unavailable — add org.apache.spark:spark-avro to "
+            "spark.jars.packages"
+        ) from exc
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC read (reference JDBCInputFormat with parameter splits):
+    partition_column + bounds shard the table across executors."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def from_collection(spark: SparkSession, data: Sequence, schema: StructType | str) -> DataFrame:
+    """In-memory elements (reference CollectionInputFormat /
+    env.fromElements)."""
+    return spark.createDataFrame(data, schema)
+
+
+def sequence(spark: SparkSession, start: int, end: int, parallelism: int | None = None) -> DataFrame:
+    """Numeric range (reference env.generateSequence) — `id` column."""
+    return spark.range(start, end, 1, parallelism)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (reference CsvTableSink)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Directory-bucketed sink (reference BucketingSink: one directory per
+    bucket; exactly-once comes from Spark's file-commit protocol rather than
+    valid-length files)."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table: pre-shuffled layout so later joins and
+    aggregations on ``bucket_cols`` skip their exchange (the optimizer's
+    co-located-join setup, §4.1)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append",
+    batch_size: int = 1000, properties: dict[str, str] | None = None,
+) -> None:
+    """Batched JDBC writes (reference JDBCOutputFormat)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batch_size)
+        .options(**(properties or {}))
+        .mode(mode)
+        .save()
+    )

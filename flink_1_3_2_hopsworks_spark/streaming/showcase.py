@@ -1,0 +1,134 @@
+"""Registry showcase queries for the streaming layer, run in batch mode over
+the ``events`` table — the window builders in ``streaming.windows`` execute
+identically on batch and streaming DataFrames (SURVEY.md §2.5/§2.6), so the
+DuckDB oracle checks the same semantics the stream path uses (the stream
+path itself is exercised by tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.operators.aggregations import min_by
+from flink_1_3_2_hopsworks_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt(col: str) -> F.Column:
+    return F.date_format(col, _TS_FMT).alias(col)
+
+
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (reference
+    TumblingEventTimeWindows + incremental sum)."""
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select(
+        _fmt("window_start"), _fmt("window_end"), "event_type", "n_events", "total_value"
+    )
+
+
+def ev_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every hour (reference
+    SlidingEventTimeWindows): every event lands in two windows."""
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        [],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(_fmt("window_start"), _fmt("window_end"), "n_events")
+
+
+def ev_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with 5-minute gap (reference
+    EventTimeSessionWindows — merge-on-overlap, end = last event + gap)."""
+    events = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        events,
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select(
+        _fmt("window_start"), _fmt("window_end"), "user_id", "n_events", "total_value"
+    )
+
+
+def ev_running_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed running aggregate (reference KeyedStream#sum → per-record
+    emission; batch form of the update-mode stream in streaming.dedup)."""
+    from flink_1_3_2_hopsworks_spark.operators.windows_over import with_running_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = with_running_agg(
+        events,
+        ["user_id"],
+        [F.asc("ts"), F.asc("event_id")],
+        F.sum("value"),
+        "running_total",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("running_total", 2).alias("running_total")
+    )
+
+
+def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP (reference flink-cep §2.11): signup followedBy purchase within
+    30 minutes, per user — NFA over keyed event sequences. The 2-step
+    relaxed pattern is equivalent to a first-match join, which the DuckDB
+    oracle verifies; deeper patterns are pytest-covered (tests/test_cep.py)."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
+
+    events = load_table(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("signup", lambda e: e["event_type"] == "signup")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(30 * 60)
+    )
+    matches = pattern.match_batch(events, ["user_id"], "ts", "event_id")
+    return matches.select(
+        "user_id",
+        F.element_at("event_ids", 1).alias("signup_id"),
+        F.element_at("event_ids", 2).alias("purchase_id"),
+        F.date_format("start_ts", _TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", _TS_FMT).alias("end_ts"),
+    )
+
+
+def ev_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic streaming-dedup semantics in batch: the earliest event
+    per (user, type) — what stream_dedup keeps with in-order delivery."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    first = min_by(events, ["user_id", "event_type"], "ts")
+    return first.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("first_ts"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+    )

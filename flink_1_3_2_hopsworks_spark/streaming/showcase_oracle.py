@@ -1,0 +1,116 @@
+"""DuckDB oracle SQL for the streaming-layer showcase queries (batch-mode
+semantics over events)."""
+
+ORACLE: dict[str, str] = {
+    "ev_tumbling_hourly": """
+        SELECT
+            STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "ev_sliding_2h_1h": """
+        WITH starts AS (
+            SELECT
+                UNNEST([
+                    DATE_TRUNC('hour', ts),
+                    DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR
+                ]) AS ws
+            FROM events
+        )
+        SELECT
+            STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+            COUNT(*) AS n_events
+        FROM starts
+        GROUP BY 1, 2
+    """,
+    "ev_session_5m": """
+        WITH marked AS (
+            SELECT
+                user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT
+                user_id, ts, value,
+                SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+            FROM marked
+        )
+        SELECT
+            STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+            user_id,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    "ev_running_user_total": """
+        SELECT
+            user_id,
+            event_id,
+            ROUND(SUM(value) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), 2) AS running_total
+        FROM events
+    """,
+    "cep_signup_purchase": """
+        WITH s AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        p AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT
+                s.user_id,
+                s.event_id AS signup_id,
+                p.event_id AS purchase_id,
+                s.ts AS start_ts,
+                p.ts AS end_ts,
+                ROW_NUMBER() OVER (
+                    PARTITION BY s.user_id, s.event_id
+                    ORDER BY p.ts ASC, p.event_id ASC
+                ) AS rn
+            FROM s
+            JOIN p ON p.user_id = s.user_id
+                  AND p.ts > s.ts
+                  AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        )
+        SELECT
+            user_id,
+            signup_id,
+            purchase_id,
+            STRFTIME(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+            STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
+        FROM ranked WHERE rn = 1
+    """,
+    "ev_first_event_per_key": """
+        SELECT
+            user_id,
+            event_type,
+            STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+            event_id,
+            ROUND(value, 2) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+}

@@ -1,0 +1,93 @@
+"""Physical-plan audits: the scale-correctness assertions. Every headline
+plan must push filters/projections into the parquet scan, broadcast its
+dimension sides, and keep aggregation partial — the properties that survive
+a 1000-executor 100 TB run (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.plans.tpch import (
+    q3_shipping_priority,
+    q6_forecast_revenue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_reach_scan(spark):
+    plan = plan_of(q6_forecast_revenue(spark, SF))
+    assert "PushedFilters: [" in plan
+    # The shipdate range must be pushed, not just IsNotNull (the plan string
+    # elides long filter lists, so match the prefix).
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "DataFilters" in plan and "l_shipdate" in plan
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = plan_of(q6_forecast_revenue(spark, SF))
+    # ReadSchema must not include untouched wide columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_of(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # Global top-k must be TakeOrderedAndProject, not a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_partial_aggregation(spark):
+    plan = plan_of(q3_shipping_priority(spark, SF))
+    # HashAggregate appears in partial+final pairs around the exchange.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_stays_whole_stage_codegen(spark):
+    # AQE hides codegen until the final plan materializes — execute first.
+    df = q6_forecast_revenue(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    # Codegen stages render as "*(n)" markers in the plan string.
+    assert "*(1)" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_semi_join_planned_natively(spark):
+    from flink_1_3_2_hopsworks_spark.plans.tpch import q4_order_priority
+
+    plan = plan_of(q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_minhash_signature_is_single_aggregate(spark):
+    """The MinHash signature must be ONE hash aggregate over the exploded
+    shingles (not 32 passes) and must not use interpreted HOF lambdas."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(minhash_near_dups(docs, "doc_id", "text"))
+    assert "Generate explode" in plan  # relational shingle construction
+    assert "xxhash64" in plan.lower() or "Subquery" not in plan
+
+
+def test_events_window_partial_agg(spark):
+    from flink_1_3_2_hopsworks_spark.streaming.windows import tumbling_window_agg
+
+    events = load_table(spark, SF, "events")
+    out = tumbling_window_agg(
+        events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    assert plan_of(out).count("HashAggregate") >= 2
