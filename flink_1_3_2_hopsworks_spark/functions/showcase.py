@@ -118,6 +118,27 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_native_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-1.3 scalar surface the reference lacked (SURVEY.md §2.9 'NOT in
+    1.3'): hashes, regex, padding, trig — all Spark built-ins."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2(F.col("n_name"), 256).alias("name_sha256"),
+        F.regexp_extract("n_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.lpad("n_name", 12, "*").alias("padded_l"),
+        F.rpad("n_name", 12, "*").alias("padded_r"),
+        F.translate("n_name", "_", "-").alias("translated"),
+        F.reverse(F.col("n_name")).alias("reversed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.round(F.sin(F.col("n_nationkey")), 6).alias("sin_k"),
+        F.round(F.cos(F.col("n_nationkey")), 6).alias("cos_k"),
+        F.round(F.atan2(F.col("n_nationkey"), F.lit(2.0)), 6).alias("atan2_k"),
+        F.round(F.degrees(F.col("n_nationkey")), 4).alias("deg_k"),
+    )
+
+
 def fn_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar UDF surface (reference ScalarFunction.eval): an Arrow-batched
     pandas UDF computing discounted revenue — SQL-checkable."""

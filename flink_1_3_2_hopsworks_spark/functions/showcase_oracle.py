@@ -66,6 +66,23 @@ ORACLE: dict[str, str] = {
             ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_val
         FROM embeddings
     """,
+    "fn_native_extras": """
+        SELECT
+            n_nationkey,
+            MD5(n_name) AS name_md5,
+            SHA256(n_name) AS name_sha256,
+            COALESCE(REGEXP_EXTRACT(n_name, '([0-9]+)', 1), '') AS name_digits,
+            LPAD(n_name, 12, '*') AS padded_l,
+            RPAD(n_name, 12, '*') AS padded_r,
+            TRANSLATE(n_name, '_', '-') AS translated,
+            REVERSE(n_name) AS reversed,
+            REPEAT('ab', 3) AS repeated,
+            ROUND(SIN(n_nationkey), 6) AS sin_k,
+            ROUND(COS(n_nationkey), 6) AS cos_k,
+            ROUND(ATAN2(n_nationkey, 2.0), 6) AS atan2_k,
+            ROUND(DEGREES(n_nationkey), 4) AS deg_k
+        FROM nation
+    """,
     "fn_udf_scalar": """
         SELECT
             l_returnflag,

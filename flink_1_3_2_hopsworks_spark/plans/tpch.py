@@ -11,10 +11,11 @@ the decisions Flink's optimizer (flink-optimizer JoinNode/GroupReduceNode)
 makes by hand.
 
 Scale notes (100 TB posture):
-  - Dimension sides (region/nation/customer-filtered/supplier) are broadcast
-    explicitly where the filter makes them small; fact-fact joins
-    (lineitem⋈orders) shuffle on the join key and benefit from AQE skew
-    handling.
+  - Explicit broadcast hints ONLY on constant-size dims (region, nation) and
+    single-row aggregates; customer/supplier/part scale with SF, so their
+    join strategy is left to AQE (which broadcasts them when runtime stats
+    fit the threshold). Fact-fact joins (lineitem⋈orders) shuffle on the
+    join key and benefit from AQE skew handling.
   - Every plan filters and projects before joining, so pushdown reaches the
     scan (verify via .explain: PushedFilters / ReadSchema).
   - Aggregates are rounded at the output edge only — rounding is presentation,
@@ -69,9 +70,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 unshipped orders by revenue (the reference's own
     flagship example, TPCHQuery3.java).
 
-    Exercises: selective filters pushed to scans, broadcast join on the
-    filtered customer dim, shuffle join lineitem⋈orders, agg, global top-k
-    (Spark plans TakeOrderedAndProject — no full sort).
+    Exercises: selective filters pushed to scans, size-based broadcast of the
+    filtered customer dim (static stats or AQE — no hint, customer scales
+    with SF), shuffle join lineitem⋈orders, agg, global top-k (Spark plans
+    TakeOrderedAndProject — no full sort).
     """
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -84,7 +86,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
@@ -118,7 +120,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -28,6 +28,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
+    # The OR-pair predicate can't push below the nation joins, so pre-filter
+    # BOTH dimension sides to the two nations of interest before touching the
+    # fact tables — the fact joins then carry only in-scope customers and
+    # suppliers (Catalyst can't infer this pushdown through the OR itself).
+    wanted = ["NATION_1", "NATION_2"]
     pair_filter = (
         (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
     ) | (
@@ -35,14 +40,20 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n1.filter(F.col("cust_nation").isin(wanted))),
+        F.col("c_nationkey") == F.col("c_nkey"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2.filter(F.col("supp_nation").isin(wanted))),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    )
+    # customer/supplier scale with SF — no broadcast hint (AQE broadcasts
+    # them when the nation filter leaves them under the threshold).
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(pair_filter)
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
@@ -62,7 +73,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = _revenue()
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -89,7 +100,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -101,7 +112,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15))
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -117,7 +128,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(

@@ -105,3 +105,61 @@ def count_window_agg_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def over_rows_agg_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    preceding: int,
+    order_col: str = "event_id",
+):
+    """Streaming OVER ROWS window (reference
+    RowsClauseBoundedOverProcessFunction, 1.3): per key, for every record
+    emit the sum over ``ROWS BETWEEN preceding PRECEDING AND CURRENT ROW``
+    in arrival order — Spark streaming has no OVER, so the frame buffer
+    lives in keyed state (a bounded deque of the last ``preceding`` values).
+
+    Emits one row per input record (key, order_col, frame_sum, frame_n).
+    Records are processed in ``order_col`` order within each micro-batch;
+    cross-batch order follows arrival (the reference's proc-time variant).
+    """
+    import json
+
+    import pandas as pd
+
+    out_schema = (
+        f"{keys[0]} long, {order_col} long, frame_sum double, frame_n long"
+    )
+    # Keyed state: JSON-encoded deque of the last `preceding` values (state
+    # schema must be flat — a string column carries the buffer).
+    state_schema = "buf string"
+
+    def process(key, pdf_iter, state):
+        buf: list[float] = json.loads(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col)
+            for oid, v in zip(pdf[order_col], pdf[value_col]):
+                buf.append(float(v))
+                if len(buf) > preceding + 1:
+                    buf.pop(0)
+                out_rows.append((key[0], int(oid), sum(buf), len(buf)))
+        state.update((json.dumps(buf),))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    keys[0]: [r[0] for r in out_rows],
+                    order_col: [r[1] for r in out_rows],
+                    "frame_sum": [round(r[2], 6) for r in out_rows],
+                    "frame_n": [r[3] for r in out_rows],
+                }
+            )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
