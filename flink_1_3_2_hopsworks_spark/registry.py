@@ -47,11 +47,14 @@ def _load_all() -> None:
         tpch,
         tpch_extra,
         tpch_extra_oracle,
+        tpch_full,
+        tpch_full_oracle,
         tpch_oracle,
     )
 
     register_module(tpch, tpch_oracle.ORACLE)
     register_module(tpch_extra, tpch_extra_oracle.ORACLE)
+    register_module(tpch_full, tpch_full_oracle.ORACLE)
 
     from flink_1_3_2_hopsworks_spark.operators import showcase, showcase_oracle
 
