@@ -1,48 +1,87 @@
 """CEP — pattern matching over event sequences (§2.11, flink-cep).
 
 Reference parity: ``Pattern.begin("a").where(cond).next("b")/.followedBy("b")
-.within(time)`` compiled to an NFA (flink-cep pattern/Pattern.java,
+.notNext/.notFollowedBy`` with quantifiers ``.times(n)/.oneOrMore()/
+.optional()`` (quantifiers + not-patterns are the 1.3 additions), bounded by
+``.within(time)`` — compiled to an NFA (flink-cep pattern/Pattern.java,
 nfa/NFA.java, nfa/compiler/NFACompiler.java), applied per key via
 ``CEP.pattern(stream.keyBy(...), p)`` → PatternStream.select.
 
 Semantics implemented (Flink 1.3 defaults):
-  - ``next``        — strict contiguity: the very next event must match.
-  - ``followed_by`` — relaxed contiguity: skip non-matching events; a partial
-                      match advances at the FIRST event matching the step.
-  - ``within``      — time window from the first matched event; partial
-                      matches exceeding it are pruned (no timeout output in
-                      this version).
-  - every event starting a new partial match (all-matches semantics — no
-    after-match skip strategies, which arrived post-1.3).
+  - ``next``            — strict contiguity: the very next event must match.
+  - ``followed_by``     — relaxed contiguity: skip non-matching events; a
+                          partial advances at the FIRST event matching the
+                          step (skip-till-next-match).
+  - ``not_next``        — the event immediately after the previous match
+                          must NOT satisfy the predicate.
+  - ``not_followed_by`` — no event between the previous match and the next
+                          step's match may satisfy the predicate.
+  - ``times(n)``        — exactly n occurrences; internal contiguity is
+                          relaxed (the 1.3 default), entry contiguity is the
+                          step's own.
+  - ``one_or_more``     — 1+ occurrences, a match emitted at EVERY count
+                          (all-matches semantics); internal contiguity
+                          inherits the step's entry contiguity (next→strict
+                          ≈ consecutive(), followedBy→relaxed).
+  - ``optional``        — the step may be skipped.
+  - ``within``          — time window from the first matched event; partial
+                          matches exceeding it are pruned (no timeout side
+                          output in this version).
+  - every event may start a new partial match (all-matches — after-match
+    skip strategies arrived post-1.3).
+  - a pattern must end in a positive step (Flink likewise rejects trailing
+    notFollowedBy; we also reject trailing notNext).
 
 Spark-first mapping: no MATCH_RECOGNIZE in Spark SQL, so this is a custom
-operator. Batch: ``applyInPandas`` per key over ts-sorted groups (the NFA is
-a linear scan per key — O(events × active partials)). Streaming: the same
-scan runs inside ``applyInPandasWithState`` with the partial-match set as
-keyed state (same pattern as streaming.process count windows).
+operator. Batch: ``applyInPandas`` per key over ts-sorted groups. Streaming:
+the same incremental NFA inside ``applyInPandasWithState`` with the
+partial-match set as keyed state (JSON — compact: step index + matched
+ids/timestamps only, never full events).
 
 Scale notes: one shuffle on the key; per-key work is sequential (inherent to
 CEP — the reference serializes per key too). Skewed keys bound throughput;
-``within`` pruning bounds state.
+``within`` pruning bounds state and the combinatorial fan-out of
+``one_or_more`` all-matches (unbounded loops without ``within`` grow state —
+same caveat as the reference NFA).
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 Predicate = Callable[[dict], bool]
+
+_NS = 1_000_000_000
 
 
 @dataclass
 class _Step:
     name: str
     predicate: Predicate
-    strict: bool  # True = next (strict contiguity), False = followedBy
+    strict: bool  # entry contiguity: True = next, False = followedBy
+    negated: bool = False
+    times: int = 1
+    loop: bool = False
+    optional: bool = False
+
+
+@dataclass
+class _Node:
+    """Compiled NFA node: one positive step occurrence + the negative
+    constraints guarding its entry."""
+
+    name: str
+    predicate: Predicate
+    strict: bool
+    loop: bool
+    optional: bool
+    not_next_pred: Predicate | None = None
+    not_followed_pred: Predicate | None = None
 
 
 class Pattern:
@@ -64,43 +103,211 @@ class Pattern:
         """Relaxed contiguity (reference Pattern#followedBy)."""
         return Pattern([*self._steps, _Step(name, predicate, False)], self._within)
 
+    def not_next(self, name: str, predicate: Predicate) -> "Pattern":
+        """Negative strict step (reference Pattern#notNext, 1.3): the very
+        next event must not match."""
+        return Pattern(
+            [*self._steps, _Step(name, predicate, True, negated=True)], self._within
+        )
+
+    def not_followed_by(self, name: str, predicate: Predicate) -> "Pattern":
+        """Negative relaxed step (reference Pattern#notFollowedBy, 1.3): no
+        matching event before the following step matches."""
+        return Pattern(
+            [*self._steps, _Step(name, predicate, False, negated=True)], self._within
+        )
+
+    def times(self, n: int) -> "Pattern":
+        """Exactly-n quantifier on the last step (reference Pattern#times,
+        1.3)."""
+        if n < 1:
+            raise ValueError("times(n) requires n >= 1")
+        return self._quantify(times=n)
+
+    def one_or_more(self) -> "Pattern":
+        """Kleene-plus quantifier on the last step (reference
+        Pattern#oneOrMore, 1.3) — emits a match at every occurrence count."""
+        return self._quantify(loop=True)
+
+    def optional(self) -> "Pattern":
+        """Zero-or-one quantifier on the last step (reference
+        Pattern#optional, 1.3)."""
+        return self._quantify(optional=True)
+
     def within(self, seconds: float) -> "Pattern":
         """Time bound from first to last matched event (reference
         Pattern#within)."""
         return Pattern(self._steps, float(seconds))
 
+    def _quantify(self, **kwargs) -> "Pattern":
+        last = self._steps[-1]
+        if last.negated:
+            raise ValueError("quantifiers cannot apply to not-patterns")
+        fields = {
+            "times": last.times,
+            "loop": last.loop,
+            "optional": last.optional,
+            **kwargs,
+        }
+        amended = _Step(last.name, last.predicate, last.strict, False, **fields)
+        return Pattern([*self._steps[:-1], amended], self._within)
+
+    # -- compilation --------------------------------------------------------
+
+    def _compile(self) -> list[_Node]:
+        """Expand quantifiers and fold negative steps into the entry guards
+        of the following positive step (reference NFACompiler)."""
+        nodes: list[_Node] = []
+        pending_not: _Step | None = None
+        for step in self._steps:
+            if step.negated:
+                if pending_not is not None:
+                    raise ValueError("consecutive not-patterns are not supported")
+                pending_not = step
+                continue
+            for occurrence in range(step.times):
+                node = _Node(
+                    name=step.name,
+                    predicate=step.predicate,
+                    # times-expansion: entry contiguity on the first copy,
+                    # relaxed between copies (1.3 default).
+                    strict=step.strict if occurrence == 0 else False,
+                    loop=step.loop,
+                    optional=step.optional,
+                )
+                if occurrence == 0 and pending_not is not None:
+                    if pending_not.strict:
+                        node.not_next_pred = pending_not.predicate
+                    else:
+                        node.not_followed_pred = pending_not.predicate
+                    pending_not = None
+                nodes.append(node)
+        if pending_not is not None:
+            raise ValueError("a pattern cannot end with a not-pattern")
+        if not nodes:
+            raise ValueError("a pattern needs at least one positive step")
+        return nodes
+
     # -- matching -----------------------------------------------------------
 
-    def _scan(self, events: list[dict]) -> list[list[dict]]:
-        """Run the NFA over one key's ts-ordered events; return completed
-        matches as lists of matched events (one per step)."""
-        steps = self._steps
-        within = self._within
-        partials: list[dict] = []  # {"idx": next step index, "events": [...]}
-        matches: list[list[dict]] = []
-        for pos, ev in enumerate(events):
-            nxt: list[dict] = []
-            for p in partials:
-                if within is not None and ev["_ts"] - p["events"][0]["_ts"] > within:
-                    continue  # pruned by within
-                step = steps[p["idx"]]
-                if step.predicate(ev):
-                    advanced = {"idx": p["idx"] + 1, "events": [*p["events"], ev]}
-                    if advanced["idx"] == len(steps):
-                        matches.append(advanced["events"])
-                    else:
-                        nxt.append(advanced)
-                elif step.strict:
-                    continue  # strict step broken by a non-matching event
+    @staticmethod
+    def _targets(nodes: list[_Node], idx: int) -> list[int]:
+        """Node indices reachable from ``idx`` by skipping optional nodes
+        (``len(nodes)`` = completion)."""
+        out = [idx]
+        while idx < len(nodes) and nodes[idx].optional:
+            idx += 1
+            out.append(idx)
+        return out
+
+    def _advance(
+        self,
+        nodes: list[_Node],
+        partials: list[dict],
+        ev: dict,
+        ev_id: int,
+        ev_ns: int,
+    ) -> tuple[list[dict], list[dict]]:
+        """One NFA transition: feed one event to all partial matches (and
+        try starting new ones). Returns (surviving partials, completions).
+
+        Partials are JSON-safe: {"idx", "fresh", "ids", "ts", "names"} —
+        matched event ids + ns-timestamps, never full events (keyed-state
+        size stays O(pattern length), not O(payload))."""
+        within_ns = None if self._within is None else int(self._within * _NS)
+        nxt: list[dict] = []
+        completed: list[dict] = []
+
+        def on_match(from_idx: int, ids: list, tss: list, names: list) -> None:
+            node = nodes[from_idx]
+            if node.loop:
+                nxt.append(
+                    {"idx": from_idx, "fresh": True, "ids": ids, "ts": tss, "names": names}
+                )
+            for t in self._targets(nodes, from_idx + 1):
+                if t == len(nodes):
+                    completed.append({"ids": ids, "ts": tss, "names": names})
                 else:
-                    nxt.append(p)  # relaxed: keep waiting
-            if steps[0].predicate(ev):
-                if len(steps) == 1:
-                    matches.append([ev])
-                else:
-                    nxt.append({"idx": 1, "events": [ev]})
-            partials = nxt
-        return matches
+                    nxt.append(
+                        {"idx": t, "fresh": True, "ids": ids, "ts": tss, "names": names}
+                    )
+
+        for p in partials:
+            if within_ns is not None and ev_ns - p["ts"][0] > within_ns:
+                continue  # pruned by within
+            node = nodes[p["idx"]]
+            if (
+                node.not_next_pred is not None
+                and p["fresh"]
+                and node.not_next_pred(ev)
+            ):
+                continue  # killed by notNext guard
+            if node.predicate(ev):
+                on_match(
+                    p["idx"],
+                    [*p["ids"], ev_id],
+                    [*p["ts"], ev_ns],
+                    [*p["names"], node.name],
+                )
+            elif node.strict:
+                continue  # strict step broken by a non-matching event
+            elif node.not_followed_pred is not None and node.not_followed_pred(ev):
+                continue  # killed by notFollowedBy guard
+            else:
+                nxt.append({**p, "fresh": False})  # relaxed: keep waiting
+        for t in self._targets(nodes, 0):
+            if t < len(nodes) and nodes[t].predicate(ev):
+                on_match(t, [ev_id], [ev_ns], [nodes[t].name])
+        return nxt, completed
+
+    def _scan(
+        self, events: list[tuple[dict, int, int]], partials: list[dict] | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """Run the NFA over ts-ordered (event, id, ts_ns) tuples starting
+        from ``partials`` (empty for batch; keyed state when streaming)."""
+        nodes = self._compile()
+        partials = list(partials or [])
+        matches: list[dict] = []
+        for ev, ev_id, ev_ns in events:
+            partials, completed = self._advance(nodes, partials, ev, ev_id, ev_ns)
+            matches.extend(completed)
+        return partials, matches
+
+    # -- DataFrame surfaces -------------------------------------------------
+
+    _OUT_COLS = ("start_ts", "end_ts", "step_names", "event_ids")
+
+    def _out_schema(self, key_cols: list[str]) -> str:
+        key_fields = ", ".join(f"{k} long" for k in key_cols)
+        return (
+            f"{key_fields}, start_ts timestamp, end_ts timestamp, "
+            "step_names array<string>, event_ids array<long>"
+        )
+
+    @staticmethod
+    def _match_rows(matches: list[dict], key_vals: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    **key_vals,
+                    "start_ts": pd.Timestamp(m["ts"][0]),
+                    "end_ts": pd.Timestamp(m["ts"][-1]),
+                    "step_names": m["names"],
+                    "event_ids": m["ids"],
+                }
+                for m in matches
+            ]
+        )
+
+    @staticmethod
+    def _to_events(
+        pdf: pd.DataFrame, ts_col: str, id_col: str
+    ) -> list[tuple[dict, int, int]]:
+        pdf = pdf.sort_values([ts_col, id_col])
+        return [
+            (row, int(row[id_col]), int(pd.Timestamp(row[ts_col]).value))
+            for row in pdf.to_dict("records")
+        ]
 
     def match_batch(
         self,
@@ -111,40 +318,57 @@ class Pattern:
     ) -> DataFrame:
         """Batch CEP: per-key NFA scan via applyInPandas over sorted groups.
 
-        Output: key cols, start_ts/end_ts (timestamps), and per-step matched
-        event ids as ``step_names``/``event_ids`` arrays.
+        Output: key cols, start_ts/end_ts, and per-matched-event
+        ``step_names``/``event_ids`` arrays (aligned; quantified steps
+        repeat their name per occurrence).
         """
-        steps = self._steps
-        scan = self._scan
-        key_fields = ", ".join(f"{k} long" for k in key_cols)
-        schema = (
-            f"{key_fields}, start_ts timestamp, end_ts timestamp, "
-            "step_names array<string>, event_ids array<long>"
-        )
+        schema = self._out_schema(key_cols)
+        empty = pd.DataFrame(columns=[*key_cols, *self._OUT_COLS])
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values([ts_col, id_col])
-            events = [
-                {**row, "_ts": row[ts_col].timestamp()}
-                for row in pdf.to_dict("records")
-            ]
-            rows = []
-            for match in scan(events):
-                rows.append(
-                    {
-                        **{k: match[0][k] for k in key_cols},
-                        "start_ts": match[0][ts_col],
-                        "end_ts": match[-1][ts_col],
-                        "step_names": [s.name for s in steps],
-                        "event_ids": [m[id_col] for m in match],
-                    }
-                )
-            if not rows:
-                return pd.DataFrame(
-                    columns=[*key_cols, "start_ts", "end_ts", "step_names", "event_ids"]
-                )
-            return pd.DataFrame(rows)
+            _, matches = self._scan(self._to_events(pdf, ts_col, id_col))
+            if not matches:
+                return empty
+            keys = {k: pdf.iloc[0][k] for k in key_cols}
+            return self._match_rows(matches, keys)
 
-        return df.groupBy(*key_cols).applyInPandas(
-            lambda pdf: run(pdf), schema
+        return df.groupBy(*key_cols).applyInPandas(run, schema)
+
+    def match_stream(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+    ) -> DataFrame:
+        """Streaming CEP (reference AbstractKeyedCEPPatternOperator): the
+        incremental NFA runs per micro-batch with the partial-match set in
+        keyed state; completed matches are appended as they occur.
+
+        Records are consumed in (ts, id) order within each micro-batch and
+        in arrival order across batches (apply a watermark + window upstream
+        if cross-batch event-time order matters).
+        """
+        schema = self._out_schema(key_cols)
+
+        def process(key, pdf_iter, state):
+            partials = json.loads(state.get[0]) if state.exists else []
+            matches: list[dict] = []
+            for pdf in pdf_iter:
+                partials, completed = self._scan(
+                    self._to_events(pdf, ts_col, id_col), partials
+                )
+                matches.extend(completed)
+            state.update((json.dumps(partials),))
+            if matches:
+                yield self._match_rows(
+                    matches, dict(zip(key_cols, [int(k) for k in key]))
+                )
+
+        return df.groupBy(*key_cols).applyInPandasWithState(
+            process,
+            outputStructType=schema,
+            stateStructType="partials string",
+            outputMode="append",
+            timeoutConf="NoTimeout",
         )

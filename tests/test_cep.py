@@ -110,3 +110,145 @@ def test_keys_are_isolated(spark):
     out = p.match_batch(df, ["user_id"], "ts", "event_id").collect()
     assert len(out) == 1 and out[0]["user_id"] == 1
     assert list(out[0]["event_ids"]) == [0, 2]
+
+
+def test_times_exact_occurrences(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "a"),
+        ("2024-01-01 00:02:00", "a"),
+        ("2024-01-01 00:03:00", "b"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .times(2)
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+    )
+    # times(2), relaxed internal contiguity, skip-till-next-match: each
+    # partial takes the FIRST next 'a' (no combinations — Flink's default
+    # without allowCombinations), so starts at 0 and 1 reach 'b'.
+    assert _matches(df, p) == [(0, 1, 3), (1, 2, 3)]
+
+
+def test_one_or_more_emits_every_count(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "a"),
+        ("2024-01-01 00:02:00", "b"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .one_or_more()
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+    )
+    assert _matches(df, p) == [(0, 1, 2), (0, 2), (1, 2)]
+
+
+def test_optional_step_skipped_and_taken(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "b"),
+        ("2024-01-01 00:02:00", "c"),
+        ("2024-01-01 00:03:00", "a"),
+        ("2024-01-01 00:04:00", "c"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+        .optional()
+        .followed_by("s3", lambda e: e["event_type"] == "c")
+    )
+    # a→b→c (taken), a→c twice (skipped: event 0 and event 3 reach a 'c').
+    assert _matches(df, p) == [(0, 1, 2), (0, 2), (3, 4)]
+
+
+def test_not_next_blocks_immediate_match(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "x"),   # kills partial from event 0
+        ("2024-01-01 00:02:00", "a"),
+        ("2024-01-01 00:03:00", "b"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .not_next("nx", lambda e: e["event_type"] == "x")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+    )
+    assert _matches(df, p) == [(2, 3)]
+
+
+def test_not_followed_by_kills_on_intervening_match(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "x"),   # intervening forbidden event
+        ("2024-01-01 00:02:00", "b"),
+        ("2024-01-01 00:03:00", "a"),
+        ("2024-01-01 00:04:00", "b"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .not_followed_by("nf", lambda e: e["event_type"] == "x")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+    )
+    assert _matches(df, p) == [(3, 4)]
+
+
+def test_trailing_not_pattern_rejected(spark):
+    p = Pattern.begin("s1", lambda e: True).not_followed_by("nf", lambda e: True)
+    df = _events(spark, [("2024-01-01 00:00:00", "a")])
+    with pytest.raises(Exception):
+        p.match_batch(df, ["user_id"], "ts", "event_id").collect()
+
+
+def test_step_names_align_with_event_ids(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "a"),
+        ("2024-01-01 00:02:00", "b"),
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .times(2)
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+    )
+    row = p.match_batch(df, ["user_id"], "ts", "event_id").collect()[0]
+    assert list(row["step_names"]) == ["s1", "s1", "s2"]
+    assert len(row["step_names"]) == len(row["event_ids"])
+
+
+def test_match_stream_carries_partials_across_batches(spark, tmp_path):
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    staging = str(tmp_path / "cep_stream")
+    # Two files = two micro-batch-ish splits; the a→b pair spans files.
+    rows1 = [(0, datetime.fromisoformat("2024-01-01 00:00:00"), 1, "a", 0.0)]
+    rows2 = [
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), 1, "x", 0.0),
+        (2, datetime.fromisoformat("2024-01-01 00:02:00"), 1, "b", 0.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staging)
+    p = Pattern.begin("s1", lambda e: e["event_type"] == "a").followed_by(
+        "s2", lambda e: e["event_type"] == "b"
+    )
+    out = p.match_stream(stream, ["user_id"], "ts", "event_id")
+
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cep_")
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert [(r["user_id"], tuple(r["event_ids"])) for r in results] == [(1, (0, 2))]
