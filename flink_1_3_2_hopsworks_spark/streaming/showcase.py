@@ -132,3 +132,31 @@ def ev_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value", 2).alias("value"),
     )
+
+
+def ev_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async I/O (reference AsyncDataStream.orderedWait, §2.7): enrich
+    purchase events via a concurrent per-record lookup. The lookup here is a
+    pure function so the DuckDB oracle can verify that the async plumbing
+    (capacity-bounded event loop inside mapInPandas) returns exactly the
+    sync answer; real deployments point it at an HTTP/KV endpoint."""
+    import asyncio
+
+    from flink_1_3_2_hopsworks_spark.operators.async_io import async_lookup
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+
+    async def tier_lookup(row: dict) -> dict:
+        await asyncio.sleep(0)  # yield — stands in for network latency
+        v = row["value"]
+        return {
+            "tier": "high" if v >= 75.0 else ("mid" if v >= 25.0 else "low"),
+            "fee": round(v * 0.03, 4),
+        }
+
+    out = async_lookup(
+        events, tier_lookup, "tier string, fee double", capacity=64
+    )
+    return out.orderBy("event_id")

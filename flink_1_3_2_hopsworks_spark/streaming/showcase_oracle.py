@@ -113,4 +113,17 @@ ORACLE: dict[str, str] = {
         )
         WHERE rn = 1
     """,
+    "ev_async_enrich": """
+        SELECT
+            event_id,
+            user_id,
+            value,
+            CASE WHEN value >= 75.0 THEN 'high'
+                 WHEN value >= 25.0 THEN 'mid'
+                 ELSE 'low' END AS tier,
+            ROUND(value * 0.03, 4) AS fee
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
 }

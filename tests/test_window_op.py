@@ -1,0 +1,204 @@
+"""WindowOperator machinery tests (§2.6): evictors, fire-at-watermark,
+allowed-lateness re-fire, too-late side output, and windowed coGroup —
+mirrors the reference's WindowOperatorTest harness style (scripted elements
++ watermark, assert emitted panes)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+    count_evictor,
+    delta_evictor,
+    time_evictor,
+    windowed_cogroup_batch,
+    windowed_cogroup_stream,
+    windowed_process_stream,
+)
+
+_T0 = datetime.fromisoformat("2024-01-01 00:00:00")
+_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _rows(*specs):
+    """specs: (event_id, seconds_offset, user_id, value)"""
+    return [
+        (eid, _T0 + timedelta(seconds=sec), uid, float(val))
+        for eid, sec, uid, val in specs
+    ]
+
+
+def _run_stream(spark, out, ckpt_prefix):
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix=ckpt_prefix)
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return results
+
+
+def _staged_stream(spark, tmp_path, name, *file_batches):
+    staging = str(tmp_path / name)
+    for i, batch in enumerate(file_batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(batch, _SCHEMA).coalesce(1).write.mode(mode).parquet(
+            staging
+        )
+        time.sleep(1.05)  # distinct mtimes → stable per-file trigger order
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+
+
+def _make_sum_pane():
+    # Defined per-test (closure) so cloudpickle serializes it by value —
+    # the executor cannot import the test module.
+    def _sum_pane(pane: pd.DataFrame) -> list[dict]:
+        return [{"n": len(pane), "total": round(float(pane["value"].sum()), 6)}]
+
+    return _sum_pane
+
+
+def test_evictors_prune_pane():
+    recs = [{"_ts_ms": t * 1000, "value": float(t)} for t in (10, 20, 30, 40)]
+    assert [r["_ts_ms"] for r in count_evictor(2)(recs, 60_000)] == [30_000, 40_000]
+    assert [r["_ts_ms"] for r in time_evictor(15)(recs, 60_000)] == [30_000, 40_000]
+    dv = delta_evictor(15.0, lambda r, newest: abs(newest["value"] - r["value"]))
+    assert [r["value"] for r in dv(recs, 60_000)] == [30.0, 40.0]
+
+
+def test_windowed_process_fires_at_watermark_with_evictor(spark, tmp_path):
+    stream = _staged_stream(
+        spark,
+        tmp_path,
+        "wp_evict",
+        _rows((0, 10, 1, 10.0), (1, 20, 1, 20.0), (2, 30, 1, 30.0)),
+        _rows((3, 200, 1, 1.0)),  # sentinel: pushes watermark past cleanup
+    )
+    out = windowed_process_stream(
+        stream,
+        ["user_id"],
+        "ts",
+        60.0,
+        _make_sum_pane(),
+        "n long, total double",
+        ["value"],
+        evictor=count_evictor(2),
+    )
+    results = _run_stream(spark, out, "ckpt_wp_")
+    fired = [r for r in results if not r["late"]]
+    # count_evictor(2) keeps the last two elements (20, 30).
+    assert len(fired) == 1
+    assert (fired[0]["n"], fired[0]["total"]) == (2, 50.0)
+    assert fired[0]["window_start"] == _T0
+    assert fired[0]["window_end"] == _T0 + timedelta(seconds=60)
+
+
+def test_late_element_refires_and_too_late_goes_to_side_output(spark, tmp_path):
+    stream = _staged_stream(
+        spark,
+        tmp_path,
+        "wp_late",
+        _rows((0, 10, 1, 10.0), (1, 20, 1, 20.0)),
+        # watermark → 115s: window [0,60) fires (within lateness 120s).
+        _rows((2, 120, 2, 1.0)),
+        # spacer batch so the end-of-window timer fires on its own (micro-
+        # batch timers fire the batch AFTER the watermark advances).
+        _rows((7, 130, 2, 1.0)),
+        # 30s is late but within end+lateness=180 → re-fire with updated pane.
+        _rows((3, 30, 1, 5.0)),
+        # watermark → 395s: past cleanup for window [0,60).
+        _rows((4, 400, 2, 1.0)),
+        # 15s is past allowed lateness → side output (late=true).
+        _rows((5, 15, 1, 7.0)),
+        _rows((6, 600, 2, 1.0)),  # sentinel
+    )
+    out = windowed_process_stream(
+        stream,
+        ["user_id"],
+        "ts",
+        60.0,
+        _make_sum_pane(),
+        "n long, total double",
+        ["value"],
+        allowed_lateness_seconds=120.0,
+        emit_late=True,
+        # event 5 arrives 380s behind the max ts — widen the capture grace
+        # so Spark's pre-operator filter lets it through to the side output.
+        late_capture_seconds=250.0,
+    )
+    results = _run_stream(spark, out, "ckpt_wl_")
+    u1 = [r for r in results if r["user_id"] == 1]
+    fired = [(r["n"], r["total"]) for r in u1 if not r["late"]]
+    side = [(r["n"], r["total"]) for r in u1 if r["late"]]
+    assert fired[0] == (2, 30.0)  # first fire at watermark
+    assert (3, 35.0) in fired  # allowed-late re-fire includes event 3
+    assert side == [(1, 7.0)]  # event 5 past lateness → side output
+
+
+def test_windowed_cogroup_batch_pairs_full_groups(spark):
+    left = spark.createDataFrame(
+        _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0), (2, 70, 1, 3.0)), _SCHEMA
+    )
+    right = spark.createDataFrame(_rows((10, 15, 1, 40.0)), _SCHEMA)
+
+    def fn(lp: pd.DataFrame, rp: pd.DataFrame) -> list[dict]:
+        return [{"n_left": len(lp), "n_right": len(rp)}]
+
+    out = windowed_cogroup_batch(
+        left, right, ["user_id"], "ts", 60.0, fn, "n_left long, n_right long",
+        ["value"],
+    )
+    got = {
+        (r["window_start"].minute, r["n_left"], r["n_right"])
+        for r in out.collect()
+    }
+    # Window [0,60): 2 left + 1 right; window [60,120): 1 left + 0 right
+    # (full-outer group semantics — one-sided groups still invoke fn).
+    assert got == {(0, 2, 1), (1, 1, 0)}
+
+
+def test_windowed_cogroup_stream_matches_batch(spark, tmp_path):
+    lrows = _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0))
+    rrows = _rows((10, 15, 1, 40.0))
+    sentinel = _rows((99, 300, 2, 0.0))
+    lstream = _staged_stream(spark, tmp_path, "cg_left", lrows, sentinel)
+    rstream = _staged_stream(spark, tmp_path, "cg_right", rrows, sentinel)
+
+    def fn(lp: pd.DataFrame, rp: pd.DataFrame) -> list[dict]:
+        return [
+            {
+                "n_left": len(lp),
+                "n_right": len(rp),
+                "total": round(float(lp["value"].sum() + rp["value"].sum()), 6),
+            }
+        ]
+
+    out = windowed_cogroup_stream(
+        lstream,
+        rstream,
+        ["user_id"],
+        "ts",
+        60.0,
+        fn,
+        "n_left long, n_right long, total double",
+        ["value"],
+    )
+    results = _run_stream(spark, out, "ckpt_cg_")
+    u1 = [r for r in results if r["user_id"] == 1 and not r["late"]]
+    assert [(r["n_left"], r["n_right"], r["total"]) for r in u1] == [(2, 1, 43.0)]
