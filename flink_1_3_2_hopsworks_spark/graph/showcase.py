@@ -1,0 +1,58 @@
+"""Registry showcase queries for the graph layer (§2.12) over the TPC-H-ish
+corpus: the customer⋈supplier bipartite graph induced by orders/lineitem.
+These gates are relational graph algorithms with exact DuckDB oracles; the
+iterative algorithms (PageRank/CC/SSSP/LP/HITS) are pytest-covered on
+hand-checked graphs (tests/test_iterate_graph.py, test_graph_library.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.graph.library import jaccard_index
+from flink_1_3_2_hopsworks_spark.graph.pregel import degrees
+
+# Supplier vertex ids are offset into a disjoint range so the one-id-space
+# graph API can host the bipartite customer/supplier graph.
+_SUPP_OFFSET = 1_000_000
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def gr_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degrees (reference Graph#outDegrees/#inDegrees) on the
+    customer→supplier purchase graph — customers have out-degree = distinct
+    suppliers bought from."""
+    out = degrees(_bipartite_edges(spark, sf_dir))
+    return (
+        out.filter(F.col("id") < _SUPP_OFFSET)
+        .select("id", "out_degree")
+        .orderBy("id")
+    )
+
+
+def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity (reference
+    library/similarity/JaccardIndex.java) between customers, by shared
+    supplier sets — top pairs."""
+    jac = jaccard_index(_bipartite_edges(spark, sf_dir))
+    return (
+        jac.filter((F.col("u") < _SUPP_OFFSET) & (F.col("v") < _SUPP_OFFSET))
+        .select("u", "v", "shared", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(500)
+    )

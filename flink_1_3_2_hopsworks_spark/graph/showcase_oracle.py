@@ -1,0 +1,41 @@
+"""DuckDB oracle SQL for the graph showcase queries."""
+
+ORACLE: dict[str, str] = {
+    "gr_degrees": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        )
+        SELECT c AS id, COUNT(*) AS out_degree
+        FROM edges
+        GROUP BY c
+        ORDER BY id
+    """,
+    "gr_customer_jaccard": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ), deg AS (
+            SELECT c, COUNT(*) AS d FROM edges GROUP BY c
+        ), shared AS (
+            SELECT a.c AS u, b.c AS v, COUNT(*) AS shared
+            FROM edges a
+            JOIN edges b ON a.s = b.s AND a.c < b.c
+            GROUP BY 1, 2
+        )
+        SELECT
+            u,
+            v,
+            shared,
+            ROUND(shared / CAST(du.d + dv.d - shared AS DOUBLE), 4) AS jaccard
+        FROM shared
+        JOIN deg du ON du.c = u
+        JOIN deg dv ON dv.c = v
+        ORDER BY jaccard DESC, u, v
+        LIMIT 500
+    """,
+}

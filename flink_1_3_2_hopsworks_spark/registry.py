@@ -81,6 +81,13 @@ def _load_all() -> None:
 
     register_module(sim_showcase, sim_showcase_oracle.ORACLE)
 
+    from flink_1_3_2_hopsworks_spark.graph import showcase as gr_showcase
+    from flink_1_3_2_hopsworks_spark.graph import (
+        showcase_oracle as gr_showcase_oracle,
+    )
+
+    register_module(gr_showcase, gr_showcase_oracle.ORACLE)
+
     from flink_1_3_2_hopsworks_spark.streaming import showcase as st_showcase
     from flink_1_3_2_hopsworks_spark.streaming import (
         showcase_oracle as st_showcase_oracle,

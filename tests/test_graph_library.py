@@ -1,0 +1,103 @@
+"""Gelly library algorithm tests (§2.12) on hand-checked mini-graphs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flink_1_3_2_hopsworks_spark.graph.library import (
+    adamic_adar,
+    clustering_coefficient,
+    hits,
+    jaccard_index,
+    label_propagation,
+    summarize_graph,
+    triangle_count_per_vertex,
+    triangle_enumerate,
+)
+
+# Triangle 1-2-3, tail 3-4, separate pair 5-6 (undirected, listed once).
+_EDGES = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+
+
+def _edges(spark, rows=None):
+    return spark.createDataFrame(rows or _EDGES, "src long, dst long")
+
+
+def test_triangle_enumeration_and_counts(spark):
+    e = _edges(spark)
+    assert [tuple(r) for r in triangle_enumerate(e).collect()] == [(1, 2, 3)]
+    got = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+
+def test_clustering_coefficient(spark):
+    got = {
+        r["id"]: round(r["coefficient"], 4)
+        for r in clustering_coefficient(_edges(spark)).collect()
+    }
+    # deg(1)=deg(2)=2 closed wedge → 1.0; deg(3)=3 with 1 triangle → 1/3.
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert got[3] == round(1 / 3, 4)
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_jaccard_index(spark):
+    got = {
+        (r["u"], r["v"]): (r["shared"], round(r["jaccard"], 4))
+        for r in jaccard_index(_edges(spark)).collect()
+    }
+    assert got[(1, 2)] == (1, round(1 / 3, 4))  # share 3; deg 2+2
+    assert got[(1, 3)] == (1, 0.25)  # share 2; deg 2+3
+    assert got[(1, 4)] == (1, 0.5)  # share 3; deg 2+1
+    assert (5, 6) not in got  # no shared neighbors
+
+
+def test_adamic_adar(spark):
+    got = {
+        (r["u"], r["v"]): round(r["adamic_adar"], 6)
+        for r in adamic_adar(_edges(spark)).collect()
+    }
+    assert got[(1, 2)] == round(1 / math.log(3), 6)  # via w=3 (deg 3)
+    assert got[(1, 3)] == round(1 / math.log(2), 6)  # via w=2 (deg 2)
+    # (5,6): no shared neighbor; degree-1 shared neighbors are skipped.
+    assert (5, 6) not in got
+
+
+def test_label_propagation_majority_vote(spark):
+    # Star: center 1 with leaves 2,3,4; two leaves share label 7.
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    seeds = spark.createDataFrame(
+        [(1, 1), (2, 7), (3, 7), (4, 9)], "id long, label long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, seeds, iterations=1).collect()
+    }
+    assert got[1] == 7  # majority of neighbor labels {7,7,9}
+    assert got[2] == 1 and got[3] == 1 and got[4] == 1  # leaves see only 1
+
+
+def test_hits_hubs_and_authorities(spark):
+    e = _edges(spark, [(1, 3), (2, 3)])
+    got = {r["id"]: (round(r["hub"], 4), round(r["auth"], 4)) for r in hits(e, 3).collect()}
+    assert got[3][1] == 1.0  # only authority
+    assert got[1][0] == 0.5 and got[2][0] == 0.5  # symmetric hubs
+    assert got[3][0] == 0.0 and got[1][1] == 0.0
+
+
+def test_summarize_graph(spark):
+    verts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, group string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    sv, se = summarize_graph(verts, edges)
+    assert {(r["group"], r["vertex_count"]) for r in sv.collect()} == {
+        ("a", 2),
+        ("b", 2),
+    }
+    got = {(r["src_group"], r["dst_group"]): r["edge_count"] for r in se.collect()}
+    assert got == {("a", "a"): 1, ("a", "b"): 2, ("b", "b"): 1}
