@@ -22,14 +22,20 @@ from flink_1_3_2_hopsworks_spark import get_spark, registry
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_national_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
     "q16_supplier_cnt",
     "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_orders_waiting",
     "op_outer_join",
     "op_grouping_sets",
     "op_first_n_per_group",
@@ -43,6 +49,8 @@ HEADLINE = [
     "ev_tumbling_hourly",
     "ev_session_5m",
     "cep_signup_purchase",
+    "ev_async_enrich",
+    "gr_customer_jaccard",
     "dd_exact_dedup",
     "dd_minhash_pairs",
     "dd_simhash_pairs",

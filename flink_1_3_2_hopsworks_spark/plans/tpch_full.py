@@ -58,6 +58,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         lineitem.join(euro_supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        # Pre-partition on the window key: HashPartitioning(p_partkey)
+        # satisfies the two-key groupBy's clustering AND the window's, so
+        # agg + window run off ONE shuffle instead of two. (High-cardinality
+        # key — no skew risk from the coarser partitioning.)
+        .repartition(F.col("p_partkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -270,11 +275,13 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
-    # One shuffle on l_partkey: per-(part,supplier) quantities and each
-    # part's half-total come from the same partitioning (window over the
-    # grouped result), not a second agg + join.
-    per_ps = promo.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("qty")
+    # One shuffle on l_partkey: pre-partitioning on the window key lets the
+    # two-key groupBy AND the half-total window both reuse it (agg + window
+    # off a single exchange, not agg-shuffle + window-shuffle).
+    per_ps = (
+        promo.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
     )
     half_total = F.sum("qty").over(Window.partitionBy("l_partkey")) * 0.5
     qualified = (
@@ -313,8 +320,11 @@ def q21_suppliers_kept_orders_waiting(
             .alias("late"),
         )
     )
-    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # Pre-partition on the window key (one shuffle for agg + both windows).
+    per_os = (
+        lines.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
     w = Window.partitionBy("l_orderkey")
     flagged = (

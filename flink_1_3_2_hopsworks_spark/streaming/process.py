@@ -163,3 +163,118 @@ def over_rows_agg_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def keyed_process_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    on_event,
+    on_timer,
+    out_fields: str,
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark_delay_seconds: float = 5.0,
+    late_grace_seconds: float = 3600.0,
+):
+    """Generic keyed ProcessFunction (reference ProcessFunction +
+    KeyedProcessOperator + TimerService, §2.7): per-record hook with
+    per-key state and MULTIPLE event-time timers.
+
+    ``on_event(state: dict, event: dict, ctx) -> list[dict]`` runs per
+    record (event-time order within a micro-batch); ``on_timer(state: dict,
+    timer_ms: int, ctx) -> list[dict]`` runs when the watermark passes a
+    registered timer. Both mutate ``state`` (a JSON-safe dict) in place and
+    return output rows matching ``out_fields``. ``ctx`` exposes
+    ``register_event_time_timer(ms)`` / ``delete_event_time_timer(ms)`` /
+    ``current_watermark()`` — the TimerService surface.
+
+    Implementation: applyInPandasWithState with EventTimeTimeout. Spark
+    allows ONE timeout per key, the reference allows many — so the timer
+    set lives in state and the EARLIEST pending timer is mapped onto
+    Spark's timeout; each invocation first drains every timer the watermark
+    has passed (in order), exactly reproducing multi-timer semantics at
+    micro-batch granularity. The watermark is over-provisioned by
+    ``late_grace_seconds`` and shifted back internally (see window_op.py)
+    so late records still reach on_event instead of being pre-filtered;
+    timers still fire at the TRUE watermark.
+    """
+    import json
+
+    import pandas as pd
+
+    key_fields = ", ".join(f"{k} long" for k in keys)
+    schema = f"{key_fields}, {out_fields}"
+    shift_ms = int(late_grace_seconds * 1000)
+    total_delay = watermark_delay_seconds + late_grace_seconds
+
+    class _Ctx:
+        def __init__(self, timers: list[int], wm: int):
+            self.timers = timers
+            self._wm = wm
+
+        def register_event_time_timer(self, at_ms: int) -> None:
+            if at_ms not in self.timers:
+                self.timers.append(at_ms)
+
+        def delete_event_time_timer(self, at_ms: int) -> None:
+            if at_ms in self.timers:
+                self.timers.remove(at_ms)
+
+        def current_watermark(self) -> int:
+            return self._wm
+
+    def process(key, pdf_iter, state):
+        if state.exists:
+            data = json.loads(state.get[0])
+            user_state, timers = data["u"], data["t"]
+        else:
+            user_state, timers = {}, []
+        spark_wm = state.getCurrentWatermarkMs()
+        wm = spark_wm + shift_ms if spark_wm > 0 else 0
+        ctx = _Ctx(timers, wm)
+        key_vals = dict(zip(keys, [int(k) for k in key]))
+        out_rows: list[dict] = []
+
+        def drain_timers() -> None:
+            while ctx.timers and min(ctx.timers) <= wm:
+                t = min(ctx.timers)
+                ctx.timers.remove(t)
+                out_rows.extend(
+                    {**key_vals, **r} for r in on_timer(user_state, t, ctx)
+                )
+
+        drain_timers()  # timers the watermark passed before this batch
+        events: list[dict] = []
+        for pdf in pdf_iter:
+            events.extend(
+                pdf[[ts_col, *value_cols]]
+                .assign(_ts_ms=lambda p: p[ts_col].astype("int64") // 1_000_000)
+                .sort_values("_ts_ms")
+                .drop(columns=[ts_col])
+                .to_dict("records")
+            )
+        for ev in events:
+            out_rows.extend({**key_vals, **r} for r in on_event(user_state, ev, ctx))
+        drain_timers()  # timers registered during this batch, already due
+
+        state.update((json.dumps({"u": user_state, "t": ctx.timers}),))
+        if ctx.timers:
+            nxt = min(ctx.timers) - shift_ms
+            if nxt > spark_wm:
+                state.setTimeoutTimestamp(nxt)
+            else:  # already due in spark time — fire next batch
+                state.setTimeoutTimestamp(spark_wm + 1)
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return (
+        df.withWatermark(ts_col, f"{total_delay} seconds")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            process,
+            outputStructType=schema,
+            stateStructType="data string",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -91,3 +91,44 @@ def test_events_window_partial_agg(spark):
         events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
     )
     assert plan_of(out).count("HashAggregate") >= 2
+
+
+def test_q19_pushes_brand_disjunction_to_part_scan(spark):
+    from flink_1_3_2_hopsworks_spark.plans.tpch_full import q19_discounted_revenue
+
+    plan = plan_of(q19_discounted_revenue(spark, SF))
+    # The brand IN-list is a scan-level pushed filter on part; the
+    # OR-of-ANDs residual stays as a post-join condition.
+    assert "In(p_brand" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+
+
+def test_q2_single_shuffle_for_agg_plus_window(spark):
+    from flink_1_3_2_hopsworks_spark.plans.tpch_full import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, SF))
+    # Pre-partitioning on p_partkey serves both the two-key aggregation and
+    # the min-per-part window: exactly ONE hash exchange in the whole plan.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_window_reuses_agg_partitioning(spark):
+    from flink_1_3_2_hopsworks_spark.plans.tpch_full import (
+        q21_suppliers_kept_orders_waiting,
+    )
+
+    plan = plan_of(q21_suppliers_kept_orders_waiting(spark, SF))
+    # One exchange for (order,supplier) agg + per-order windows; one for the
+    # final per-supplier count. No third shuffle.
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    from flink_1_3_2_hopsworks_spark.plans.tpch_full import q9_product_type_profit
+
+    plan = plan_of(q9_product_type_profit(spark, SF))
+    # Map-side combine: HashAggregate appears both below (partial) and
+    # above (final) the exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan  # nation dim broadcast

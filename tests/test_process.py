@@ -59,3 +59,112 @@ def test_count_window_stream(spark, tmp_path):
     assert got[(1, 1)] == (3, 12.0)
     assert got[(2, 0)] == (3, 3.0)
     assert (1, 2) not in got  # incomplete trailing block must not fire
+
+
+def _staged(spark, tmp_path, name, *batches):
+    import time as _time
+
+    staging = str(tmp_path / name)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(staging)
+        _time.sleep(1.05)
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staging)
+
+
+def _collect_stream(out):
+    import shutil
+    import tempfile
+
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kp_")
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return results
+
+
+def test_keyed_process_inactivity_timer(spark, tmp_path):
+    """ProcessFunction classic: emit a per-user summary 30s (event time)
+    after their last event — timer re-registration on every event."""
+    from datetime import datetime, timedelta
+
+    from flink_1_3_2_hopsworks_spark.streaming.process import keyed_process_stream
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    r = lambda e, s, u, v: (e, t0 + timedelta(seconds=s), u, float(v))  # noqa: E731
+    stream = _staged(
+        spark,
+        tmp_path,
+        "kp_inact",
+        [r(0, 0, 1, 1.0), r(1, 5, 1, 2.0)],
+        [r(2, 100, 2, 0.0)],  # advances watermark past user 1's timer (35s)
+        [r(3, 300, 2, 0.0)],  # sentinel
+    )
+
+    def on_event(state, ev, ctx):
+        old = state.get("timer")
+        if old is not None:
+            ctx.delete_event_time_timer(old)
+        state["n"] = state.get("n", 0) + 1
+        state["timer"] = ev["_ts_ms"] + 30_000
+        ctx.register_event_time_timer(state["timer"])
+        return []
+
+    def on_timer(state, t_ms, ctx):
+        return [{"n": state.get("n", 0), "fired_at": t_ms}]
+
+    out = keyed_process_stream(
+        stream, ["user_id"], on_event, on_timer, "n long, fired_at long", ["value"]
+    )
+    got = [(row["user_id"], row["n"], row["fired_at"]) for row in _collect_stream(out)]
+    t0_ms = 1704067200000
+    assert (1, 2, t0_ms + 35_000) in got  # 30s after user 1's LAST event
+    assert not any(u == 1 and f != t0_ms + 35_000 for u, _, f in got)
+
+
+def test_keyed_process_multiple_timers_fire_in_order(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from flink_1_3_2_hopsworks_spark.streaming.process import keyed_process_stream
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    r = lambda e, s, u, v: (e, t0 + timedelta(seconds=s), u, float(v))  # noqa: E731
+    stream = _staged(
+        spark,
+        tmp_path,
+        "kp_multi",
+        [r(0, 0, 1, 1.0)],
+        [r(1, 100, 2, 0.0)],
+        [r(2, 300, 2, 0.0)],  # sentinel
+    )
+
+    def on_event(state, ev, ctx):
+        # Reference TimerService: several timers per key, fired in order.
+        ctx.register_event_time_timer(ev["_ts_ms"] + 10_000)
+        ctx.register_event_time_timer(ev["_ts_ms"] + 20_000)
+        return []
+
+    def on_timer(state, t_ms, ctx):
+        state["seq"] = state.get("seq", 0) + 1
+        return [{"seq": state["seq"], "fired_at": t_ms}]
+
+    out = keyed_process_stream(
+        stream, ["user_id"], on_event, on_timer, "seq long, fired_at long", ["value"]
+    )
+    u1 = [
+        (row["seq"], row["fired_at"])
+        for row in _collect_stream(out)
+        if row["user_id"] == 1
+    ]
+    t0_ms = 1704067200000
+    assert u1 == [(1, t0_ms + 10_000), (2, t0_ms + 20_000)]
