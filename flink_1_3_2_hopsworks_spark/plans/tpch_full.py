@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_1_3_2_hopsworks_spark.catalog import load_table
 
-_REV = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+def _rev():
+    # Lazy: building Columns at import time requires an active
+    # SparkContext in PySpark 4 classic; the registry must import cleanly
+    # before the session exists.
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,9 +124,9 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", _REV).otherwise(0.0)
+                    F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(0.0)
                 )
-                / F.sum(_REV),
+                / F.sum(_rev()),
                 4,
             ).alias("mkt_share")
         )
@@ -140,7 +144,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    profit = _REV - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -257,7 +261,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
 
 

@@ -94,6 +94,7 @@ def windowed_process_stream(
     emit_late: bool = False,
     watermark_delay_seconds: float = 5.0,
     late_capture_seconds: float | None = None,
+    count_trigger_every: int | None = None,
 ) -> DataFrame:
     """Tumbling-window full-pane operator with trigger/evictor/lateness
     semantics (reference WindowOperator + ProcessWindowFunction).
@@ -121,6 +122,13 @@ def windowed_process_stream(
     ``process_fn`` receives the pane as a DataFrame (columns: ``value_cols``
     + ``_ts_ms``) and returns a list of result dicts matching
     ``out_fields`` (e.g. ``"n long, total double"``).
+
+    ``count_trigger_every=N`` adds early firings (reference CountTrigger
+    composed with EventTimeTrigger, FIRE without purge): whenever the pane
+    has grown past a multiple of N before the watermark reaches window_end,
+    the accumulated pane is emitted early (at micro-batch granularity — one
+    early firing per batch that crosses a boundary); the end-of-window
+    firing still happens.
     """
     key_fields = ", ".join(f"{k} long" for k in keys)
     schema = (
@@ -178,17 +186,25 @@ def windowed_process_stream(
         def set_timer(at_true_ms: int) -> None:
             state.setTimeoutTimestamp(at_true_ms - shift_ms)
 
+        def load():
+            if not state.exists:
+                return [], 0, False
+            d = json.loads(state.get[0])
+            return d["b"], d.get("ec", 0), state.get[1]
+
+        def save(buf, ec, fired) -> None:
+            state.update((json.dumps({"b": buf, "ec": ec}), fired))
+
         if state.hasTimedOut:
             # End-of-window timer (first fire) or cleanup timer (state GC —
             # the pane cannot have changed since the last fire, so no
             # re-emission; re-fires happen only on late DATA).
-            buf = json.loads(state.get[0]) if state.exists else []
-            fired_before = state.get[1] if state.exists else False
+            buf, ec, fired_before = load()
             out = [] if fired_before else fire(norm_key, buf, False)
             if true_wm() >= cleanup_ms:
                 state.remove()
             else:
-                state.update((json.dumps(buf), True))
+                save(buf, ec, True)
                 set_timer(cleanup_ms)
             if out:
                 yield pd.DataFrame(out)
@@ -206,8 +222,8 @@ def windowed_process_stream(
             # it now iff it never fired, then clear it.
             out: list[dict] = []
             if state.exists:
-                buf = json.loads(state.get[0])
-                if not state.get[1]:
+                buf, _, fired_before = load()
+                if not fired_before:
                     out.extend(fire(norm_key, buf, False))
                 state.remove()
             if emit_late and incoming:
@@ -216,8 +232,7 @@ def windowed_process_stream(
                 yield pd.DataFrame(out)
             return
 
-        buf = json.loads(state.get[0]) if state.exists else []
-        fired_before = state.get[1] if state.exists else False
+        buf, ec, fired_before = load()
         buf.extend(incoming)
 
         if wm >= end_ms:
@@ -228,13 +243,23 @@ def windowed_process_stream(
             if wm >= cleanup_ms:
                 state.remove()
             else:
-                state.update((json.dumps(buf), True))
+                save(buf, ec, True)
                 set_timer(cleanup_ms)
             if out:
                 yield pd.DataFrame(out)
         else:
-            state.update((json.dumps(buf), fired_before))
+            out = []
+            if (
+                count_trigger_every
+                and len(buf) // count_trigger_every > ec // count_trigger_every
+            ):
+                # CountTrigger early firing: accumulated pane, no purge.
+                out = fire(norm_key, buf, False)
+                ec = len(buf)
+            save(buf, ec, fired_before)
             set_timer(end_ms)
+            if out:
+                yield pd.DataFrame(out)
 
     return with_win.groupBy(*group_cols).applyInPandasWithState(
         process,
@@ -337,3 +362,44 @@ def windowed_cogroup_batch(
         )
 
     return both.groupBy(*keys, "_win_start").applyInPandas(run, schema)
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    window: str,
+    watermark_delay: str = "5 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Streaming per-window equi-join (reference JoinedStreams:
+    ``a.join(b).where(k).equalTo(k).window(assigner).apply(join_fn)``) —
+    the SPARK-NATIVE path: both sides watermarked, bucketed into the same
+    tumbling window, then stream-stream joined on (keys, window). Spark's
+    symmetric hash join + watermark state cleanup is strictly stronger than
+    the reference's buffer-both-sides WindowOperator (state is purged as
+    the watermark passes, pairs emit incrementally instead of at window
+    end). Outer modes are supported (left/right/full emit null-padded rows
+    at watermark — the reference's coGroup-based outer has the same
+    at-window-end timing).
+
+    Column names (besides ``on`` and ``ts_col``) must be disjoint across
+    the two inputs; outputs gain ``window_start``/``window_end``.
+    """
+    lw = (
+        left.withWatermark(ts_col, watermark_delay)
+        .withColumn("_w", F.window(F.col(ts_col), window))
+        .drop(ts_col)
+    )
+    rw = (
+        right.withWatermark(ts_col, watermark_delay)
+        .withColumn("_w", F.window(F.col(ts_col), window))
+        .drop(ts_col)
+    )
+    return (
+        lw.join(rw, [*on, "_w"], how)
+        .withColumn("window_start", F.col("_w.start"))
+        .withColumn("window_end", F.col("_w.end"))
+        .drop("_w")
+    )

@@ -202,3 +202,60 @@ def test_windowed_cogroup_stream_matches_batch(spark, tmp_path):
     results = _run_stream(spark, out, "ckpt_cg_")
     u1 = [r for r in results if r["user_id"] == 1 and not r["late"]]
     assert [(r["n_left"], r["n_right"], r["total"]) for r in u1] == [(2, 1, 43.0)]
+
+
+def test_count_trigger_fires_early_accumulating(spark, tmp_path):
+    stream = _staged_stream(
+        spark,
+        tmp_path,
+        "wp_count_trig",
+        _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0)),   # 2 elements → early fire
+        _rows((2, 30, 1, 3.0), (3, 40, 1, 4.0)),   # 4 elements → early fire
+        _rows((9, 200, 2, 0.0)),                    # watermark → final fire
+        _rows((10, 400, 2, 0.0)),                   # sentinel
+    )
+    out = windowed_process_stream(
+        stream,
+        ["user_id"],
+        "ts",
+        60.0,
+        _make_sum_pane(),
+        "n long, total double",
+        ["value"],
+        count_trigger_every=2,
+    )
+    results = [
+        (r["n"], r["total"])
+        for r in _run_stream(spark, out, "ckpt_ct_")
+        if r["user_id"] == 1
+    ]
+    # Early firings at 2 and 4 elements (accumulating), final at watermark.
+    assert results == [(2, 3.0), (4, 10.0), (4, 10.0)]
+
+
+def test_windowed_stream_join_native(spark, tmp_path):
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import windowed_stream_join
+
+    lrows = _rows((0, 10, 1, 1.0), (1, 70, 1, 2.0))
+    rrows = _rows((10, 20, 1, 10.0), (11, 130, 1, 20.0))
+    sentinel = _rows((99, 300, 2, 0.0))
+    left = (
+        _staged_stream(spark, tmp_path, "sj_left", lrows, sentinel)
+        .withColumnRenamed("value", "lvalue")
+        .drop("event_id")
+    )
+    right = (
+        _staged_stream(spark, tmp_path, "sj_right", rrows, sentinel)
+        .withColumnRenamed("value", "rvalue")
+        .drop("event_id")
+    )
+    out = windowed_stream_join(left, right, ["user_id"], "ts", "60 seconds")
+    results = _run_stream(spark, out, "ckpt_sj_")
+    got = {
+        (r["user_id"], r["lvalue"], r["rvalue"])
+        for r in results
+        if r["user_id"] == 1
+    }
+    # Only the [0,60) window has both sides (l ts=10, r ts=20); the l ts=70
+    # and r ts=130 rows land in different windows → no pair.
+    assert got == {(1, 1.0, 10.0)}
