@@ -3,7 +3,8 @@
 North-star extension (SURVEY.md §2.14). The classic Broder pipeline,
 expressed entirely in JVM-side expressions (no Python in the hot path):
 
-  shingle (char n-grams) → k minhashes (xxhash64 with per-function salt)
+  shingle (char n-grams) → base hash (xxhash64 mod 2^31-1) → k minhashes
+  (affine permutations a_i*h+b_i mod 2^31-1, MLlib MinHashLSH's family)
   → band the signature (b bands × r rows) → explode bands → groupBy
   (band_id, band_hash) buckets → same-bucket candidate pairs → verify with
   exact shingle Jaccard.
@@ -17,8 +18,29 @@ at 100 TB this cap is what keeps a degenerate band from exploding a task.
 
 from __future__ import annotations
 
+import random
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+# Universal-hash family over a Mersenne prime (the MLlib MinHashLSH scheme):
+# each minhash function is h_i(x) = (a_i * base(x) + b_i) mod P where
+# base(x) = xxhash64(x) mod P. One string hash per shingle; the per-function
+# work is two long ops that stay inside whole-stage codegen, and a_i*base
+# (< 2^31 * 2^31) can never overflow a long, so it is ANSI-mode safe.
+_MERSENNE = (1 << 31) - 1
+
+
+def _coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randint(1, _MERSENNE - 1), rng.randint(0, _MERSENNE - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def _perm(base: Column, a: int, b: int) -> Column:
+    return F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
@@ -33,14 +55,13 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """k-minhash signature (array<bigint>): for each salt i, the min of
-    xxhash64(shingle, salt_i) over the shingle set."""
+    """k-minhash signature (array<bigint>): each component is the min over
+    the shingle set of one affine permutation of the shingle's base hash."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(base, lambda h, ab=ab: _perm(h, *ab)))
+            for ab in _coeffs(num_hashes)
         ]
     )
 
@@ -114,14 +135,19 @@ def minhash_near_dups(
     )
 
     # Signature: min is duplicate-insensitive, so no distinct needed — one
-    # hash-aggregate over the exploded stream, 32 codegen'd mins. Persisted:
-    # the signature table (num_hashes longs per doc — tiny next to the
-    # corpus) feeds banding AND both verify sides; recomputing it means
-    # re-scanning the corpus three times.
-    sig = shingles.groupBy("_id").agg(
+    # hash-aggregate over the exploded stream, 32 codegen'd mins. Each
+    # shingle is string-hashed ONCE; the per-function minhashes are affine
+    # permutations of that base hash (two long ops each). Persisted: the
+    # signature table (num_hashes longs per doc — tiny next to the corpus)
+    # feeds banding AND both verify sides; recomputing it means re-scanning
+    # the corpus three times.
+    based = shingles.select(
+        "_id", F.pmod(F.xxhash64("_shingle"), F.lit(_MERSENNE)).alias("_base")
+    )
+    sig = based.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64("_shingle", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
+            F.min(_perm(F.col("_base"), *ab)).alias(f"_h{i}")
+            for i, ab in enumerate(_coeffs(num_hashes))
         ]
     ).persist()
 

@@ -16,8 +16,8 @@ implicit feedback). The adapters keep FlinkML's surface: DataFrames with an
 ``array_to_vector``/``vector_to_array`` is internal), ``fit`` returning
 self, ``transform``/``predict`` returning DataFrames.
 
-Intentional gap: StochasticOutlierSelection has no pyspark.ml counterpart
-and is omitted (rarely used; document - see SURVEY §2.13).
+StochasticOutlierSelection has no pyspark.ml counterpart and is implemented
+from the paper in ``ml/outlier.py``.
 """
 
 from __future__ import annotations
