@@ -4,61 +4,84 @@ North-star extension (SURVEY.md §2.14). 64-bit Charikar simhash: each token
 hashes to 64 bits; each bit position accumulates +1/-1 across tokens; the
 sign vector is the fingerprint. Near-duplicates have small Hamming distance.
 
-Implementation: the bit-majority accumulation is genuinely awkward as a SQL
-expression (64 per-bit aggregates per row), so this is one of the few
-deliberate Pandas-UDF operators — Arrow-batched, numpy-vectorized inside,
-still a narrow map (no shuffle). Candidate pairing blocks on 4 16-bit
-fingerprint chunks (any pair within Hamming distance 3 shares at least one
-chunk — pigeonhole), then verifies exact Hamming distance.
+Implementation is fully relational — no Python in the hot path: tokens are
+exploded JVM-side, token hashes are one ``xxhash64`` per token, and the
+bit-majority is 64 codegen'd SUM aggregates in ONE hash-aggregate pass
+(the same explode→project→hash-agg shape as the MinHash signature). The
+fingerprint reassembles from the 64 sign bits with bitwise ORs. Candidate
+pairing blocks on 4 16-bit fingerprint chunks (any pair within Hamming
+distance 3 shares at least one chunk — pigeonhole), then verifies exact
+Hamming distance with an XOR popcount.
+
+Scale notes: signature cost is linear in token count and shuffles only the
+per-doc 64-sum rows; the chunk-bucket join is the lone wide op and its keys
+(16-bit chunk values) distribute well. A degenerate chunk value (e.g. the
+zero chunk from short docs) is the skew risk — cap with a pre-filter on
+bucket size if a corpus shows it.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-_MASK64 = (1 << 64) - 1
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) per row — whitespace tokens, 64-bit Charikar majority.
 
-def _token_hash(token: str) -> int:
-    """Deterministic 64-bit token hash (FNV-1a — stable across workers,
-    unlike Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for byte in token.encode("utf-8"):
-        h = ((h ^ byte) * 0x100000001B3) & _MASK64
-    return h
+    One explode + one hash-aggregate; everything whole-stage-codegen'd.
+    Empty/whitespace-only texts get fingerprint 0 (restored by the left
+    join — explode of an empty token array drops the row).
+    """
+    ids = df.select(F.col(id_col).alias("_id"))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    hashed = toks.select("_id", F.xxhash64("_tok").alias("_h"))
+    # Per-bit set-counts, packed 4 counters × 16 bits into each of 16 long
+    # accumulators: one aggregate pass with 17 small SUM expressions (vs 64
+    # one-per-bit sums, whose generated code takes longer to Janino-compile
+    # than the query takes to run at test scale). Counter g holds bits
+    # 4g..4g+3; bit b of a token hash contributes 1<<(16*(b%4)) to counter
+    # b//4. 16-bit counters cap per-doc token count at 65535 — beyond that,
+    # shingle-sample the document first (standard simhash practice).
+    def _packed(g: int) -> Column:
+        h = F.col("_h")
+        terms = [
+            F.shiftleft(
+                F.shiftrightunsigned(h, 4 * g + s).bitwiseAND(F.lit(1)).cast("long"),
+                16 * s,
+            )
+            for s in range(4)
+        ]
+        t = terms[0]
+        for extra in terms[1:]:
+            t = t + extra
+        return t
 
-
-def simhash64(texts: pd.Series) -> pd.Series:
-    """Vectorized simhash of a text series → int64 series (bit 63 used as
-    sign bit; stored as signed int64)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        tokens = (text or "").lower().split()
-        if not tokens:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in tokens:
-            h = np.uint64(_token_hash(tok))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += bits * 2 - 1
-        fp = 0
-        for b in range(64):
-            if acc[b] > 0:
-                fp |= 1 << b
-        out[i] = np.int64(fp - (1 << 64) if fp >= (1 << 63) else fp)
-    return pd.Series(out)
-
-
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    # UDF created lazily: module-level pandas_udf would re-run on executors
-    # at unpickle time, where no SparkSession exists.
-    simhash_udf = F.pandas_udf(simhash64, "long")
-    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+    sums = hashed.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(_packed(g)).alias(f"_p{g}") for g in range(16)],
+    )
+    # Majority per bit: 2*count_set > n  →  set bit b of the fingerprint.
+    fp: Column = F.lit(0).cast("long")
+    for b in range(64):
+        count_b = F.shiftrightunsigned(F.col(f"_p{b // 4}"), 16 * (b % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        fp = fp.bitwiseOR(
+            F.when(count_b * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(0)
+            .cast("long")
+        )
+    fps = sums.select("_id", fp.alias(out_col))
+    return (
+        ids.join(fps, "_id", "left")
+        .select(F.col("_id").alias(id_col), F.coalesce(out_col, F.lit(0)).alias(out_col))
+    )
 
 
 def _chunk(col: Column, i: int) -> Column:
@@ -80,10 +103,9 @@ def simhash_near_dups(
     """Pairs (id_a < id_b) with simhash Hamming distance <= max_distance.
 
     Scale path: 4-chunk blocking turns the quadratic pair space into
-    per-chunk-value buckets (one shuffle per chunk via union+groupBy-free
-    join); verification is an integer XOR popcount.
+    per-chunk-value buckets; verification is an integer XOR popcount.
     """
-    fps = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
+    fps = simhash_fingerprints(df, id_col, text_col).withColumnRenamed(id_col, "_id")
     chunked = fps.select(
         "_id",
         "simhash",
