@@ -315,14 +315,24 @@ class Pattern:
         key_cols: list[str],
         ts_col: str = "ts",
         id_col: str = "event_id",
+        num_partitions: int | None = None,
     ) -> DataFrame:
         """Batch CEP: per-key NFA scan via applyInPandas over sorted groups.
 
         Output: key cols, start_ts/end_ts, and per-matched-event
         ``step_names``/``event_ids`` arrays (aligned; quantified steps
         repeat their name per occurrence).
+
+        ``num_partitions`` pins the key-hash partitioning feeding the NFA
+        stage. The NFA is Python-bound, so per-task cost is CPU per row, not
+        bytes — but AQE sizes the shuffle by BYTES and will happily coalesce
+        a small-looking exchange down to one partition, serializing the
+        whole Python stage. Pass the cluster's parallelism when the input is
+        small relative to its NFA cost (defaults to leaving the plan alone).
         """
         schema = self._out_schema(key_cols)
+        if num_partitions:
+            df = df.repartition(num_partitions, *key_cols)
         empty = pd.DataFrame(columns=[*key_cols, *self._OUT_COLS])
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:

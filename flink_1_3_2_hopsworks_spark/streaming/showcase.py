@@ -102,13 +102,28 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies; deeper patterns are pytest-covered (tests/test_cep.py)."""
     from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
 
-    events = load_table(spark, sf_dir, "events")
+    # Scan-level pre-filter: a begin/followedBy-only pattern (relaxed
+    # contiguity, no not-steps) is insensitive to events no step can accept,
+    # so irrelevant types are dropped BEFORE the Python NFA — the predicate
+    # pushes into the parquet scan and the Arrow transfer shrinks to the
+    # candidate rows. At 100 TB this filter, not the NFA, is the lever.
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
     pattern = (
         Pattern.begin("signup", lambda e: e["event_type"] == "signup")
         .followed_by("purchase", lambda e: e["event_type"] == "purchase")
         .within(30 * 60)
     )
-    matches = pattern.match_batch(events, ["user_id"], "ts", "event_id")
+    matches = pattern.match_batch(
+        events,
+        ["user_id"],
+        "ts",
+        "event_id",
+        # Python-bound stage: pin full parallelism (AQE would coalesce the
+        # 40%-selectivity shuffle by bytes and serialize the NFA).
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return matches.select(
         "user_id",
         F.element_at("event_ids", 1).alias("signup_id"),
