@@ -109,8 +109,9 @@ def from_collection(spark: SparkSession, data: Sequence, schema: StructType | st
 
 
 def sequence(spark: SparkSession, start: int, end: int, parallelism: int | None = None) -> DataFrame:
-    """Numeric range (reference env.generateSequence) — `id` column."""
-    return spark.range(start, end, 1, parallelism)
+    """Numeric range (reference env.generateSequence) — `id` column.
+    Inclusive of both endpoints, matching the reference's from..to."""
+    return spark.range(start, end + 1, 1, parallelism)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:

@@ -51,7 +51,7 @@ def test_partitioned_write_prunes(spark, tmp_path):
 
 
 def test_sequence_and_collection(spark):
-    assert io.sequence(spark, 0, 100).count() == 100
+    assert io.sequence(spark, 0, 100).count() == 101  # inclusive, like generateSequence
     df = io.from_collection(spark, [(1,), (2,)], "x int")
     assert df.agg(F.sum("x")).collect()[0][0] == 3
 
