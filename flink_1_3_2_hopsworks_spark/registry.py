@@ -95,6 +95,10 @@ def _load_all() -> None:
 
     register_module(st_showcase, st_showcase_oracle.ORACLE)
 
+    from flink_1_3_2_hopsworks_spark import table_showcase, table_showcase_oracle
+
+    register_module(table_showcase, table_showcase_oracle.ORACLE)
+
 
 def queries() -> dict[str, QueryFn]:
     _load_all()
