@@ -1,0 +1,174 @@
+"""Randomized kernel tests (SURVEY §5 "Randomized/property-style" layer —
+the reference drives hash/sort/join kernels with seeded random records:
+HashTableITCase, ExternalSortITCase, NonReusingHashJoinIteratorITCase).
+
+Here: one seeded random dataset (~2k rows, nulls included), each kernel
+compared against an independent pandas model in one Spark action. Seeded,
+not hypothesis-driven — mirroring the reference's approach (it used fixed
+random generators, not a QuickCheck framework), and keeping the suite to a
+handful of Spark jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+N = 2000
+KEYS = 37  # forces collisions — the interesting hash-kernel case
+
+
+def _random_pdf(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, KEYS, N),
+            "v": np.round(rng.normal(100, 50, N), 4),
+            "s": [f"s{int(x)}" for x in rng.integers(0, 500, N)],
+        }
+    )
+    # ~5% null values and null keys
+    pdf.loc[rng.random(N) < 0.05, "v"] = None
+    pdf["k"] = pdf["k"].astype("object")
+    pdf.loc[rng.random(N) < 0.05, "k"] = None
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pdf = _random_pdf(0)
+    rows = [
+        (
+            None if pd.isna(k) else int(k),
+            None if pd.isna(v) else float(v),
+            s,
+        )
+        for k, v, s in zip(pdf["k"], pdf["v"], pdf["s"])
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, v DOUBLE, s STRING")
+    return df.localCheckpoint(eager=True), pdf
+
+
+def test_hash_aggregate_kernel(data):
+    df, pdf = data
+    got = {
+        r.k: (r.n, r.n_v, round(r.total, 4) if r.total is not None else None)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_v"),  # count skips nulls
+            F.round(F.sum("v"), 4).alias("total"),
+        )
+        .collect()
+    }
+    model = {}
+    for k, g in pdf.groupby("k", dropna=False):
+        key = None if pd.isna(k) else int(k)
+        total = g["v"].sum(min_count=1)
+        model[key] = (
+            len(g),
+            int(g["v"].notna().sum()),
+            None if pd.isna(total) else round(total, 4),
+        )
+    assert got == model
+
+
+def test_sort_kernel_null_ordering(data):
+    df, pdf = data
+    got = [
+        (r.k, r.v)
+        for r in df.orderBy(F.asc_nulls_first("k"), F.desc_nulls_last("v"), F.asc("s"))
+        .select("k", "v")
+        .collect()
+    ]
+    # emulate Spark's per-key null placement (nulls FIRST for
+    # asc_nulls_first(k), LAST for desc_nulls_last(v)) with rank columns.
+    ordered = pdf.assign(
+        _kn=pdf["k"].isna(), _vn=pdf["v"].isna()
+    ).sort_values(
+        ["_kn", "k", "_vn", "v", "s"],
+        ascending=[False, True, True, False, True],
+        kind="mergesort",
+    )
+    model = [
+        (None if pd.isna(k) else int(k), None if pd.isna(v) else v)
+        for k, v in zip(ordered["k"], ordered["v"])
+    ]
+    assert got == model
+
+
+def test_hash_join_kernel_null_keys_never_match(spark, data):
+    df, pdf = data
+    build_pdf = _random_pdf(1).drop_duplicates("k").dropna(subset=["k"])[["k", "s"]]
+    build = spark.createDataFrame(
+        build_pdf.rename(columns={"s": "name"}).astype({"k": "int"}),
+        "k LONG, name STRING",
+    )
+    got_inner = df.join(build, "k").count()
+    got_left = df.join(build, "k", "left").count()
+
+    probe = pdf.dropna(subset=["k"]).astype({"k": "int"})
+    matches = probe.merge(build_pdf.astype({"k": "int"}), on="k")
+    assert got_inner == len(matches)  # null probe keys drop out
+    assert got_left == len(pdf)  # left keeps every probe row exactly once
+
+
+def test_set_op_kernels_bag_semantics(spark):
+    rng = np.random.default_rng(2)
+    a_vals = rng.integers(0, 20, 300).tolist()
+    b_vals = rng.integers(0, 20, 250).tolist()
+    a = spark.createDataFrame([(int(v),) for v in a_vals], "x INT")
+    b = spark.createDataFrame([(int(v),) for v in b_vals], "x INT")
+
+    from collections import Counter
+
+    ca, cb = Counter(a_vals), Counter(b_vals)
+    got_except = sorted(r.x for r in a.exceptAll(b).collect())
+    model_except = sorted(
+        v for v, c in ((v, c - cb.get(v, 0)) for v, c in ca.items()) for _ in range(c) if c > 0
+    )
+    assert got_except == model_except
+
+    got_intersect = sorted(r.x for r in a.intersectAll(b).collect())
+    model_intersect = sorted(
+        v for v in ca for _ in range(min(ca[v], cb.get(v, 0)))
+    )
+    assert got_intersect == model_intersect
+
+
+def test_session_window_kernel_gap_islands(spark):
+    """Session merge semantics on random timestamps vs a gap-island model
+    (reference WindowOperatorTest's session coverage, randomized)."""
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for key in range(5):
+        ts = np.sort(rng.integers(0, 3600, 80))
+        rows.extend((key, base + pd.Timedelta(seconds=int(t))) for t in ts)
+    pdf = pd.DataFrame(rows, columns=["k", "ts"])
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        df.groupBy(F.session_window("ts", "60 seconds"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", "n")
+        .collect()
+    )
+    got_sessions = sorted((r.k, r.n) for r in got)
+
+    model = []
+    for key, g in pdf.groupby("k"):
+        times = sorted(g["ts"])
+        count = 1
+        for prev, cur in zip(times, times[1:]):
+            # Spark merges when the next event is <= gap away (closed
+            # boundary: events exactly 60s apart share a session)
+            if (cur - prev).total_seconds() > 60:
+                model.append((key, count))
+                count = 1
+            else:
+                count += 1
+        model.append((key, count))
+    assert got_sessions == sorted(model)
