@@ -1,0 +1,152 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path for embedding search (north-star extension, SURVEY.md §2.14).
+
+The classic IVF-Flat layout (Sivic & Zisserman "Video Google" / FAISS IVF):
+k-means the corpus into ``num_cells`` Voronoi cells; at query time score
+only the vectors in the query's ``nprobe`` nearest cells. Versus
+hyperplane-LSH (knn.py), IVF adapts its partitions to the data
+distribution — clustered corpora get balanced cells where fixed random
+hyperplanes give lopsided buckets.
+
+Spark-first shape:
+  - training: ``pyspark.ml`` KMeans over a SAMPLE (centroid quality needs
+    thousands of points per cell, not the whole corpus — at 100 TB you
+    train on a 0.1% sample and assign everything);
+  - assignment: the fitted model's transform — a broadcast of k centroids
+    against the corpus scan, no shuffle;
+  - the index is just the corpus + a ``_cell`` int column. Persist it
+    partitioned by ``_cell`` (write_partitioned) and a query's candidate
+    read is ``nprobe`` directory scans — partition pruning IS the inverted
+    file;
+  - querying: queries × broadcast(centroids) → nprobe nearest cells per
+    query → equi-join on ``_cell`` against the index → JVM-side cosine →
+    per-query top-k window. The only shuffle is the final per-query top-k.
+
+Vectors are L2-normalized before clustering and scoring, so Euclidean
+k-means ≈ spherical k-means and cosine ordering matches the cell geometry.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from flink_1_3_2_hopsworks_spark.functions.vectors import as_double, cosine, norm
+
+
+def _normalized(vec) -> Column:
+    v = as_double(vec)
+    n = norm(v)
+    return F.when(n == 0, v).otherwise(
+        F.transform(v, lambda x: x / n)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 64,
+    sample_fraction: float = 1.0,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer and assign every corpus vector to a cell.
+
+    Returns ``(index, centroids)``: index = corpus columns + ``_cell`` int;
+    centroids = (_cell, _centroid array<double>), k rows — always
+    broadcastable. ``sample_fraction`` < 1 trains k-means on a sample (the
+    100 TB posture) while still assigning the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = corpus.withColumn("_nv", _normalized(F.col(vec_col)))
+    train = normed if sample_fraction >= 1.0 else normed.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    km = KMeans(
+        k=num_cells,
+        maxIter=max_iter,
+        seed=seed,
+        featuresCol="_features",
+        predictionCol="_cell",
+    )
+    model = km.fit(train.withColumn("_features", array_to_vector("_nv")))
+
+    index = (
+        model.transform(normed.withColumn("_features", array_to_vector("_nv")))
+        .drop("_features", "_nv")
+    )
+    centroids = index.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "_cell INT, _centroid ARRAY<DOUBLE>",
+    )
+    return index, centroids
+
+
+def ivf_probe_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine per query over the ``nprobe`` nearest cells.
+
+    Output shape matches brute_force_topk/lsh_topk: (query_id, id, cosine,
+    rank). The centroid ranking and the candidate join both broadcast the
+    small side; candidates ∝ corpus × nprobe / num_cells."""
+    q = queries.select(F.col(query_id), _normalized(F.col(vec_col)).alias("_qv"))
+
+    cell_w = Window.partitionBy(query_id).orderBy(
+        F.desc("_cell_sim"), F.asc("_cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_cell_sim", cosine(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_cell_rank", F.row_number().over(cell_w))
+        .filter(F.col("_cell_rank") <= nprobe)
+        .select(query_id, "_qv", "_cell")
+    )
+
+    scored = (
+        index.withColumnRenamed(vec_col, "_cv")
+        .join(F.broadcast(probed), "_cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id: str = "query_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end convenience (build + probe in one call) — same signature
+    family as lsh_topk. For repeated querying, build ``ivf_index`` once,
+    persist it partitioned by ``_cell``, and call ``ivf_probe_topk``."""
+    index, centroids = ivf_index(
+        corpus, id_col, vec_col, num_cells=num_cells, seed=seed
+    )
+    return ivf_probe_topk(
+        index, centroids, queries, id_col, vec_col, k=k, nprobe=nprobe,
+        query_id=query_id,
+    )

@@ -33,3 +33,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         emb, _queries_from_corpus(emb), "vec_id", "embedding", k=10
     )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized top-10 — the data-adaptive scale path (k-means
+    cells + nprobe probing). Approximate by design → rows-only check;
+    recall vs. brute force is pytest-covered (tests/test_similarity_ivf.py).
+    """
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _queries_from_corpus(emb), "vec_id", "embedding",
+        k=10, num_cells=16, nprobe=6,
+    )

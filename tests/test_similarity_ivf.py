@@ -1,0 +1,92 @@
+"""IVF ANN tests: recall against the exact baseline, candidate validity,
+and the index/probe split (the persist-once-query-many path)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.similarity.ivf import (
+    ivf_index,
+    ivf_probe_topk,
+    ivf_topk,
+)
+from flink_1_3_2_hopsworks_spark.similarity.knn import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_ivf_recall_vs_bruteforce(emb, queries):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, num_cells=8, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells of a k-means partition: recall well above chance
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_ivf_scores_match_exact_for_found_pairs(emb, queries):
+    """Approximation may MISS neighbors but must never mis-score one: any
+    (query, id) pair the IVF path returns carries the exact cosine."""
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=50).collect()
+    }
+    for r in ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, num_cells=8, nprobe=4
+    ).collect():
+        key = (r.query_id, r.vec_id)
+        if key in exact:
+            assert abs(r.cosine - exact[key]) < 1e-6
+
+
+def test_ivf_index_probe_split(emb, queries):
+    """ivf_index once + ivf_probe_topk equals the end-to-end call (same
+    seed), and every corpus row lands in exactly one cell."""
+    index, centroids = ivf_index(emb, "vec_id", "embedding", num_cells=8, seed=42)
+    assert index.count() == emb.count()
+    assert centroids.count() == 8
+    assert index.select("_cell").distinct().count() <= 8
+
+    via_split = ivf_probe_topk(
+        index, centroids, queries, "vec_id", "embedding", k=5, nprobe=3
+    )
+    via_e2e = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_cells=8, nprobe=3, seed=42
+    )
+    assert sorted(map(tuple, via_split.collect())) == sorted(
+        map(tuple, via_e2e.collect())
+    )
+
+
+def test_ivf_more_probes_more_recall(emb, queries):
+    """nprobe = num_cells degenerates to exact search (full coverage)."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, num_cells=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
