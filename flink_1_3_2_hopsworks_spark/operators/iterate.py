@@ -21,7 +21,20 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint + re-alias every column.
+
+    The re-alias mints fresh attribute exprIds: checkpointed LogicalRDDs
+    KEEP their source plan's exprIds, so two frames materialized from shared
+    lineage can expose identical ids — a later join between them then
+    miscompiles (AttributeMap "key not found" at resolution). Fresh aliases
+    make each materialized frame's attributes globally unique."""
+    ckpt = df.localCheckpoint(eager=True)
+    return ckpt.select(*[F.col(c).alias(c) for c in ckpt.columns])
 
 
 def iterate(
@@ -34,11 +47,11 @@ def iterate(
     """Bulk iteration: ``state = step(state, i)`` for up to ``max_iterations``,
     stopping early when ``converged(prev, curr)`` returns True.
     """
-    state = initial.localCheckpoint(eager=True)
+    state = _materialize(initial)
     for i in range(max_iterations):
         nxt = step(state, i)
         if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _materialize(nxt)
         if converged is not None and converged(state, nxt):
             state = nxt
             break
@@ -57,18 +70,17 @@ def iterate_delta(
     (delta, new_workset); the delta is merged into the solution set by key
     (new rows win); iteration stops when the workset is empty.
     """
-    solution = solution.localCheckpoint(eager=True)
-    workset = workset.localCheckpoint(eager=True)
+    solution = _materialize(solution)
+    workset = _materialize(workset)
     for i in range(max_iterations):
         if workset.isEmpty():
             break
         delta, new_workset = step(solution, workset, i)
-        delta = delta.localCheckpoint(eager=True)
+        delta = _materialize(delta)
         # Merge: delta rows replace same-key solution rows.
-        solution = (
+        solution = _materialize(
             solution.join(delta.select(*key_cols), key_cols, "left_anti")
             .unionByName(delta)
-            .localCheckpoint(eager=True)
         )
-        workset = new_workset.localCheckpoint(eager=True)
+        workset = _materialize(new_workset)
     return solution

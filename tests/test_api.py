@@ -231,3 +231,27 @@ class _FakeDataSet(DataSet):
 def test_wrapper_preserves_subclass_df_access(env):
     ds = env.generate_sequence(1, 3)
     assert isinstance(ds, DataSet) and ds.df is not None
+
+
+def test_iterate_delta_facade(env):
+    """Facade delta iteration (reference DeltaIteration shape): propagate a
+    min label one hop per round; workset drains when labels stabilize."""
+    sol = env.from_collection(
+        [(1, 10), (2, 20), (3, 30)], "k INT, label INT"
+    )
+    ws = env.from_collection([(2, 5)], "k INT, label INT")
+
+    def step(solution, workset, i):
+        # delta: workset rows with smaller labels than the solution's
+        joined = workset.join(solution).where("k").equal_to("k")
+        improved = joined.filter(F.col("label") < F.col("label_r")).project(
+            "k", "label"
+        )
+        # next workset: push the improved label to neighbor k+1
+        nxt = improved.map(
+            (F.col("k") + 1).alias("k"), F.col("label")
+        ).filter(F.col("k") <= 3)
+        return improved, nxt
+
+    out = sol.iterate_delta(ws, ["k"], max_iterations=10, step=step)
+    assert {r.k: r.label for r in out.collect()} == {1: 10, 2: 5, 3: 5}
