@@ -125,3 +125,105 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("sample_rate"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real resize: output LENGTH scales with
+    the target area (so batch-memory behavior is realistic), content is an
+    md5 keystream of the input (so it is payload-dependent and stable)."""
+    target = max(1, (w * h) // 8)
+    out = bytearray()
+    digest = hashlib.md5(payload or b"")
+    while len(out) < target:
+        digest.update(b"x")
+        out.extend(digest.digest())
+    return bytes(out[:target])
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize every image payload to (width, height) — mapInPandas, narrow.
+
+    Real implementation decodes with PIL/opencv and re-encodes; this
+    container has no codecs, so ``fake=True`` substitutes a deterministic
+    payload transform with realistic output sizing. The Spark plumbing
+    (schema, metadata rewrite, Arrow batching) is identical either way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not available in this container; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [_fake_resize(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ms", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 32, fake: bool = True
+) -> DataFrame:
+    """Sample frames from video payloads at a fixed stride — one output row
+    per (video, frame), the fan-out shape a downstream image pipeline
+    (resize_images / extract_features) consumes directly.
+
+    Scale notes: fan-out happens executor-side inside mapInPandas (never on
+    the driver); output rows ∝ duration/stride capped by ``max_frames``, so
+    a pathological 10-hour video cannot explode a task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs (ffmpeg) are not available in this "
+                    "container; pass fake=True for the deterministic stand-in"
+                )
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for _, row in pdf.iterrows():
+                duration = int(row["duration_ms"] or 0)
+                n = min(max_frames, max(1, duration // every_ms))
+                for i in range(n):
+                    ms = i * every_ms
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(ms)
+                    # frame stand-in: keyed off (payload, frame index)
+                    out["frame"].append(
+                        _fake_resize((row["payload"] or b"") + bytes([i % 256]), 16, 16)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, FRAMES_SCHEMA
+    )

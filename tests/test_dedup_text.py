@@ -147,3 +147,62 @@ def test_decode_stub_raises(spark):
 def test_jaccard_expression(spark):
     df = spark.createDataFrame([(["a", "b"], ["b", "c"])], "x array<string>, y array<string>")
     assert df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"] == pytest.approx(1 / 3)
+
+
+def test_multimodal_resize_plumbing(spark):
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import resize_images
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    media = documents_as_media(docs)
+    resized = resize_images(media, 32, 32, fake=True).collect()
+    assert len(resized) == 10
+    assert all(r["width"] == 32 and r["height"] == 32 for r in resized)
+    # output size scales with target area (realistic batch-memory shape)
+    assert all(len(r["payload"]) == (32 * 32) // 8 for r in resized)
+    # deterministic on payload
+    again = {r["media_id"]: r["payload"] for r in
+             resize_images(media, 32, 32, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in resized)
+
+
+def test_multimodal_frame_sample_fanout_and_chain(spark):
+    import pyspark.sql.functions as FF
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        FEATURE_DIM,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    videos = documents_as_media(docs).withColumn(
+        "media_type", FF.lit("video")
+    ).withColumn("duration_ms", FF.lit(3500).cast("long"))
+    frames = sample_frames(videos, every_ms=1000, max_frames=32, fake=True)
+    rows = frames.collect()
+    # 3500ms at 1000ms stride → 3 frames per video
+    assert len(rows) == 15
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+    assert all(r["frame_ms"] == r["frame_idx"] * 1000 for r in rows)
+
+    # frames chain into the image pipeline: frame → media record → features
+    as_media = frames.select(
+        (FF.col("media_id") * 100 + FF.col("frame_idx")).alias("media_id"),
+        FF.lit("image").alias("media_type"),
+        FF.col("frame").alias("payload"),
+    )
+    feats = extract_features(as_media, fake=True).collect()
+    assert len(feats) == 15
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+
+
+def test_multimodal_frame_cap_bounds_fanout(spark):
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import sample_frames
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(2)
+    import pyspark.sql.functions as FF
+
+    pathological = documents_as_media(docs).withColumn(
+        "media_type", FF.lit("video")
+    ).withColumn("duration_ms", FF.lit(36_000_000).cast("long"))  # 10 hours
+    n = sample_frames(pathological, every_ms=1000, max_frames=32, fake=True).count()
+    assert n == 2 * 32  # capped, not 2 × 36000
