@@ -278,3 +278,76 @@ def keyed_process_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def over_range_agg_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    range_seconds: float,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+):
+    """Streaming OVER RANGE window (reference
+    RangeClauseBoundedOverProcessFunction, 1.3): per key, for every record
+    emit the aggregate over ``RANGE BETWEEN range_seconds PRECEDING AND
+    CURRENT ROW`` in event time. The frame buffer is keyed state: a list of
+    (ts_ns, value) pruned below ``cur_ts - range`` as each record lands —
+    state size is bounded by the range span × per-key rate, exactly the
+    reference's cleanup-timer bound.
+
+    Emits one row per input record (key, order_col, ts_ns, frame_sum,
+    frame_n). Records are processed in event-time order within each
+    micro-batch; a record arriving in a later batch with an older timestamp
+    still aggregates over whatever frame state remains (the reference drops
+    such records at the watermark instead — divergence documented).
+    """
+    import json
+
+    import pandas as pd
+
+    out_schema = (
+        f"{keys[0]} long, {order_col} long, ts_ns long, "
+        "frame_sum double, frame_n long"
+    )
+    state_schema = "buf string"
+    range_ns = int(range_seconds * 1_000_000_000)
+
+    def process(key, pdf_iter, state):
+        buf: list[list] = json.loads(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, order_col])
+            for oid, ts, v in zip(pdf[order_col], pdf[ts_col], pdf[value_col]):
+                ts_ns = int(pd.Timestamp(ts).value)
+                buf.append([ts_ns, float(v)])
+                lo = ts_ns - range_ns
+                buf = [e for e in buf if e[0] >= lo]
+                out_rows.append(
+                    (
+                        key[0],
+                        int(oid),
+                        ts_ns,
+                        sum(e[1] for e in buf),
+                        len(buf),
+                    )
+                )
+        state.update((json.dumps(buf),))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    keys[0]: [r[0] for r in out_rows],
+                    order_col: [r[1] for r in out_rows],
+                    "ts_ns": [r[2] for r in out_rows],
+                    "frame_sum": [round(r[3], 6) for r in out_rows],
+                    "frame_n": [r[4] for r in out_rows],
+                }
+            )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
