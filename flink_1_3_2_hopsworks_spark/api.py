@@ -203,6 +203,14 @@ class DataSet:
     def rebalance(self, num_partitions: int) -> "DataSet":
         return DataSet(_sort.rebalance(self.df, num_partitions))
 
+    def partition_custom(self, partition_expr, num_partitions: int) -> "DataSet":
+        """Custom routing by expression (reference partitionCustom)."""
+        return DataSet(_sort.partition_custom(self.df, partition_expr, num_partitions))
+
+    def rescale(self, num_partitions: int) -> "DataSet":
+        """Narrow (no-shuffle) redistribution (reference rescale)."""
+        return DataSet(_sort.rescale(self.df, num_partitions))
+
     def zip_with_index(self, id_col: str = "index") -> "DataSet":
         return DataSet(_sort.zip_with_index(self.df, id_col))
 

@@ -69,6 +69,28 @@ def rebalance(df: DataFrame, num: int) -> DataFrame:
     return df.repartition(num)
 
 
+def partition_custom(df: DataFrame, partition_expr: Column | str, num: int) -> DataFrame:
+    """Custom partitioner (reference partitionCustom): Spark DataFrames
+    partition by EXPRESSION hash, not by a Partitioner object — express the
+    custom routing as a column (e.g. ``F.col("k") % 4`` or a when-chain)
+    and all rows with equal expression values co-locate."""
+    expr = F.expr(partition_expr) if isinstance(partition_expr, str) else partition_expr
+    return df.repartition(num, expr)
+
+
+def rescale(df: DataFrame, num: int) -> DataFrame:
+    """Local round-robin to fewer partitions (reference rescale — a NARROW
+    redistribution, no full shuffle): Spark's coalesce is exactly this."""
+    return df.coalesce(num)
+
+
+def global_partition(df: DataFrame) -> DataFrame:
+    """Route everything to one partition (reference global()). A scale
+    hazard by definition — exists for small final outputs only, same
+    caveat as the reference."""
+    return df.coalesce(1)
+
+
 def zip_with_unique_id(df: DataFrame, id_col: str = "unique_id") -> DataFrame:
     """Unique (non-contiguous) long ids — the reference's zipWithUniqueId
     bit-packs (counter, partition); monotonically_increasing_id is the same

@@ -152,3 +152,19 @@ def test_sort_partition(spark, tuples3):
     pdf = out.withColumn("p", F.spark_partition_id()).toPandas()
     for _, grp in pdf.groupby("p"):
         assert list(grp["id"]) == sorted(grp["id"])
+
+
+def test_partitioning_spellings(spark):
+    from flink_1_3_2_hopsworks_spark.operators import sort_limit as sl
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"), "id")
+    routed = sl.partition_custom(df, F.col("k") % 4, 4)
+    assert routed.rdd.getNumPartitions() == 4
+    # all rows with the same routing value share a partition
+    parts = routed.select(
+        (F.col("k") % 4).alias("r"), F.spark_partition_id().alias("p")
+    ).distinct().groupBy("r").count().collect()
+    assert all(row["count"] == 1 for row in parts)
+
+    assert sl.rescale(df.repartition(8), 2).rdd.getNumPartitions() == 2
+    assert sl.global_partition(df).rdd.getNumPartitions() == 1
