@@ -41,3 +41,50 @@ def running_agg(
     On a streaming DF, emit in **update** output mode for per-key refreshes
     (≈ toRetractStream); in batch it's a plain aggregation."""
     return df.groupBy(*keys).agg(*aggs)
+
+
+def running_agg_with_ttl(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    idle_retention_seconds: float,
+) -> DataFrame:
+    """Continuous per-key sum/count with idle-state retention (reference
+    QueryConfig#withIdleStateRetentionTime, 1.3): a key whose state has not
+    been updated for ``idle_retention_seconds`` is evicted — the aggregate
+    RESTARTS if the key reappears, exactly the reference's documented
+    trade-off. Plain streaming groupBy state can never be dropped (no
+    watermark on an unbounded agg); this variant keeps total state ∝
+    ACTIVE keys, the 100 TB requirement for high-churn key spaces.
+
+    Emits (key, total, n) per updated key per micro-batch (update mode).
+    """
+    import json
+
+    import pandas as pd
+
+    out_schema = f"{key} long, total double, n long"
+    state_schema = "acc string"
+    timeout_ms = int(idle_retention_seconds * 1000)
+
+    def process(k, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()  # idle eviction — QueryConfig retention fired
+            return
+        total, n = (
+            tuple(json.loads(state.get[0])) if state.exists else (0.0, 0)
+        )
+        for pdf in pdf_iter:
+            total += float(pdf[value_col].sum())
+            n += len(pdf)
+        state.update((json.dumps([total, n]),))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({key: [k[0]], "total": [round(total, 6)], "n": [n]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="ProcessingTimeTimeout",
+    )

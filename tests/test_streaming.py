@@ -196,3 +196,38 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert emitted, "stream emitted nothing"
     assert all(r["total"] < 100.0 for r in emitted)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_running_agg_with_ttl_accumulates_and_survives_batches(spark, events_batch, staged_events):
+    """Idle-state-retention variant: totals accumulate across micro-batches
+    (state carried), matching the batch aggregate when no eviction fires
+    (long retention)."""
+    from flink_1_3_2_hopsworks_spark.streaming.dedup import running_agg_with_ttl
+
+    stream = file_stream(spark, staged_events, EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = running_agg_with_ttl(stream, "user_id", "value", idle_retention_seconds=3600)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ttl_")
+    rows: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: rows.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # last emission per key = final running total
+    final: dict = {}
+    for r in rows:
+        final[r["user_id"]] = (r["total"], r["n"])
+    batch = {
+        r["user_id"]: (round(r["total"], 6), r["n"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
