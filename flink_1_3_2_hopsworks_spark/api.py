@@ -510,6 +510,27 @@ class DataStream:
     def union(self, other: "DataStream") -> "DataStream":
         return DataStream(self.df.unionByName(other.df))
 
+    def connect(self, other: "DataStream", key_cols: list[str]) -> "DataStream":
+        """Tagged union on a shared key schema (reference ConnectedStreams /
+        CoProcessFunction encoding — branch on ``_source`` downstream)."""
+        from flink_1_3_2_hopsworks_spark.operators.routing import connect
+
+        return DataStream(connect(self.df, other.df, key_cols))
+
+    def split(self, **routes: Column) -> dict[str, "DataStream"]:
+        """Named predicate routes (reference split/select): each branch is a
+        filter off the SAME plan — one scan, N outputs."""
+        from flink_1_3_2_hopsworks_spark.operators.routing import split
+
+        return {k: DataStream(v) for k, v in split(self.df, routes).items()}
+
+    def side_output(self, main_cond: Column) -> tuple["DataStream", "DataStream"]:
+        """(main, side) pair (reference OutputTag side outputs)."""
+        from flink_1_3_2_hopsworks_spark.operators.routing import side_output
+
+        main, side = side_output(self.df, main_cond)
+        return DataStream(main), DataStream(side)
+
     def key_by(self, *fields: str | int) -> "KeyedStream":
         return KeyedStream(self.df, _cols(self.df, fields))
 

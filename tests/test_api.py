@@ -255,3 +255,20 @@ def test_iterate_delta_facade(env):
 
     out = sol.iterate_delta(ws, ["k"], max_iterations=10, step=step)
     assert {r.k: r.label for r in out.collect()} == {1: 10, 2: 5, 3: 5}
+
+
+def test_datastream_routing_facade(spark):
+    """split/side_output/connect spellings on the DataStream facade (batch
+    DataFrames exercise the same code path)."""
+    from flink_1_3_2_hopsworks_spark.api import DataStream
+
+    s = DataStream(spark.createDataFrame([(1, 5.0), (2, 50.0)], "k INT, v DOUBLE"))
+    routes = s.split(low=F.col("v") < 10, high=F.col("v") >= 10)
+    assert routes["low"].df.count() == 1 and routes["high"].df.count() == 1
+
+    main, side = s.side_output(F.col("v") < 10)
+    assert main.df.count() == 1 and side.df.count() == 1
+
+    other = DataStream(spark.createDataFrame([(1, "x")], "k INT, tag STRING"))
+    tagged = s.connect(other, ["k"])
+    assert tagged.df.count() == 3 and "_source" in tagged.df.columns
