@@ -132,3 +132,34 @@ def test_partial_aggregation_before_shuffle(spark):
     # above (final) the exchange.
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan  # nation dim broadcast
+
+
+def test_table_facade_sql_single_shuffle_broadcast_dims(spark):
+    """The Table-API SQL path must plan like the hand-built DataFrame
+    plans: all dim joins broadcast (AQE/static), exactly ONE exchange for
+    the aggregate — the facade adds zero plan overhead."""
+    from flink_1_3_2_hopsworks_spark.table_showcase import tbl_sql_region_year_revenue
+
+    plan = plan_of(tbl_sql_region_year_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle: the groupBy; broadcast exchanges don't count
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, f"expected <=1 hash exchange, got {shuffles}"
+
+
+def test_ivf_probe_join_broadcasts_small_side(spark):
+    """IVF probe: centroid ranking and candidate join both broadcast the
+    query side — the corpus index is never shuffled."""
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(
+        ivf_topk(emb, queries, "vec_id", "embedding", k=5, num_cells=4, nprobe=2)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange allowed is the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") <= 1
