@@ -550,30 +550,39 @@ class KeyedStream:
     def window(self, assigner, ts_col: str = "ts") -> "WindowedStream":
         return WindowedStream(self._df, self._keys, assigner, ts_col)
 
-    def count_window(self, size: int, ts_col: str = "ts") -> "CountWindowedStream":
-        return CountWindowedStream(self._df, self._keys, size, ts_col)
+    def count_window(
+        self, size: int, slide: int | None = None, ts_col: str = "ts"
+    ) -> "CountWindowedStream":
+        """countWindow(size) tumbling, or countWindow(size, slide) sliding
+        (reference KeyedStream#countWindow one/two-arg)."""
+        return CountWindowedStream(self._df, self._keys, size, slide, ts_col)
 
     def process(
         self,
-        func,
-        out_schema,
-        state_schema,
+        on_event,
+        on_timer,
+        out_fields: str,
+        value_cols: list[str],
         ts_col: str = "ts",
-        watermark_delay: str = "5 seconds",
+        watermark_delay_seconds: float = 5.0,
     ) -> DataStream:
-        """ProcessFunction with keyed state + timers (reference
-        KeyedProcessOperator) — applyInPandasWithState underneath."""
+        """ProcessFunction with keyed state + multi-timer TimerService
+        (reference KeyedProcessOperator) — applyInPandasWithState underneath.
+        ``on_event(state, event, ctx)`` / ``on_timer(state, timer_ms, ctx)``
+        return rows matching ``out_fields``; ``value_cols`` are the input
+        columns passed through to ``on_event``."""
         from flink_1_3_2_hopsworks_spark.streaming.process import keyed_process_stream
 
         return DataStream(
             keyed_process_stream(
                 self._df,
                 self._keys,
-                func,
-                out_schema,
-                state_schema,
+                on_event,
+                on_timer,
+                out_fields,
+                value_cols,
                 ts_col=ts_col,
-                watermark_delay=watermark_delay,
+                watermark_delay_seconds=watermark_delay_seconds,
             )
         )
 
@@ -613,23 +622,39 @@ class WindowedStream:
 
 
 class CountWindowedStream:
-    """countWindow(n) (reference KeyedStream#countWindow — GlobalWindows +
-    CountTrigger): custom stateful op, no Spark built-in."""
+    """countWindow(n[, slide]) (reference KeyedStream#countWindow —
+    GlobalWindows + CountTrigger(slide or n) [+ CountEvictor(n)]): custom
+    stateful op, no Spark built-in. ``aggregate(value_col)`` emits
+    (keys..., window_id, n, sum_value) per fired window."""
 
-    def __init__(self, df: DataFrame, keys: list[str], size: int, ts_col: str):
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        size: int,
+        slide: int | None,
+        ts_col: str,
+    ):
         self._df = df
         self._keys = keys
         self._size = size
+        self._slide = slide
         self._ts = ts_col
 
-    def aggregate(self, agg_fn: Callable, out_schema, value_cols) -> DataStream:
+    def aggregate(self, value_col: str) -> DataStream:
         from flink_1_3_2_hopsworks_spark.streaming.process import (
             count_window_agg_stream,
         )
 
         return DataStream(
             count_window_agg_stream(
-                self._df, self._keys, self._size, agg_fn, out_schema, value_cols,
+                self._df,
+                self._keys,
+                self._size,
+                value_col,
                 ts_col=self._ts,
+                slide=self._slide,
             )
         )
+
+    sum = aggregate  # reference countWindow(...).sum(field)

@@ -25,8 +25,23 @@ Semantics implemented (Flink 1.3 defaults):
                           ≈ consecutive(), followedBy→relaxed).
   - ``optional``        — the step may be skipped.
   - ``within``          — time window from the first matched event; partial
-                          matches exceeding it are pruned (no timeout side
-                          output in this version).
+                          matches exceeding it are pruned. With
+                          ``with_timeouts=True`` the pruned partials are
+                          EMITTED tagged ``timed_out=true`` (reference
+                          PatternStream.select timeout-function overload,
+                          flink-cep PatternStream.java) — one output schema,
+                          filter on the flag to split, the same DAG-reuse
+                          trick as window_op's late tag. Timeouts are
+                          detected when the key's next event arrives
+                          (micro-batch granularity), not on watermark
+                          advance — divergence documented.
+  - iterative conditions (reference cep IterativeCondition, 1.3): a
+    predicate may take ``(event, ctx)`` — ``ctx.events_for_pattern(name)``
+    returns the events already matched by step ``name`` in this partial, so
+    "next price > first price" is expressible. Matched event values are
+    then carried in partial-match state (JSON-sanitized: numpy scalars →
+    python, timestamps → ns ints); single-arg predicates keep the compact
+    ids/ts-only state.
   - every event may start a new partial match (all-matches — after-match
     skip strategies arrived post-1.3).
   - a pattern must end in a positive step (Flink likewise rejects trailing
@@ -47,6 +62,7 @@ same caveat as the reference NFA).
 
 from __future__ import annotations
 
+import inspect
 import json
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -54,9 +70,65 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame
 
-Predicate = Callable[[dict], bool]
+from flink_1_3_2_hopsworks_spark.streaming.keys import key_casters, key_fields_ddl
+
+# 1-arg simple condition, or 2-arg iterative condition (event, ctx).
+Predicate = Callable[..., bool]
 
 _NS = 1_000_000_000
+
+
+def _is_iterative(pred: Predicate) -> bool:
+    """True when the predicate takes a second ``ctx`` parameter (reference
+    IterativeCondition vs SimpleCondition)."""
+    try:
+        params = [
+            p
+            for p in inspect.signature(pred).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+    except (TypeError, ValueError):
+        return False
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return True
+    return len(params) >= 2
+
+
+def _json_safe(ev: dict) -> dict:
+    """Partial-state copy of an event: numpy scalars → python, timestamps →
+    epoch-ns ints — identical whether the partial stayed in memory or
+    round-tripped through JSON keyed state."""
+    out = {}
+    for k, v in ev.items():
+        if isinstance(v, pd.Timestamp):
+            out[k] = int(v.value)
+        elif hasattr(v, "item"):
+            out[k] = v.item()
+        else:
+            out[k] = v
+    return out
+
+
+class MatchContext:
+    """Iterative-condition context (reference IterativeCondition.Context):
+    exposes the events this partial match has already accepted, per step
+    name. Values are the JSON-sanitized copies (see ``_json_safe``)."""
+
+    __slots__ = ("_names", "_evs")
+
+    def __init__(self, names: list[str], evs: list[dict]):
+        self._names = names
+        self._evs = evs
+
+    def events_for_pattern(self, name: str) -> list[dict]:
+        return [e for n, e in zip(self._names, self._evs) if n == name]
+
+    # reference spelling
+    get_events_for_pattern = events_for_pattern
+
+
+_EMPTY_CTX = MatchContext([], [])
 
 
 @dataclass

@@ -25,6 +25,12 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from flink_1_3_2_hopsworks_spark.streaming.keys import (
+    key_casters,
+    key_fields_ddl,
+    key_py_values,
+)
+
 
 def count_window_agg_batch(
     df: DataFrame,
@@ -52,16 +58,58 @@ def count_window_agg_batch(
     )
 
 
+def sliding_count_window_agg_batch(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    size: int,
+    slide: int,
+    value_col: str,
+) -> DataFrame:
+    """Sliding count windows (batch mode): reference
+    KeyedStream#countWindow(size, slide) = GlobalWindows +
+    CountTrigger(slide) + CountEvictor(size) — fire on every ``slide``-th
+    record per key, aggregating the last min(seen, size) records.
+
+    Spark-first: a ROWS-frame window aggregate evaluated at every row,
+    filtered to the trigger rows (rn % slide == 0) — no Python, one
+    shuffle on the keys, WholeStageCodegen throughout. Emits the same
+    (keys, window_id, n, sum_value) shape as the streaming twin so the
+    batch/stream equivalence test can diff them directly."""
+    order_w = Window.partitionBy(*keys).orderBy(order_col)
+    frame_w = order_w.rowsBetween(-(size - 1), 0)
+    return (
+        df.withColumn("_rn", F.row_number().over(order_w))
+        .withColumn("n", F.count(F.lit(1)).over(frame_w))
+        .withColumn("sum_value", F.sum(F.col(value_col).cast("double")).over(frame_w))
+        .filter(F.col("_rn") % slide == 0)
+        .select(
+            *keys,
+            ((F.col("_rn") / slide).cast("bigint") - 1).alias("window_id"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def count_window_agg_stream(
     df: DataFrame,
     keys: Sequence[str],
     size: int,
     value_col: str,
     ts_col: str = "ts",
+    slide: int | None = None,
 ):
     """Count windows (streaming): per-key buffer in keyed state, emitting an
     aggregate row every ``size`` records (reference GlobalWindows +
-    CountTrigger(size) + sum aggregate). Emits (key, window_id, n, sum_value).
+    CountTrigger(size) + sum aggregate). Emits (keys..., window_id, n,
+    sum_value). Key column types are derived from ``df.schema`` (string and
+    composite keys work — not just integers).
+
+    With ``slide`` set this is the two-arg reference
+    KeyedStream#countWindow(size, slide) = GlobalWindows + CountTrigger(slide)
+    + CountEvictor(size): fire every ``slide`` records over the last
+    min(seen, size) values.
 
     Implementation: ``applyInPandasWithState`` (Spark 3.4+ keyed-state API).
     PySpark 4.x's transformWithStateInPandas would be the closer
@@ -69,34 +117,63 @@ def count_window_agg_stream(
     worker needs google.protobuf, which this environment does not ship —
     the GroupState path below covers count-window semantics fully.
     """
+    import json
+
     import pandas as pd
 
-    out_schema = f"{keys[0]} long, window_id long, n long, sum_value double"
-    state_schema = "total double, n long, window_id long"
+    out_schema = (
+        f"{key_fields_ddl(df, keys)}, window_id long, n long, sum_value double"
+    )
+    casters = key_casters(df, keys)
 
-    def process(key, pdf_iter, state):
-        if state.exists:
-            total, n, window_id = state.get
-        else:
-            total, n, window_id = 0.0, 0, 0
-        out = []
-        for pdf in pdf_iter:
-            for v in pdf[value_col]:
-                total += float(v)
-                n += 1
-                if n == size:
-                    out.append((key[0], window_id, n, total))
-                    total, n, window_id = 0.0, 0, window_id + 1
-        state.update((total, n, window_id))
-        if out:
-            yield pd.DataFrame(
-                {
-                    keys[0]: [o[0] for o in out],
-                    "window_id": [o[1] for o in out],
-                    "n": [o[2] for o in out],
-                    "sum_value": [o[3] for o in out],
-                }
-            )
+    if slide is None:
+        # Tumbling: scalar running state, no buffer needed.
+        state_schema = "total double, n long, window_id long"
+
+        def process(key, pdf_iter, state):
+            if state.exists:
+                total, n, window_id = state.get
+            else:
+                total, n, window_id = 0.0, 0, 0
+            kv = key_py_values(casters, key)
+            out = []
+            for pdf in pdf_iter:
+                for v in pdf[value_col]:
+                    total += float(v)
+                    n += 1
+                    if n == size:
+                        out.append((*kv, window_id, n, total))
+                        total, n, window_id = 0.0, 0, window_id + 1
+            state.update((total, n, window_id))
+            if out:
+                yield pd.DataFrame(out, columns=[*keys, "window_id", "n", "sum_value"])
+
+    else:
+        # Sliding: CountEvictor(size) keeps the last `size` values in state;
+        # CountTrigger(slide) fires every `slide` records. State is bounded
+        # by `size` floats per key — the evictor bound, same as the reference.
+        state_schema = "buf string, since long, window_id long"
+
+        def process(key, pdf_iter, state):
+            if state.exists:
+                raw, since, window_id = state.get
+                buf = json.loads(raw)
+            else:
+                buf, since, window_id = [], 0, 0
+            kv = key_py_values(casters, key)
+            out = []
+            for pdf in pdf_iter:
+                for v in pdf[value_col]:
+                    buf.append(float(v))
+                    if len(buf) > size:
+                        buf.pop(0)
+                    since += 1
+                    if since == slide:
+                        out.append((*kv, window_id, len(buf), sum(buf)))
+                        since, window_id = 0, window_id + 1
+            state.update((json.dumps(buf), since, window_id))
+            if out:
+                yield pd.DataFrame(out, columns=[*keys, "window_id", "n", "sum_value"])
 
     return df.groupBy(*keys).applyInPandasWithState(
         process,
@@ -129,14 +206,17 @@ def over_rows_agg_stream(
     import pandas as pd
 
     out_schema = (
-        f"{keys[0]} long, {order_col} long, frame_sum double, frame_n long"
+        f"{key_fields_ddl(df, keys)}, {order_col} long, "
+        "frame_sum double, frame_n long"
     )
     # Keyed state: JSON-encoded deque of the last `preceding` values (state
     # schema must be flat — a string column carries the buffer).
     state_schema = "buf string"
+    casters = key_casters(df, keys)
 
     def process(key, pdf_iter, state):
         buf: list[float] = json.loads(state.get[0]) if state.exists else []
+        kv = key_py_values(casters, key)
         out_rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col)
@@ -144,16 +224,11 @@ def over_rows_agg_stream(
                 buf.append(float(v))
                 if len(buf) > preceding + 1:
                     buf.pop(0)
-                out_rows.append((key[0], int(oid), sum(buf), len(buf)))
+                out_rows.append((*kv, int(oid), round(sum(buf), 6), len(buf)))
         state.update((json.dumps(buf),))
         if out_rows:
             yield pd.DataFrame(
-                {
-                    keys[0]: [r[0] for r in out_rows],
-                    order_col: [r[1] for r in out_rows],
-                    "frame_sum": [round(r[2], 6) for r in out_rows],
-                    "frame_n": [r[3] for r in out_rows],
-                }
+                out_rows, columns=[*keys, order_col, "frame_sum", "frame_n"]
             )
 
     return df.groupBy(*keys).applyInPandasWithState(
@@ -202,8 +277,8 @@ def keyed_process_stream(
 
     import pandas as pd
 
-    key_fields = ", ".join(f"{k} long" for k in keys)
-    schema = f"{key_fields}, {out_fields}"
+    schema = f"{key_fields_ddl(df, keys)}, {out_fields}"
+    casters = key_casters(df, keys)
     shift_ms = int(late_grace_seconds * 1000)
     total_delay = watermark_delay_seconds + late_grace_seconds
 
@@ -232,7 +307,7 @@ def keyed_process_stream(
         spark_wm = state.getCurrentWatermarkMs()
         wm = spark_wm + shift_ms if spark_wm > 0 else 0
         ctx = _Ctx(timers, wm)
-        key_vals = dict(zip(keys, [int(k) for k in key]))
+        key_vals = dict(zip(keys, key_py_values(casters, key)))
         out_rows: list[dict] = []
 
         def drain_timers() -> None:
@@ -307,14 +382,16 @@ def over_range_agg_stream(
     import pandas as pd
 
     out_schema = (
-        f"{keys[0]} long, {order_col} long, ts_ns long, "
+        f"{key_fields_ddl(df, keys)}, {order_col} long, ts_ns long, "
         "frame_sum double, frame_n long"
     )
     state_schema = "buf string"
     range_ns = int(range_seconds * 1_000_000_000)
+    casters = key_casters(df, keys)
 
     def process(key, pdf_iter, state):
         buf: list[list] = json.loads(state.get[0]) if state.exists else []
+        kv = key_py_values(casters, key)
         out_rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values([ts_col, order_col])
@@ -325,23 +402,18 @@ def over_range_agg_stream(
                 buf = [e for e in buf if e[0] >= lo]
                 out_rows.append(
                     (
-                        key[0],
+                        *kv,
                         int(oid),
                         ts_ns,
-                        sum(e[1] for e in buf),
+                        round(sum(e[1] for e in buf), 6),
                         len(buf),
                     )
                 )
         state.update((json.dumps(buf),))
         if out_rows:
             yield pd.DataFrame(
-                {
-                    keys[0]: [r[0] for r in out_rows],
-                    order_col: [r[1] for r in out_rows],
-                    "ts_ns": [r[2] for r in out_rows],
-                    "frame_sum": [round(r[3], 6) for r in out_rows],
-                    "frame_n": [r[4] for r in out_rows],
-                }
+                out_rows,
+                columns=[*keys, order_col, "ts_ns", "frame_sum", "frame_n"],
             )
 
     return df.groupBy(*keys).applyInPandasWithState(

@@ -40,6 +40,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from flink_1_3_2_hopsworks_spark.streaming.keys import (
+    key_casters,
+    key_fields_ddl,
+    key_py_values,
+)
+
 # An evictor takes (records, window_end_ms) and returns the records to KEEP,
 # in ts order (reference Evictor#evictBefore).
 Evictor = Callable[[list[dict], int], list[dict]]
@@ -130,7 +136,8 @@ def windowed_process_stream(
     early firing per batch that crosses a boundary); the end-of-window
     firing still happens.
     """
-    key_fields = ", ".join(f"{k} long" for k in keys)
+    key_fields = key_fields_ddl(df, keys)
+    casters = key_casters(df, keys)
     schema = (
         f"{key_fields}, window_start timestamp, window_end timestamp, "
         f"{out_fields}, late boolean"
@@ -175,7 +182,7 @@ def windowed_process_stream(
     def process(key, pdf_iter, state):
         # key = (*keys, _win_start_ms epoch-ms long).
         start_ms = int(key[-1])
-        norm_key = (*[int(k) for k in key[:-1]], start_ms)
+        norm_key = (*key_py_values(casters, key[:-1]), start_ms)
         end_ms = start_ms + window_ms
         cleanup_ms = end_ms + lateness_ms
 
@@ -325,7 +332,7 @@ def windowed_cogroup_batch(
 ) -> DataFrame:
     """Batch twin of :func:`windowed_cogroup_stream` (same pane semantics,
     applyInPandas over (keys, window) groups) — for backfills and tests."""
-    key_fields = ", ".join(f"{k} long" for k in keys)
+    key_fields = key_fields_ddl(left, keys)
     schema = (
         f"{key_fields}, window_start timestamp, window_end timestamp, "
         f"{out_fields}"

@@ -208,7 +208,10 @@ class Table:
         return Table(self.df.intersectAll(other.df))
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self.df.exceptAll(other.df).distinct())
+        # subtract == set EXCEPT: a row present in BOTH sides is removed
+        # entirely (exceptAll().distinct() would keep it when the left
+        # multiplicity exceeds the right's — not Flink minus semantics).
+        return Table(self.df.subtract(other.df))
 
     def minus_all(self, other: "Table") -> "Table":
         return Table(self.df.exceptAll(other.df))
