@@ -81,18 +81,26 @@ def stream_replay(spark, sf_dir: str) -> tuple[int, float, float]:
     # partitions to STATE, not to input bytes).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # events.ts has shipped as both long-nanos and timestamp[us] parquet —
+    # mirror catalog.load_table's detection for the streaming schema.
+    from pyspark.sql.types import LongType
+
+    batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_is_long = isinstance(batch_ts, LongType)
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+        f"event_id long, ts {'long' if ts_is_long else 'timestamp_ntz'}, "
+        "user_id long, event_type string, value double, props string"
     )
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")
     # The file source wants a directory; stage the table as a symlink.
     src_dir = tempfile.mkdtemp(prefix="bench_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    src = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    src = src.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp"),
     )
     agg = (
         src.withWatermark("ts", "1 hour")

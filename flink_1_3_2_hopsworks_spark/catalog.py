@@ -38,18 +38,25 @@ BROADCASTABLE = {"region", "nation", "supplier"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos and convert to µs TimestampType
-    (the event-time column Structured Streaming expects — FIXTURES.md).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read as long nanos, convert to µs)
+    and plain TIMESTAMP(MICROS) (read as-is, only normalize NTZ→LTZ so the
+    streaming operators see one TimestampType). Detect from the schema.
     """
     if name == "events":
         import pyspark.sql.functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer division: float division could round the µs value up and
-        # disagree with DuckDB's ns→µs truncation by 1µs.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Integer division: float division could round the µs value up
+            # and disagree with DuckDB's ns→µs truncation by 1µs.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

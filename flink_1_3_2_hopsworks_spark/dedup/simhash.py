@@ -16,14 +16,18 @@ Hamming distance with an XOR popcount.
 Scale notes: signature cost is linear in token count and shuffles only the
 per-doc 64-sum rows; the chunk-bucket join is the lone wide op and its keys
 (16-bit chunk values) distribute well. A degenerate chunk value (e.g. the
-zero chunk from short docs) is the skew risk — cap with a pre-filter on
-bucket size if a corpus shows it.
+zero chunk from short docs) is the skew risk — ``max_bucket`` drops chunk
+buckets above that size BEFORE the self-join (same cap as minhash's band
+buckets), so one hot 16-bit value can't quadratically explode a task at
+100 TB. A doc dropped from one degenerate chunk can still pair through its
+other 3 chunks; within Hamming<=3 only if >1 chunk is degenerate does a
+pair go unseen — the standard LSH-cap recall trade.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def simhash_fingerprints(
@@ -99,11 +103,15 @@ def simhash_near_dups(
     id_col: str,
     text_col: str,
     max_distance: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with simhash Hamming distance <= max_distance.
 
     Scale path: 4-chunk blocking turns the quadratic pair space into
     per-chunk-value buckets; verification is an integer XOR popcount.
+    ``max_bucket`` caps any one (chunk-index, chunk-value) bucket — a
+    window count + filter before the self-join, bounding the worst task
+    at max_bucket² pairs regardless of corpus skew.
     """
     fps = simhash_fingerprints(df, id_col, text_col).withColumnRenamed(id_col, "_id")
     chunked = fps.select(
@@ -117,8 +125,12 @@ def simhash_near_dups(
         ).alias("_c"),
     ).select("_id", "simhash", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
 
-    left = chunked.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"))
-    right = chunked.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    capped = chunked.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
+    ).filter(F.col("_bsize") <= max_bucket)
+
+    left = capped.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    right = capped.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"))
     return (
         left.join(right, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
