@@ -154,6 +154,10 @@ class _Node:
     optional: bool
     not_next_pred: Predicate | None = None
     not_followed_pred: Predicate | None = None
+    # resolved at compile time so the hot loop never re-inspects signatures
+    iterative: bool = False
+    not_next_iterative: bool = False
+    not_followed_iterative: bool = False
 
 
 class Pattern:
@@ -247,11 +251,16 @@ class Pattern:
                     loop=step.loop,
                     optional=step.optional,
                 )
+                node.iterative = _is_iterative(step.predicate)
                 if occurrence == 0 and pending_not is not None:
                     if pending_not.strict:
                         node.not_next_pred = pending_not.predicate
+                        node.not_next_iterative = _is_iterative(pending_not.predicate)
                     else:
                         node.not_followed_pred = pending_not.predicate
+                        node.not_followed_iterative = _is_iterative(
+                            pending_not.predicate
+                        )
                     pending_not = None
                 nodes.append(node)
         if pending_not is not None:
@@ -259,6 +268,16 @@ class Pattern:
         if not nodes:
             raise ValueError("a pattern needs at least one positive step")
         return nodes
+
+    @staticmethod
+    def _has_iterative(nodes: list[_Node]) -> bool:
+        """True when any condition is 2-arg — only then do partial matches
+        carry full (sanitized) event values instead of the compact ids/ts
+        state (keyed-state size O(len·payload) vs O(len))."""
+        return any(
+            n.iterative or n.not_next_iterative or n.not_followed_iterative
+            for n in nodes
+        )
 
     # -- matching -----------------------------------------------------------
 
@@ -279,96 +298,152 @@ class Pattern:
         ev: dict,
         ev_id: int,
         ev_ns: int,
-    ) -> tuple[list[dict], list[dict]]:
+        carry_evs: bool,
+    ) -> tuple[list[dict], list[dict], list[dict]]:
         """One NFA transition: feed one event to all partial matches (and
-        try starting new ones). Returns (surviving partials, completions).
+        try starting new ones). Returns (surviving partials, completions,
+        within-pruned partials).
 
         Partials are JSON-safe: {"idx", "fresh", "ids", "ts", "names"} —
-        matched event ids + ns-timestamps, never full events (keyed-state
-        size stays O(pattern length), not O(payload))."""
+        matched event ids + ns-timestamps. Only when the pattern uses an
+        iterative condition (``carry_evs``) does each partial also carry
+        ``evs``, the sanitized values of its matched events, so
+        ``ctx.events_for_pattern`` works identically in-memory and across
+        JSON keyed-state round-trips."""
         within_ns = None if self._within is None else int(self._within * _NS)
         nxt: list[dict] = []
         completed: list[dict] = []
+        pruned: list[dict] = []
+        safe_ev = _json_safe(ev) if carry_evs else None
 
-        def on_match(from_idx: int, ids: list, tss: list, names: list) -> None:
+        def on_match(from_idx: int, prev: dict | None) -> None:
             node = nodes[from_idx]
+            base = prev or {"ids": [], "ts": [], "names": []}
+            ids = [*base["ids"], ev_id]
+            tss = [*base["ts"], ev_ns]
+            names = [*base["names"], node.name]
+            m: dict = {"ids": ids, "ts": tss, "names": names}
+            if carry_evs:
+                m["evs"] = [*base.get("evs", []), safe_ev]
             if node.loop:
-                nxt.append(
-                    {"idx": from_idx, "fresh": True, "ids": ids, "ts": tss, "names": names}
-                )
+                nxt.append({**m, "idx": from_idx, "fresh": True})
             for t in self._targets(nodes, from_idx + 1):
                 if t == len(nodes):
-                    completed.append({"ids": ids, "ts": tss, "names": names})
+                    completed.append(m)
                 else:
-                    nxt.append(
-                        {"idx": t, "fresh": True, "ids": ids, "ts": tss, "names": names}
-                    )
+                    nxt.append({**m, "idx": t, "fresh": True})
+
+        def holds(pred: Predicate, iterative: bool, p: dict | None) -> bool:
+            if not iterative:
+                return bool(pred(ev))
+            ctx = (
+                MatchContext(p["names"], p.get("evs", [])) if p else _EMPTY_CTX
+            )
+            return bool(pred(ev, ctx))
 
         for p in partials:
             if within_ns is not None and ev_ns - p["ts"][0] > within_ns:
-                continue  # pruned by within
+                pruned.append(p)  # timed out by within
+                continue
             node = nodes[p["idx"]]
             if (
                 node.not_next_pred is not None
                 and p["fresh"]
-                and node.not_next_pred(ev)
+                and holds(node.not_next_pred, node.not_next_iterative, p)
             ):
                 continue  # killed by notNext guard
-            if node.predicate(ev):
-                on_match(
-                    p["idx"],
-                    [*p["ids"], ev_id],
-                    [*p["ts"], ev_ns],
-                    [*p["names"], node.name],
-                )
+            if holds(node.predicate, node.iterative, p):
+                on_match(p["idx"], p)
             elif node.strict:
                 continue  # strict step broken by a non-matching event
-            elif node.not_followed_pred is not None and node.not_followed_pred(ev):
+            elif node.not_followed_pred is not None and holds(
+                node.not_followed_pred, node.not_followed_iterative, p
+            ):
                 continue  # killed by notFollowedBy guard
             else:
                 nxt.append({**p, "fresh": False})  # relaxed: keep waiting
         for t in self._targets(nodes, 0):
-            if t < len(nodes) and nodes[t].predicate(ev):
-                on_match(t, [ev_id], [ev_ns], [nodes[t].name])
-        return nxt, completed
+            if t < len(nodes) and holds(nodes[t].predicate, nodes[t].iterative, None):
+                on_match(t, None)
+        return nxt, completed, pruned
 
     def _scan(
-        self, events: list[tuple[dict, int, int]], partials: list[dict] | None = None
-    ) -> tuple[list[dict], list[dict]]:
+        self,
+        events: list[tuple[dict, int, int]],
+        partials: list[dict] | None = None,
+        flush_timeouts: bool = False,
+    ) -> tuple[list[dict], list[dict], list[dict]]:
         """Run the NFA over ts-ordered (event, id, ts_ns) tuples starting
-        from ``partials`` (empty for batch; keyed state when streaming)."""
+        from ``partials`` (empty for batch; keyed state when streaming).
+        Returns (surviving partials, matches, timed-out partials).
+
+        ``flush_timeouts`` emits every surviving partial of a ``within``
+        pattern as timed out at end-of-input — the reference's bounded-input
+        behavior, where the final MAX_WATERMARK prunes all pending matches
+        (flink-cep AbstractKeyedCEPPatternOperator). Batch only; streaming
+        keys detect timeouts when their next event arrives."""
         nodes = self._compile()
+        carry_evs = self._has_iterative(nodes)
         partials = list(partials or [])
         matches: list[dict] = []
+        timeouts: list[dict] = []
         for ev, ev_id, ev_ns in events:
-            partials, completed = self._advance(nodes, partials, ev, ev_id, ev_ns)
+            partials, completed, pruned = self._advance(
+                nodes, partials, ev, ev_id, ev_ns, carry_evs
+            )
             matches.extend(completed)
-        return partials, matches
+            timeouts.extend(pruned)
+        if flush_timeouts and self._within is not None:
+            timeouts.extend(partials)
+            partials = []
+        # a loop partial and its advanced copy share ids — emit one timeout
+        seen: set[tuple] = set()
+        unique: list[dict] = []
+        for t in timeouts:
+            sig = (tuple(t["ids"]), tuple(t["names"]))
+            if sig not in seen:
+                seen.add(sig)
+                unique.append(t)
+        return partials, matches, unique
 
     # -- DataFrame surfaces -------------------------------------------------
 
     _OUT_COLS = ("start_ts", "end_ts", "step_names", "event_ids")
 
-    def _out_schema(self, key_cols: list[str]) -> str:
-        key_fields = ", ".join(f"{k} long" for k in key_cols)
-        return (
-            f"{key_fields}, start_ts timestamp, end_ts timestamp, "
-            "step_names array<string>, event_ids array<long>"
+    def _out_schema(
+        self, df: DataFrame, key_cols: list[str], with_timeouts: bool
+    ) -> str:
+        schema = (
+            f"{key_fields_ddl(df, key_cols)}, start_ts timestamp, "
+            "end_ts timestamp, step_names array<string>, event_ids array<long>"
         )
+        if with_timeouts:
+            schema += ", timed_out boolean"
+        return schema
 
     @staticmethod
-    def _match_rows(matches: list[dict], key_vals: dict) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                {
+    def _match_rows(
+        matches: list[dict],
+        key_vals: dict,
+        timeouts: list[dict] | None = None,
+    ) -> pd.DataFrame:
+        def rows(ms: list[dict], flag: bool | None):
+            for m in ms:
+                r = {
                     **key_vals,
                     "start_ts": pd.Timestamp(m["ts"][0]),
                     "end_ts": pd.Timestamp(m["ts"][-1]),
                     "step_names": m["names"],
                     "event_ids": m["ids"],
                 }
-                for m in matches
-            ]
+                if flag is not None:
+                    r["timed_out"] = flag
+                yield r
+
+        if timeouts is None:
+            return pd.DataFrame(list(rows(matches, None)))
+        return pd.DataFrame(
+            [*rows(matches, False), *rows(timeouts, True)]
         )
 
     @staticmethod
@@ -388,12 +463,17 @@ class Pattern:
         ts_col: str = "ts",
         id_col: str = "event_id",
         num_partitions: int | None = None,
+        with_timeouts: bool = False,
     ) -> DataFrame:
         """Batch CEP: per-key NFA scan via applyInPandas over sorted groups.
 
         Output: key cols, start_ts/end_ts, and per-matched-event
         ``step_names``/``event_ids`` arrays (aligned; quantified steps
-        repeat their name per occurrence).
+        repeat their name per occurrence). With ``with_timeouts=True`` the
+        output gains a ``timed_out`` flag and also carries every
+        within-pruned partial match (including end-of-input flush — the
+        reference's bounded-input MAX_WATERMARK behavior); filter on the
+        flag to split the two streams from one DAG.
 
         ``num_partitions`` pins the key-hash partitioning feeding the NFA
         stage. The NFA is Python-bound, so per-task cost is CPU per row, not
@@ -402,17 +482,23 @@ class Pattern:
         whole Python stage. Pass the cluster's parallelism when the input is
         small relative to its NFA cost (defaults to leaving the plan alone).
         """
-        schema = self._out_schema(key_cols)
+        schema = self._out_schema(df, key_cols, with_timeouts)
         if num_partitions:
             df = df.repartition(num_partitions, *key_cols)
-        empty = pd.DataFrame(columns=[*key_cols, *self._OUT_COLS])
+        out_cols = [*self._OUT_COLS, "timed_out"] if with_timeouts else self._OUT_COLS
+        empty = pd.DataFrame(columns=[*key_cols, *out_cols])
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            _, matches = self._scan(self._to_events(pdf, ts_col, id_col))
-            if not matches:
+            _, matches, timeouts = self._scan(
+                self._to_events(pdf, ts_col, id_col),
+                flush_timeouts=with_timeouts,
+            )
+            if not matches and not (with_timeouts and timeouts):
                 return empty
             keys = {k: pdf.iloc[0][k] for k in key_cols}
-            return self._match_rows(matches, keys)
+            return self._match_rows(
+                matches, keys, timeouts if with_timeouts else None
+            )
 
         return df.groupBy(*key_cols).applyInPandas(run, schema)
 
@@ -422,6 +508,7 @@ class Pattern:
         key_cols: list[str],
         ts_col: str = "ts",
         id_col: str = "event_id",
+        with_timeouts: bool = False,
     ) -> DataFrame:
         """Streaming CEP (reference AbstractKeyedCEPPatternOperator): the
         incremental NFA runs per micro-batch with the partial-match set in
@@ -429,22 +516,31 @@ class Pattern:
 
         Records are consumed in (ts, id) order within each micro-batch and
         in arrival order across batches (apply a watermark + window upstream
-        if cross-batch event-time order matters).
+        if cross-batch event-time order matters). ``with_timeouts=True``
+        appends within-pruned partials as ``timed_out=true`` rows; a key's
+        timeouts surface when its next event arrives (micro-batch
+        granularity, documented divergence from watermark-driven pruning).
         """
-        schema = self._out_schema(key_cols)
+        schema = self._out_schema(df, key_cols, with_timeouts)
+        casters = key_casters(df, key_cols)
 
         def process(key, pdf_iter, state):
             partials = json.loads(state.get[0]) if state.exists else []
             matches: list[dict] = []
+            timeouts: list[dict] = []
             for pdf in pdf_iter:
-                partials, completed = self._scan(
+                partials, completed, pruned = self._scan(
                     self._to_events(pdf, ts_col, id_col), partials
                 )
                 matches.extend(completed)
+                timeouts.extend(pruned)
             state.update((json.dumps(partials),))
-            if matches:
+            if matches or (with_timeouts and timeouts):
+                key_vals = dict(
+                    zip(key_cols, (c(k) for c, k in zip(casters, key)))
+                )
                 yield self._match_rows(
-                    matches, dict(zip(key_cols, [int(k) for k in key]))
+                    matches, key_vals, timeouts if with_timeouts else None
                 )
 
         return df.groupBy(*key_cols).applyInPandasWithState(

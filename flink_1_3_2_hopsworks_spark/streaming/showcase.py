@@ -133,6 +133,40 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP with an ITERATIVE condition (reference flink-cep
+    IterativeCondition, 1.3): an ``error`` event followed by the first event
+    whose value exceeds THAT error's value, within 30 minutes, per user.
+    The second predicate takes ``(event, ctx)`` and reads the already-matched
+    error via ``ctx.events_for_pattern`` — inexpressible with simple
+    conditions; the DuckDB oracle states it as a first-match theta join."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
+
+    events = load_table(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("err", lambda e: e["event_type"] == "error")
+        .followed_by(
+            "spike",
+            lambda e, ctx: e["value"] > ctx.events_for_pattern("err")[0]["value"],
+        )
+        .within(30 * 60)
+    )
+    matches = pattern.match_batch(
+        events,
+        ["user_id"],
+        "ts",
+        "event_id",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return matches.select(
+        "user_id",
+        F.element_at("event_ids", 1).alias("error_id"),
+        F.element_at("event_ids", 2).alias("spike_id"),
+        F.date_format("start_ts", _TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", _TS_FMT).alias("end_ts"),
+    )
+
+
 def ev_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic streaming-dedup semantics in batch: the earliest event
     per (user, type) — what stream_dedup keeps with in-order delivery."""

@@ -97,6 +97,36 @@ ORACLE: dict[str, str] = {
             STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
         FROM ranked WHERE rn = 1
     """,
+    "cep_error_spike": """
+        WITH err AS (
+            SELECT user_id, event_id, ts, value
+            FROM events WHERE event_type = 'error'
+        ),
+        ranked AS (
+            SELECT
+                err.user_id,
+                err.event_id AS error_id,
+                e2.event_id AS spike_id,
+                err.ts AS start_ts,
+                e2.ts AS end_ts,
+                ROW_NUMBER() OVER (
+                    PARTITION BY err.user_id, err.event_id
+                    ORDER BY e2.ts ASC, e2.event_id ASC
+                ) AS rn
+            FROM err
+            JOIN events e2 ON e2.user_id = err.user_id
+                  AND e2.ts > err.ts
+                  AND e2.ts <= err.ts + INTERVAL 30 MINUTE
+                  AND e2.value > err.value
+        )
+        SELECT
+            user_id,
+            error_id,
+            spike_id,
+            STRFTIME(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+            STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
+        FROM ranked WHERE rn = 1
+    """,
     "ev_first_event_per_key": """
         SELECT
             user_id,

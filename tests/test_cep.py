@@ -252,3 +252,174 @@ def test_match_stream_carries_partials_across_batches(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
     assert [(r["user_id"], tuple(r["event_ids"])) for r in results] == [(1, (0, 2))]
+
+
+def test_iterative_condition_reads_prior_matches(spark):
+    """Reference IterativeCondition (1.3): a 2-arg predicate sees the events
+    already matched by this partial via ctx.events_for_pattern."""
+    data = [
+        (0, datetime.fromisoformat("2024-01-01 00:00:00"), 1, "start", 10.0),
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), 1, "x", 5.0),   # not higher
+        (2, datetime.fromisoformat("2024-01-01 00:02:00"), 1, "x", 12.0),  # first higher
+        (3, datetime.fromisoformat("2024-01-01 00:03:00"), 1, "x", 20.0),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    p = Pattern.begin("s", lambda e: e["event_type"] == "start").followed_by(
+        "hi", lambda e, ctx: e["value"] > ctx.events_for_pattern("s")[0]["value"]
+    )
+    out = p.match_batch(df, ["user_id"], "ts", "event_id").collect()
+    # skip-till-next-match: the partial takes the FIRST higher event only.
+    assert sorted(tuple(r["event_ids"]) for r in out) == [(0, 2)]
+
+
+def test_iterative_condition_one_or_more_increasing_run(spark):
+    """Strictly-increasing run via an iterative loop condition: each new
+    occurrence must exceed the last accepted one."""
+    data = [
+        (0, datetime.fromisoformat("2024-01-01 00:00:00"), 1, "a", 1.0),
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), 1, "a", 2.0),
+        (2, datetime.fromisoformat("2024-01-01 00:02:00"), 1, "a", 3.0),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def rising(e, ctx):
+        prior = ctx.events_for_pattern("run")
+        return not prior or e["value"] > prior[-1]["value"]
+
+    p = Pattern.begin("run", rising).one_or_more().next("end", lambda e: False)
+    # No completion possible (end never matches) — use the NFA directly to
+    # check partial growth semantics instead.
+    nodes = p._compile()
+    assert p._has_iterative(nodes)
+    events = [
+        ({"value": v}, i, i * 10**9) for i, v in enumerate([1.0, 2.0, 1.5, 3.0])
+    ]
+    partials, matches, _ = p._scan(events)
+    runs = sorted(tuple(x["ids"]) for x in partials if x["idx"] == 0)
+    # relaxed loop contiguity: the (0,1) run skips the non-rising 1.5 and
+    # extends through 3.0; 1.5 also seeds its own run.
+    assert (0, 1, 3) in runs and (2, 3) in runs
+    assert all(
+        all(events[b][0]["value"] > events[a][0]["value"] for a, b in zip(r, r[1:]))
+        for r in runs
+    )
+
+
+def test_with_timeouts_batch_emits_pruned_and_flushed(spark):
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),   # times out: next event is past within
+        ("2024-01-01 01:00:00", "a"),   # completes with event 3
+        ("2024-01-01 01:05:00", "b"),
+        ("2024-01-01 02:00:00", "a"),   # end-of-input flush → timed out
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+        .within(600)
+    )
+    out = p.match_batch(df, ["user_id"], "ts", "event_id", with_timeouts=True)
+    rows = {tuple(r["event_ids"]): r["timed_out"] for r in out.collect()}
+    assert rows == {(0,): True, (1, 2): False, (3,): True}
+    # without the flag the schema stays timeout-free and only matches emit
+    plain = p.match_batch(df, ["user_id"], "ts", "event_id")
+    assert "timed_out" not in plain.columns
+    assert [tuple(r["event_ids"]) for r in plain.collect()] == [(1, 2)]
+
+
+def test_string_keys_match_batch(spark):
+    data = [
+        (0, datetime.fromisoformat("2024-01-01 00:00:00"), "u1", "a", 0.0),
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), "u2", "a", 0.0),
+        (2, datetime.fromisoformat("2024-01-01 00:02:00"), "u1", "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user string, event_type string, value double"
+    )
+    p = Pattern.begin("s1", lambda e: e["event_type"] == "a").followed_by(
+        "s2", lambda e: e["event_type"] == "b"
+    )
+    out = p.match_batch(df, ["user"], "ts", "event_id").collect()
+    assert [(r["user"], tuple(r["event_ids"])) for r in out] == [("u1", (0, 2))]
+
+
+def test_string_keys_match_stream(spark, tmp_path):
+    import shutil
+    import tempfile
+
+    staging = str(tmp_path / "cep_str_stream")
+    schema = "event_id long, ts timestamp, user string, event_type string, value double"
+    rows = [
+        (0, datetime.fromisoformat("2024-01-01 00:00:00"), "u1", "a", 0.0),
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), "u1", "b", 0.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(schema).parquet(staging)
+    p = Pattern.begin("s1", lambda e: e["event_type"] == "a").followed_by(
+        "s2", lambda e: e["event_type"] == "b"
+    )
+    out = p.match_stream(stream, ["user"], "ts", "event_id")
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cep_str_")
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert [(r["user"], tuple(r["event_ids"])) for r in results] == [("u1", (0, 1))]
+
+
+def test_with_timeouts_stream_prunes_on_next_event(spark, tmp_path):
+    import shutil
+    import tempfile
+
+    staging = str(tmp_path / "cep_to_stream")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # batch 1: 'a' opens a partial; batch 2: an event 1h later prunes it.
+    rows1 = [(0, datetime.fromisoformat("2024-01-01 00:00:00"), 1, "a", 0.0)]
+    rows2 = [(1, datetime.fromisoformat("2024-01-01 01:00:00"), 1, "x", 0.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(staging)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staging)
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+        .within(600)
+    )
+    out = p.match_stream(stream, ["user_id"], "ts", "event_id", with_timeouts=True)
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cep_to_")
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert [(tuple(r["event_ids"]), r["timed_out"]) for r in results] == [((0,), True)]
+
+
+def test_iterative_state_survives_json_roundtrip(spark):
+    """Partial-match state with carried event values must behave identically
+    after a JSON round-trip (what applyInPandasWithState does per batch)."""
+    import json as _json
+
+    p = Pattern.begin("s", lambda e: e["event_type"] == "start").followed_by(
+        "hi", lambda e, ctx: e["value"] > ctx.events_for_pattern("s")[0]["value"]
+    )
+    ev = lambda i, t, v: ({"event_type": t, "value": v}, i, i * 10**9)
+    partials, m1, _ = p._scan([ev(0, "start", 10.0)])
+    partials = _json.loads(_json.dumps(partials))
+    _, m2, _ = p._scan([ev(1, "x", 12.0)], partials)
+    assert not m1 and [tuple(m["ids"]) for m in m2] == [(0, 1)]

@@ -83,7 +83,7 @@ def _canon(matches):
 @given(events=events_strategy(), data=st.data())
 def test_chunked_scan_equals_oneshot(events, data):
     pattern = data.draw(chain_patterns(with_quantifiers=True))
-    _, oneshot = pattern._scan(events)
+    _, oneshot, _ = pattern._scan(events)
 
     # split into random contiguous chunks, carrying state across boundaries
     cuts = sorted(
@@ -96,7 +96,7 @@ def test_chunked_scan_equals_oneshot(events, data):
     bounds = [0, *cuts, len(events)]
     partials, collected = None, []
     for lo, hi in zip(bounds, bounds[1:]):
-        partials, matches = pattern._scan(events[lo:hi], partials)
+        partials, matches, _ = pattern._scan(events[lo:hi], partials)
         collected.extend(matches)
     assert _canon(collected) == _canon(oneshot)
 
@@ -105,7 +105,7 @@ def test_chunked_scan_equals_oneshot(events, data):
 @given(events=events_strategy(), data=st.data())
 def test_matches_are_well_formed(events, data):
     pattern = data.draw(chain_patterns(with_quantifiers=True))
-    _, matches = pattern._scan(events)
+    _, matches, _ = pattern._scan(events)
     by_id = {i: ev for ev, i, _ in events}
     pred_of = {s.name: s.predicate for s in pattern._steps}
     within_ns = None if pattern._within is None else int(pattern._within * 1e9)
@@ -161,5 +161,5 @@ def test_plain_chains_match_greedy_oracle(events, data):
         pred = PREDICATES[data.draw(st.sampled_from(PRED_NAMES))]
         steps.append((kind, pred, f"s{i}"))
         p = getattr(p, kind)(f"s{i}", pred)
-    _, matches = p._scan(events)
+    _, matches, _ = p._scan(events)
     assert sorted(tuple(m["ids"]) for m in matches) == _greedy_oracle(events, steps)
