@@ -126,6 +126,15 @@ def count_window_agg_stream(
     )
     casters = key_casters(df, keys)
 
+    def _ordered(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Micro-batch rows arrive partition-interleaved; consume them in
+        # (ts, event_id) order like the OVER siblings (over_rows sorts by
+        # order_col) — otherwise window contents depend on shuffle order.
+        # Inputs lacking both columns keep arrival order (pure
+        # processing-time streams, the reference GlobalWindows default).
+        cols = [c for c in (ts_col, "event_id") if c in pdf.columns]
+        return pdf.sort_values(cols, kind="stable") if cols else pdf
+
     if slide is None:
         # Tumbling: scalar running state, no buffer needed.
         state_schema = "total double, n long, window_id long"
@@ -138,7 +147,7 @@ def count_window_agg_stream(
             kv = key_py_values(casters, key)
             out = []
             for pdf in pdf_iter:
-                for v in pdf[value_col]:
+                for v in _ordered(pdf)[value_col]:
                     total += float(v)
                     n += 1
                     if n == size:
@@ -163,7 +172,7 @@ def count_window_agg_stream(
             kv = key_py_values(casters, key)
             out = []
             for pdf in pdf_iter:
-                for v in pdf[value_col]:
+                for v in _ordered(pdf)[value_col]:
                     buf.append(float(v))
                     if len(buf) > size:
                         buf.pop(0)
