@@ -272,3 +272,65 @@ def test_datastream_routing_facade(spark):
     other = DataStream(spark.createDataFrame([(1, "x")], "k INT, tag STRING"))
     tagged = s.connect(other, ["k"])
     assert tagged.df.count() == 3 and "_source" in tagged.df.columns
+
+
+def test_keyed_stream_process_facade(spark, tmp_path):
+    """KeyedStream.process facade (round-2 fix, previously untested): the
+    ProcessFunction spelling must wire state + timers end-to-end."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from flink_1_3_2_hopsworks_spark.api import DataStream
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    staging = str(tmp_path / "ks_process")
+    batches = [
+        [(0, t0, 1, 1.0), (1, t0 + timedelta(seconds=5), 1, 2.0)],
+        [(2, t0 + timedelta(seconds=100), 2, 0.0)],  # advances watermark
+        [(3, t0 + timedelta(seconds=300), 2, 0.0)],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(staging)
+        _time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staging)
+    )
+
+    def on_event(state, ev, ctx):
+        old = state.get("timer")
+        if old is not None:
+            ctx.delete_event_time_timer(old)
+        state["n"] = state.get("n", 0) + 1
+        state["timer"] = ev["_ts_ms"] + 30_000
+        ctx.register_event_time_timer(state["timer"])
+        return []
+
+    def on_timer(state, t_ms, ctx):
+        return [{"n": state.get("n", 0), "fired_at": t_ms}]
+
+    out = (
+        DataStream(stream)
+        .key_by("user_id")
+        .process(on_event, on_timer, "n long, fired_at long", ["value"])
+    )
+
+    results: list = []
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ksp_")
+    q = (
+        out.df.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    t0_ms = 1704067200000
+    assert (1, 2, t0_ms + 35_000) in [
+        (r["user_id"], r["n"], r["fired_at"]) for r in results
+    ]

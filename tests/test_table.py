@@ -184,3 +184,15 @@ def test_streaming_group_window_and_retract_mode(spark, tmp_path_factory):
     q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     assert total == events.count()  # update mode re-emits; max(n) per key = final
+
+
+def test_minus_removes_duplicate_left_rows(env, spark):
+    """Flink Table.minus is set EXCEPT: [x, x] − [x] → [] (round-2 advice —
+    exceptAll().distinct() would wrongly keep one x)."""
+    from flink_1_3_2_hopsworks_spark.table import Table
+
+    left = Table(spark.createDataFrame([(1,), (1,), (2,)], "x long"))
+    right = Table(spark.createDataFrame([(1,)], "x long"))
+    assert [r["x"] for r in left.minus(right).df.collect()] == [2]
+    # minus_all keeps multiplicity arithmetic: [1,1,2] −all [1] → [1,2]
+    assert sorted(r["x"] for r in left.minus_all(right).df.collect()) == [1, 2]

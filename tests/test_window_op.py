@@ -259,3 +259,23 @@ def test_windowed_stream_join_native(spark, tmp_path):
     # Only the [0,60) window has both sides (l ts=10, r ts=20); the l ts=70
     # and r ts=130 rows land in different windows → no pair.
     assert got == {(1, 1.0, 10.0)}
+
+
+def test_windowed_process_string_keys(spark, tmp_path):
+    """Non-integer keys through keys.py (round-1 advice): the output schema
+    and key values must be typed from the input, not hardcoded long."""
+    schema = "event_id long, ts timestamp, user string, value double"
+    staging = str(tmp_path / "wp_str")
+    rows = [
+        (0, _T0 + timedelta(seconds=10), "alice", 10.0),
+        (1, _T0 + timedelta(seconds=20), "alice", 20.0),
+        (2, _T0 + timedelta(seconds=200), "bob", 1.0),  # sentinel advances wm
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(schema).parquet(staging)
+    out = windowed_process_stream(
+        stream, ["user"], "ts", 60.0, _make_sum_pane(), "n long, total double", ["value"]
+    )
+    results = _run_stream(spark, out, "ckpt_wp_str_")
+    fired = {(r["user"], r["n"], r["total"]) for r in results if not r["late"]}
+    assert ("alice", 2, 30.0) in fired
