@@ -11,7 +11,10 @@ from flink_1_3_2_hopsworks_spark.dedup.embedding import embedding_near_dups
 from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
 from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
 from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
-from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.simhash import (
+    portable_hash60,
+    simhash_near_dups,
+)
 from flink_1_3_2_hopsworks_spark.functions import text as T
 
 
@@ -40,10 +43,17 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit bit-majority fingerprint, 16-bit-chunk
-    blocking, Hamming verify). Rows-only check."""
+    """SimHash near-dup pairs (bit-majority fingerprint, 16-bit-chunk
+    blocking, Hamming XOR-popcount verify, hamming-0 star recovery).
+
+    Hashes tokens with the md5-prefix portable hash so the DuckDB oracle
+    replays the ENTIRE pipeline — fingerprints, chunk blocking, bucket cap,
+    Hamming verify, exact-duplicate star — in SQL (full hash-match, not
+    rows-only). Production callers use the default xxhash64."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "doc_id", "text", max_distance=8)
+    return simhash_near_dups(
+        docs, "doc_id", "text", max_distance=8, hash_expr=portable_hash60
+    )
 
 
 def dd_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,12 +1,86 @@
 """DuckDB oracle SQL for dedup + text-analysis showcase queries.
 
-MinHash / SimHash / embedding-LSH queries are deliberately omitted
-(xxhash64 / custom fingerprints are not SQL-expressible) — they get the
-driver's rows-only check; their accuracy is pytest-verified against the
-exact baselines.
+MinHash / embedding-LSH queries are deliberately omitted (xxhash64 /
+custom fingerprints are not SQL-expressible) — they get the driver's
+rows-only check; their accuracy is pytest-verified against the exact
+baselines. SimHash IS fully oracled: the registry gate hashes tokens with
+the md5-prefix portable hash, which DuckDB reproduces exactly, so the
+whole pipeline (bit-majority fingerprints → chunk blocking → bucket cap →
+XOR-popcount Hamming verify → hamming-0 star recovery) replays in SQL.
 """
 
+
+def _simhash_oracle(bits: int = 60, max_distance: int = 8, max_bucket: int = 1000) -> str:
+    """Replays dedup/simhash.py with portable_hash60 in DuckDB SQL; the
+    per-bit majority sums are generated (60 small SUMs, mirroring the Spark
+    side's packed accumulators)."""
+    bit_sums = ",\n                ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(bits)
+    )
+    fp_terms = "\n                + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS h
+            FROM toks WHERE tok <> ''
+        ),
+        sums AS (
+            SELECT doc_id, COUNT(*) AS n,
+                {bit_sums}
+            FROM hashed GROUP BY doc_id
+        ),
+        fps0 AS (
+            SELECT doc_id,
+                {fp_terms}
+                AS simhash
+            FROM sums
+        ),
+        fps AS (
+            SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fps0 f USING (doc_id)
+        ),
+        chunked AS (
+            SELECT doc_id, simhash, ci,
+                (simhash >> (ci * 16)) & 65535 AS cv
+            FROM fps CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY ci, cv) AS bsize
+                FROM chunked
+            ) WHERE bsize <= {max_bucket}
+        ),
+        blocked AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM capped a
+            JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
+                         AND a.doc_id < b.doc_id
+        ),
+        exact AS (
+            SELECT min_id AS id_a, doc_id AS id_b, 0::BIGINT AS hamming
+            FROM (
+                SELECT doc_id,
+                    MIN(doc_id) OVER (PARTITION BY simhash) AS min_id
+                FROM fps
+            ) WHERE doc_id <> min_id
+        )
+        SELECT * FROM blocked WHERE hamming <= {max_distance}
+        UNION
+        SELECT * FROM exact
+    """
+
+
 ORACLE: dict[str, str] = {
+    "dd_simhash_pairs": _simhash_oracle(),
     "dd_exact_dedup": """
         SELECT
             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,

@@ -26,25 +26,42 @@ pair go unseen — the standard LSH-cap recall trade.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit token hash from an md5 prefix — bit-for-bit reproducible in
+    DuckDB as ``('0x' || substr(md5(tok), 1, 15))::BIGINT``, unlike
+    xxhash64. The registry gate hashes with this so its oracle can replay
+    the ENTIRE simhash pipeline in SQL; production callers keep the faster
+    default. 60 bits (15 hex chars) so the value fits a signed long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    hash_expr: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """(id, simhash) per row — whitespace tokens, 64-bit Charikar majority.
 
     One explode + one hash-aggregate; everything whole-stage-codegen'd.
     Empty/whitespace-only texts get fingerprint 0 (restored by the left
-    join — explode of an empty token array drops the row).
+    join — explode of an empty token array drops the row). ``hash_expr``
+    swaps the token-hash function (default xxhash64; see portable_hash60).
     """
+    hash_expr = hash_expr or F.xxhash64
     ids = df.select(F.col(id_col).alias("_id"))
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     ).filter(F.col("_tok") != "")
-    hashed = toks.select("_id", F.xxhash64("_tok").alias("_h"))
+    hashed = toks.select("_id", hash_expr(F.col("_tok")).alias("_h"))
     # Per-bit set-counts, packed 4 counters × 16 bits into each of 16 long
     # accumulators: one aggregate pass with 17 small SUM expressions (vs 64
     # one-per-bit sums, whose generated code takes longer to Janino-compile
@@ -104,6 +121,7 @@ def simhash_near_dups(
     text_col: str,
     max_distance: int = 3,
     max_bucket: int = 1000,
+    hash_expr: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with simhash Hamming distance <= max_distance.
 
@@ -112,8 +130,14 @@ def simhash_near_dups(
     ``max_bucket`` caps any one (chunk-index, chunk-value) bucket — a
     window count + filter before the self-join, bounding the worst task
     at max_bucket² pairs regardless of corpus skew.
+
+    Hamming-0 pairs ALWAYS survive the cap: identical-fingerprint groups
+    additionally emit a linear doc→canonical (min-id) star, so even when
+    every chunk bucket of a degenerate group (e.g. >max_bucket empty docs,
+    all fingerprint 0) is dropped, its exact duplicates still pair — N−1
+    rows per group, never N².
     """
-    fps = simhash_fingerprints(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    fps = simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr).withColumnRenamed(id_col, "_id")
     chunked = fps.select(
         "_id",
         "simhash",
@@ -131,12 +155,24 @@ def simhash_near_dups(
 
     left = capped.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"))
     right = capped.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"))
-    return (
+    blocked = (
         left.join(right, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "fp_a", "fp_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("long"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+    # Exact-duplicate recovery (see docstring): canonical star per
+    # identical-fingerprint group, linear in group size.
+    exact = (
+        fps.withColumn("_cid", F.min("_id").over(Window.partitionBy("simhash")))
+        .filter(F.col("_id") != F.col("_cid"))
+        .select(
+            F.col("_cid").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return blocked.unionByName(exact).dropDuplicates(["id_a", "id_b"])

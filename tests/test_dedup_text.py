@@ -206,3 +206,42 @@ def test_multimodal_frame_cap_bounds_fanout(spark):
     ).withColumn("duration_ms", FF.lit(36_000_000).cast("long"))  # 10 hours
     n = sample_frames(pathological, every_ms=1000, max_frames=32, fake=True).count()
     assert n == 2 * 32  # capped, not 2 × 36000
+
+
+def test_simhash_cap_preserves_exact_duplicates(spark):
+    """Round-2 advice: when a degenerate identical-fingerprint group (here,
+    empty docs → fingerprint 0) overflows every chunk bucket, its hamming-0
+    pairs must still surface via the canonical star — not vanish."""
+    empties = [(i, "") for i in range(10)]
+    df = spark.createDataFrame(empties, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            df, "doc_id", "text", max_distance=3, max_bucket=5
+        ).collect()
+    }
+    # star: doc 0 (min id) pairs with each of the other 9, all hamming 0
+    assert pairs == {(0, i): 0 for i in range(1, 10)}
+
+
+def test_simhash_cap_bounds_bucket_join(spark):
+    """The max_bucket cap drops oversized chunk buckets BEFORE the
+    self-join (bounding the worst task at max_bucket² pairs), while a
+    small bucket's genuine near-dup pair (hamming > 0) still surfaces and
+    an over-cap identical group degrades to its linear star."""
+    base = " ".join(f"w{i}" for i in range(64))
+    near = " ".join(f"w{i}" for i in range(63)) + " zz"  # 1 of 64 tokens differs
+    hot = "the same exact document body repeated verbatim many times over"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), *[(100 + i, hot) for i in range(20)]],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dups(df, "doc_id", "text", max_distance=16, max_bucket=8)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    # near-dup found through an uncapped chunk bucket, with real distance
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 16
+    # the 20-doc identical group overflows every chunk bucket (cap 8): the
+    # blocked join contributes nothing, so exactly the 19 star pairs
+    # remain instead of C(20,2)=190 all-pairs
+    hot_pairs = {k: v for k, v in pairs.items() if k[0] >= 100}
+    assert hot_pairs == {(100, 100 + i): 0 for i in range(1, 20)}
