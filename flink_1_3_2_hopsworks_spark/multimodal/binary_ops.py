@@ -6,11 +6,13 @@ run as Arrow-batched functions over ``mapInPandas`` so each executor
 processes media in columnar batches without ever materializing rows on the
 driver.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is stubbed: ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-(md5-seeded) stands in. The Spark-side plumbing — schema, batch iteration,
-partitioning — is real and tested.
+Uncompressed 24-bit BMP and PCM-16 WAV decode for REAL in-container
+(pure numpy/stdlib — multimodal/codecs.py), giving genuine end-to-end
+pixel/sample pipelines for those formats. Other codecs (PIL/librosa/
+ffmpeg) are NOT in this container: for them ``decode_image``/
+``decode_audio`` raise NotImplementedError unless ``fake=True``, in which
+case a deterministic fake (md5-seeded) stands in. The Spark-side plumbing
+— schema, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -67,20 +69,35 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload. Uncompressed 24-bit BMP decodes for REAL
+    in-container (pure numpy, multimodal/codecs.py) to an (H, W, 3) uint8
+    array; other formats need PIL/opencv (absent here) — pass fake=True
+    for the deterministic feature stand-in."""
+    from flink_1_3_2_hopsworks_spark.multimodal import codecs
+
+    if codecs.is_bmp(payload):
+        return codecs.decode_bmp(payload)
     if fake:
         return _fake_features(payload)
     raise NotImplementedError(
-        "image codecs (PIL/opencv) are not available in this container; "
-        "pass fake=True for the deterministic stand-in"
+        "non-BMP image codecs (PIL/opencv) are not available in this "
+        "container; pass fake=True for the deterministic stand-in"
     )
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload. PCM-16 WAV decodes for REAL in-container
+    (stdlib wave + numpy) to float32 mono samples in [-1, 1]; other formats
+    need librosa/ffmpeg (absent here) — pass fake=True for the stand-in."""
+    from flink_1_3_2_hopsworks_spark.multimodal import codecs
+
+    if codecs.is_wav(payload):
+        return codecs.decode_wav(payload)[0]
     if fake:
         return _fake_features(payload)
     raise NotImplementedError(
-        "audio codecs (librosa/ffmpeg) are not available in this container; "
-        "pass fake=True for the deterministic stand-in"
+        "non-WAV audio codecs (librosa/ffmpeg) are not available in this "
+        "container; pass fake=True for the deterministic stand-in"
     )
 
 
@@ -95,11 +112,24 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # RichFunction.open() analogue: per-task setup happens here, once.
+        from flink_1_3_2_hopsworks_spark.multimodal import codecs
+
+        def feat(p: bytes) -> np.ndarray:
+            # Real in-container decodes take precedence over the stand-in:
+            # BMP → grayscale-thumbnail features, WAV → segment-RMS features.
+            if codecs.is_bmp(p):
+                return codecs.image_features(codecs.decode_bmp(p), FEATURE_DIM)
+            if codecs.is_wav(p):
+                return codecs.audio_features(codecs.decode_wav(p)[0], FEATURE_DIM)
+            if fake:
+                return _fake_features(p)
+            raise NotImplementedError(
+                "payload is neither BMP nor WAV and fake=False — external "
+                "codecs are unavailable in this container"
+            )
+
         for pdf in batches:
-            feats = [
-                _fake_features(p) if fake else decode_image(p)
-                for p in pdf["payload"]
-            ]
+            feats = [feat(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -154,23 +184,33 @@ def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize every image payload to (width, height) — mapInPandas, narrow.
 
-    Real implementation decodes with PIL/opencv and re-encodes; this
-    container has no codecs, so ``fake=True`` substitutes a deterministic
-    payload transform with realistic output sizing. The Spark plumbing
-    (schema, metadata rewrite, Arrow batching) is identical either way."""
+    BMP payloads resize for REAL in-container (numpy nearest-neighbor
+    decode → resample → re-encode, multimodal/codecs.py); other formats
+    need PIL/opencv, so ``fake=True`` substitutes a deterministic payload
+    transform with realistic output sizing. The Spark plumbing (schema,
+    metadata rewrite, Arrow batching) is identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs are not available in this container; "
-                    "pass fake=True for the deterministic stand-in"
+        from flink_1_3_2_hopsworks_spark.multimodal import codecs
+
+        def one(p: bytes) -> bytes:
+            if codecs.is_bmp(p):
+                return codecs.encode_bmp(
+                    codecs.resize_nearest(codecs.decode_bmp(p), width, height)
                 )
+            if fake:
+                return _fake_resize(p, width, height)
+            raise NotImplementedError(
+                "non-BMP image codecs are not available in this container; "
+                "pass fake=True for the deterministic stand-in"
+            )
+
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload": [_fake_resize(p, width, height) for p in pdf["payload"]],
+                    "payload": [one(p) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

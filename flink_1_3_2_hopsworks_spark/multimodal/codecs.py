@@ -1,0 +1,135 @@
+"""Pure-numpy/stdlib media codecs: uncompressed 24-bit BMP and PCM-16 WAV.
+
+These give the multimodal pipeline (binary_ops.py) a REAL in-container
+decode path — no PIL/opencv/librosa/ffmpeg needed — so feature extraction
+and resize run end-to-end on genuine pixel/sample data for these formats;
+other formats still require external codecs and keep the documented
+NotImplementedError gate.
+
+Format notes: BMP is parsed per the Windows BITMAPINFOHEADER layout
+(BI_RGB only, bottom-up rows, 4-byte row padding, BGR channel order); WAV
+goes through the stdlib ``wave`` reader (PCM16), normalized to float32
+mono in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def is_bmp(payload: bytes | None) -> bool:
+    """Sniff a decodable BMP: signature alone is too weak (any text
+    starting with 'BM' would match), so also validate the header fields the
+    decoder relies on."""
+    if not payload or len(payload) < 54 or payload[:2] != b"BM":
+        return False
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    return 54 <= data_offset <= len(payload) and bpp == 24 and compression == 0
+
+
+def is_wav(payload: bytes | None) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 RGB from an uncompressed 24-bit BMP."""
+    if not is_bmp(payload):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    bgr = rows.reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP bytes from (height, width, 3) uint8 RGB."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[..., ::-1].reshape(h, w * 3)  # RGB → BGR
+    body = rows[::-1].tobytes()  # bottom-up
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """(float32 mono samples in [-1, 1], sample_rate) from a PCM-16 WAV."""
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM-16 WAV supported")
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM-16 mono WAV bytes from float samples in [-1, 1]."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of (H, W, C) to (height, width, C)."""
+    h0, w0 = pixels.shape[:2]
+    ys = np.arange(height) * h0 // height
+    xs = np.arange(width) * w0 // width
+    return pixels[ys][:, xs]
+
+
+def image_features(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
+    """dim-dim feature vector: a √dim × √dim grayscale thumbnail in [0,1]."""
+    g = int(round(dim ** 0.5))
+    gray = pixels.astype(np.float32).mean(axis=2)
+    thumb = resize_nearest(gray[..., None], g, g)[..., 0]
+    return (thumb.flatten() / 255.0).astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """dim-dim feature vector: per-segment RMS energy over dim segments."""
+    if samples.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    return np.array(
+        [float(np.sqrt(np.mean(s**2))) if s.size else 0.0
+         for s in np.array_split(samples, dim)],
+        dtype=np.float32,
+    )

@@ -77,6 +77,17 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (reference AvroOutputFormat). Same jar gate as read_avro."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "avro format unavailable — add org.apache.spark:spark-avro to "
+            "spark.jars.packages"
+        ) from exc
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

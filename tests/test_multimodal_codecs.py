@@ -1,0 +1,117 @@
+"""Real (non-fake) multimodal decode paths: pure-numpy BMP + stdlib WAV
+codecs and their wiring through the Spark-side pipeline ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_1_3_2_hopsworks_spark.multimodal import codecs
+from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+    decode_audio,
+    decode_image,
+    extract_features,
+    resize_images,
+)
+
+
+def _pixels(h=5, w=7, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_odd_width():
+    px = _pixels(5, 7)  # width 7 → 21-byte rows padded to 24
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+def test_wav_roundtrip():
+    t = np.linspace(0, 1, 8000, dtype=np.float32)
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got, rate = codecs.decode_wav(codecs.encode_wav(sine, 8000))
+    assert rate == 8000 and got.shape == sine.shape
+    assert np.abs(got - sine).max() < 1e-3  # 16-bit quantization bound
+
+
+def test_decode_image_real_bmp_no_fake_flag():
+    px = _pixels(4, 4)
+    assert np.array_equal(decode_image(codecs.encode_bmp(px)), px)
+
+
+def test_decode_audio_real_wav_no_fake_flag():
+    samples = np.zeros(100, dtype=np.float32)
+    assert decode_audio(codecs.encode_wav(samples, 16000)).shape == (100,)
+
+
+def test_decode_unknown_format_still_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG not supported")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3 mp3 not supported")
+
+
+def test_extract_features_real_bmp_and_wav(spark):
+    """fake=False end-to-end: features come from genuine decoded pixels and
+    samples, matching the local codec helpers exactly."""
+    px = _pixels(8, 8, seed=1)
+    t = np.linspace(0, 1, 4000, dtype=np.float32)
+    sine = 0.25 * np.sin(2 * np.pi * 220 * t)
+    rows = [
+        (1, "image", bytearray(codecs.encode_bmp(px)), 8, 8, None, None),
+        (2, "audio", bytearray(codecs.encode_wav(sine, 4000)), None, None, 4000, 1000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, width long, "
+        "height long, sample_rate long, duration_ms long",
+    )
+    got = {r["media_id"]: r["features"] for r in extract_features(media, fake=False).collect()}
+    want_img = codecs.image_features(px)
+    want_aud = codecs.audio_features(
+        codecs.decode_wav(codecs.encode_wav(sine, 4000))[0]
+    )
+    assert np.allclose(got[1], want_img, atol=1e-6)
+    assert np.allclose(got[2], want_aud, atol=1e-6)
+
+
+def test_resize_images_real_bmp(spark):
+    px = _pixels(16, 16, seed=2)
+    rows = [(1, "image", bytearray(codecs.encode_bmp(px)), 16, 16, None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, width long, "
+        "height long, sample_rate long, duration_ms long",
+    )
+    out = resize_images(media, 4, 6, fake=False).collect()
+    resized = codecs.decode_bmp(bytes(out[0]["payload"]))
+    assert resized.shape == (6, 4, 3)
+    assert np.array_equal(resized, codecs.resize_nearest(px, 4, 6))
+
+
+def _avro_available(spark) -> bool:
+    import tempfile
+
+    try:
+        spark.range(1).write.format("avro").mode("overwrite").save(
+            tempfile.mkdtemp() + "/probe"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_roundtrip_or_gate(spark, tmp_path):
+    """Avro fixture test 'one way or the other': full roundtrip when the
+    spark-avro jar is present, clear RuntimeError gate when absent."""
+    from flink_1_3_2_hopsworks_spark.sources import io as src_io
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "avro_rt")
+    if _avro_available(spark):
+        src_io.write_avro(df, path)
+        back = src_io.read_avro(spark, path)
+        assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    else:
+        with pytest.raises(RuntimeError, match="avro format unavailable"):
+            src_io.write_avro(df, path)
+        with pytest.raises(RuntimeError, match="avro format unavailable"):
+            src_io.read_avro(spark, path).collect()
