@@ -81,14 +81,18 @@ def stream_replay(spark, sf_dir: str) -> tuple[int, float, float]:
     # partitions to STATE, not to input bytes).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # events.ts has shipped as both long-nanos and timestamp[us] parquet —
-    # mirror catalog.load_table's detection for the streaming schema.
+    # events.ts has shipped as long-nanos, timestamp_ntz, and (adjusted-to-
+    # UTC) timestamp parquet — derive the streaming DDL from the DETECTED
+    # batch type three-ways rather than assuming not-long means NTZ (a
+    # TIMESTAMP(MICROS, adjustedToUTC) file declared as timestamp_ntz would
+    # mismatch the logical type).
     from pyspark.sql.types import LongType
 
     batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     ts_is_long = isinstance(batch_ts, LongType)
+    ts_ddl = "long" if ts_is_long else batch_ts.simpleString()
     schema = (
-        f"event_id long, ts {'long' if ts_is_long else 'timestamp_ntz'}, "
+        f"event_id long, ts {ts_ddl}, "
         "user_id long, event_type string, value double, props string"
     )
     ckpt = tempfile.mkdtemp(prefix="bench_stream_")
@@ -143,19 +147,28 @@ def main() -> None:
     # Timed via the noop sink: full distributed execution of the plan without
     # driver-side row materialization (collect() of a 150k-row result costs
     # multiples of the query itself and measures Python, not the engine).
+    # Two back-to-back passes, per-query MIN recorded: a single pass
+    # conflates machine noise with plan cost (round-2's artifact showed a
+    # phantom 1.68× "regression" that was concurrent load).
+    loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     # Streaming replay (BASELINE.md events/s target): timed by its own
     # trigger-execution clock; the wall entry joins the suite total. One
     # untimed tiny replay first — state-store/provider init is session
-    # one-off, like the batch codegen warmup above.
+    # one-off, like the batch codegen warmup above. Two timed replays,
+    # min-by-wall, same hygiene as the batch loop.
     stream_replay(spark, "/root/testdata/sf0.001")
-    rows, proc_s, wall_s = stream_replay(spark, sf_dir)
+    rows, proc_s, wall_s = min(
+        (stream_replay(spark, sf_dir) for _ in range(2)), key=lambda r: r[2]
+    )
     timings["stream_events_replay"] = round(wall_s, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -168,6 +181,16 @@ def main() -> None:
                 "queries": timings,
                 "stream_replay_events_per_sec": round(rows / proc_s) if proc_s else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "notes": {
+                    "timing": "min of 2 back-to-back passes per query",
+                    "loadavg_at_start": [round(x, 2) for x in loadavg_start],
+                    "dd_simhash_pairs": (
+                        "r3 semantics change: portable md5-prefix token hash "
+                        "(full DuckDB oracle) + hamming-0 star recovery past "
+                        "the bucket cap — timings/row-counts not directly "
+                        "comparable to r1/r2"
+                    ),
+                },
             }
         )
     )

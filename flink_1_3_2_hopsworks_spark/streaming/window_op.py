@@ -47,8 +47,22 @@ from flink_1_3_2_hopsworks_spark.streaming.keys import (
 )
 
 # An evictor takes (records, window_end_ms) and returns the records to KEEP,
-# in ts order (reference Evictor#evictBefore).
+# in ts order. The same callable type serves both hooks of the reference's
+# 1.3 Evictor interface: ``evictor`` = evictBefore (prunes the pane copy
+# handed to the window function), ``evictor_after`` = evictAfter (prunes the
+# RETAINED pane state after each fire — e.g. a keep-none evictor after a
+# count trigger gives FIRE_AND_PURGE semantics).
 Evictor = Callable[[list[dict], int], list[dict]]
+
+
+def purge_evictor() -> Evictor:
+    """Keep nothing — as ``evictor_after`` this purges pane state on every
+    fire (reference PurgingTrigger composition)."""
+
+    def evict(records: list[dict], window_end_ms: int) -> list[dict]:
+        return []
+
+    return evict
 
 
 def count_evictor(max_count: int) -> Evictor:
@@ -97,6 +111,7 @@ def windowed_process_stream(
     value_cols: Sequence[str],
     allowed_lateness_seconds: float = 0.0,
     evictor: Evictor | None = None,
+    evictor_after: Evictor | None = None,
     emit_late: bool = False,
     watermark_delay_seconds: float = 5.0,
     late_capture_seconds: float | None = None,
@@ -202,12 +217,21 @@ def windowed_process_stream(
         def save(buf, ec, fired) -> None:
             state.update((json.dumps({"b": buf, "ec": ec}), fired))
 
+        def evict_after(buf: list[dict]) -> list[dict]:
+            # Reference Evictor#evictAfter (1.3): prune RETAINED pane state
+            # after a fire; evictBefore only touched the emitted copy.
+            if evictor_after is None:
+                return buf
+            return evictor_after(sorted(buf, key=lambda r: r["_ts_ms"]), end_ms)
+
         if state.hasTimedOut:
             # End-of-window timer (first fire) or cleanup timer (state GC —
             # the pane cannot have changed since the last fire, so no
             # re-emission; re-fires happen only on late DATA).
             buf, ec, fired_before = load()
             out = [] if fired_before else fire(norm_key, buf, False)
+            if not fired_before:
+                buf = evict_after(buf)
             if true_wm() >= cleanup_ms:
                 state.remove()
             else:
@@ -247,6 +271,7 @@ def windowed_process_stream(
             # re-fire updated result immediately (reference fires per late
             # element; micro-batch fires once per batch).
             out = fire(norm_key, buf, False)
+            buf = evict_after(buf)
             if wm >= cleanup_ms:
                 state.remove()
             else:
@@ -260,8 +285,10 @@ def windowed_process_stream(
                 count_trigger_every
                 and len(buf) // count_trigger_every > ec // count_trigger_every
             ):
-                # CountTrigger early firing: accumulated pane, no purge.
+                # CountTrigger early firing: accumulated pane unless an
+                # evictAfter prunes it (purge_evictor → FIRE_AND_PURGE).
                 out = fire(norm_key, buf, False)
+                buf = evict_after(buf)
                 ec = len(buf)
             save(buf, ec, fired_before)
             set_timer(end_ms)

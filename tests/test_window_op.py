@@ -279,3 +279,39 @@ def test_windowed_process_string_keys(spark, tmp_path):
     results = _run_stream(spark, out, "ckpt_wp_str_")
     fired = {(r["user"], r["n"], r["total"]) for r in results if not r["late"]}
     assert ("alice", 2, 30.0) in fired
+
+
+def test_evict_after_purges_pane_state(spark, tmp_path):
+    """Reference Evictor#evictAfter (1.3): a keep-none evictAfter combined
+    with a count trigger gives FIRE_AND_PURGE — each early fire sees only
+    the elements since the previous fire, and the end-of-window fire has
+    nothing left to emit."""
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import purge_evictor
+
+    stream = _staged_stream(
+        spark,
+        tmp_path,
+        "wp_evict_after",
+        _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0)),   # fire [1,2], purge
+        _rows((2, 30, 1, 3.0), (3, 40, 1, 4.0)),   # fire [3,4], purge
+        _rows((9, 200, 2, 0.0)),                    # watermark past window
+        _rows((10, 400, 2, 0.0)),                   # sentinel
+    )
+    out = windowed_process_stream(
+        stream,
+        ["user_id"],
+        "ts",
+        60.0,
+        _make_sum_pane(),
+        "n long, total double",
+        ["value"],
+        count_trigger_every=2,
+        evictor_after=purge_evictor(),
+    )
+    results = [
+        (r["n"], r["total"])
+        for r in _run_stream(spark, out, "ckpt_ea_")
+        if r["user_id"] == 1
+    ]
+    # vs the accumulating sibling's [(2,3.0), (4,10.0), (4,10.0)]
+    assert results == [(2, 3.0), (2, 7.0)]
