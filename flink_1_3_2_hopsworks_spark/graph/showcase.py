@@ -45,6 +45,27 @@ def gr_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gr_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (reference library/
+    SingleSourceShortestPaths.java) over the UNDIRECTED customer↔supplier
+    purchase graph with unit weights, from the smallest customer id —
+    iterative scatter-gather relaxation whose DuckDB oracle is a recursive
+    BFS CTE. Reachable vertices only (finite hop counts)."""
+    from flink_1_3_2_hopsworks_spark.graph.pregel import sssp
+
+    e = _bipartite_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    source = e.agg(F.min("src")).collect()[0][0]
+    out = sssp(sym.withColumn("weight", F.lit(1.0)), source, "weight")
+    return (
+        out.filter(~F.isnan("distance") & (F.col("distance") != float("inf")))
+        .select("id", F.col("distance").cast("long").alias("hops"))
+        .orderBy("id")
+    )
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

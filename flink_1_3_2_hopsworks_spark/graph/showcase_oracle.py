@@ -13,6 +13,28 @@ ORACLE: dict[str, str] = {
         GROUP BY c
         ORDER BY id
     """,
+    "gr_sssp_hops": """
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ), sym AS (
+            SELECT c AS src, s AS dst FROM base
+            UNION ALL
+            SELECT s AS src, c AS dst FROM base
+        ), reach(id, d) AS (
+            SELECT (SELECT MIN(c) FROM base), 0
+            UNION
+            SELECT sym.dst, reach.d + 1
+            FROM reach JOIN sym ON sym.src = reach.id
+            WHERE reach.d < 20
+        )
+        SELECT id, MIN(d) AS hops
+        FROM reach
+        GROUP BY id
+        ORDER BY id
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -167,6 +167,36 @@ def cep_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_signup_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timeout side output (reference PatternStream.select timeout
+    overload): signups whose purchase never arrived within 30 minutes,
+    surfaced as ``timed_out`` partial matches (including the bounded-input
+    end-of-flush). Oracle: NOT EXISTS first-purchase-in-window."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    pattern = (
+        Pattern.begin("signup", lambda e: e["event_type"] == "signup")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(30 * 60)
+    )
+    out = pattern.match_batch(
+        events,
+        ["user_id"],
+        "ts",
+        "event_id",
+        num_partitions=spark.sparkContext.defaultParallelism,
+        with_timeouts=True,
+    )
+    return out.filter(F.col("timed_out")).select(
+        "user_id",
+        F.element_at("event_ids", 1).alias("signup_id"),
+        F.date_format("start_ts", _TS_FMT).alias("signup_ts"),
+    )
+
+
 def ev_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic streaming-dedup semantics in batch: the earliest event
     per (user, type) — what stream_dedup keeps with in-order delivery."""

@@ -127,6 +127,21 @@ ORACLE: dict[str, str] = {
             STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
         FROM ranked WHERE rn = 1
     """,
+    "cep_signup_timeout": """
+        SELECT
+            s.user_id,
+            s.event_id AS signup_id,
+            STRFTIME(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM events s
+        WHERE s.event_type = 'signup'
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = s.user_id
+              AND p.ts > s.ts
+              AND p.ts <= s.ts + INTERVAL 30 MINUTE
+          )
+    """,
     "ev_first_event_per_key": """
         SELECT
             user_id,
