@@ -165,9 +165,13 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
     )
     # Exact-duplicate recovery (see docstring): canonical star per
-    # identical-fingerprint group, linear in group size.
+    # identical-fingerprint group, linear in group size. groupBy+join, not
+    # a window over simhash: the degenerate group this exists for (hot
+    # fingerprint) is exactly the partition a WindowExec would have to
+    # buffer/spill whole; hash-agg does a map-side partial instead.
+    canon = fps.groupBy("simhash").agg(F.min("_id").alias("_cid"))
     exact = (
-        fps.withColumn("_cid", F.min("_id").over(Window.partitionBy("simhash")))
+        fps.join(canon, "simhash")
         .filter(F.col("_id") != F.col("_cid"))
         .select(
             F.col("_cid").alias("id_a"),
