@@ -1,0 +1,48 @@
+"""Registry showcase queries for the FlinkML adapter layer (§2.13) —
+closed-form algorithms whose results DuckDB can recompute exactly, so the
+pipeline adapters get a driver hash-match gate on top of their pytest
+coverage (tests/test_ml_pipeline.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.ml.pipeline import (
+    MultipleLinearRegression,
+    StandardScaler,
+)
+
+
+def ml_linreg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression of extended price on quantity (reference
+    ml/regression/MultipleLinearRegression.scala adapter): pyspark.ml's
+    normal-equations solution matches the closed form, so DuckDB's
+    regr_slope/regr_intercept is an exact oracle (4-decimal round)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.array(F.col("l_quantity").cast("double")).alias("features"),
+        F.col("l_extendedprice").cast("double").alias("label"),
+    )
+    m = MultipleLinearRegression().fit(li, "features", "label")
+    return spark.createDataFrame(
+        [(round(float(m.weights[0]), 4), round(float(m.intercept), 4))],
+        "slope double, intercept double",
+    )
+
+
+def ml_scaled_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler fit+transform (reference preprocessing/
+    StandardScaler.scala adapter) on lineitem quantity: z-scores against
+    the sample standard deviation, verified per-row by DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(F.col("l_quantity").cast("double")).alias("features"),
+    )
+    scaled = StandardScaler().fit(li, "features").transform(li)
+    return scaled.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at("features", 1), 4).alias("scaled_quantity"),
+    ).orderBy("l_orderkey", "l_linenumber").limit(5000)

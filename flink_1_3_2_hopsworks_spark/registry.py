@@ -99,6 +99,13 @@ def _load_all() -> None:
 
     register_module(table_showcase, table_showcase_oracle.ORACLE)
 
+    from flink_1_3_2_hopsworks_spark.ml import showcase as ml_showcase
+    from flink_1_3_2_hopsworks_spark.ml import (
+        showcase_oracle as ml_showcase_oracle,
+    )
+
+    register_module(ml_showcase, ml_showcase_oracle.ORACLE)
+
 
 # Names already green in a driver CORRECTNESS artifact (r01 + r02). The
 # driver verifies a bounded prefix of ``queries()``, so emit never-yet-proven
