@@ -163,3 +163,41 @@ def test_ivf_probe_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in plan
     # the only hash exchange allowed is the per-query top-k window
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scatter_gather_superstep_is_pure_catalyst(spark):
+    """One Gelly-model superstep must plan as join + hash aggregate with no
+    Python evaluation and no nested-loop/cartesian product — the property
+    that makes the facade cost a hand-written Pregel step at 100 TB."""
+    from flink_1_3_2_hopsworks_spark.graph.models import _superstep_loop  # noqa: F401
+    from flink_1_3_2_hopsworks_spark.graph.pregel import vertices_from_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    state = vertices_from_edges(edges).select("id", F.lit(0.0).alias("value"))
+    msgs = (
+        edges.join(state, edges["src"] == state["id"])
+        .select(F.col("dst").alias("id"), (F.col("value") + F.col("weight")).alias("msg"))
+        .groupBy("id")
+        .agg(F.min("msg").alias("msg"))
+    )
+    step = state.join(msgs, "id", "left").select(
+        "id", F.least(F.col("value"), F.coalesce("msg", F.col("value"))).alias("value")
+    )
+    plan = plan_of(step)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_fingerprint_single_aggregate_no_python(spark):
+    """The 64-bit majority must stay ONE hash-aggregate pass (packed
+    counters) with zero Python stages."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_fingerprints
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(simhash_fingerprints(docs, "doc_id", "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one partial+final HashAggregate pair for the majority sums
+    assert plan.count("HashAggregate") == 2
