@@ -190,6 +190,12 @@ def main() -> None:
                         "the bucket cap — timings/row-counts not directly "
                         "comparable to r1/r2"
                     ),
+                    "dd_minhash_pairs": (
+                        "r3 semantics change: portable md5-prefix hashes "
+                        "(full DuckDB oracle; ~2x base-hash cost vs "
+                        "xxhash64, which production callers keep) — not "
+                        "directly comparable to r1/r2"
+                    ),
                 },
             }
         )

@@ -99,8 +99,17 @@ def minhash_near_dups(
     bands: int = 8,
     max_bucket: int = 1000,
     verify: str = "estimate",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``portable=True`` swaps the two xxhash64 uses for DuckDB-reproducible
+    forms — the base hash becomes the md5-prefix portable hash (see
+    simhash.portable_hash60) and band buckets become '|'-joined value
+    strings — and skips the jaccard rounding (k/num_hashes is exactly
+    representable when num_hashes is a power of two), so an oracle can
+    replay the ENTIRE pipeline in SQL. Default (False) keeps the faster
+    hashes for production.
 
     ``verify="estimate"`` (default, the scale path) scores candidates by the
     MinHash estimator — the fraction of agreeing signature components, 32
@@ -141,9 +150,13 @@ def minhash_near_dups(
     # signature table (num_hashes longs per doc — tiny next to the corpus)
     # feeds banding AND both verify sides; recomputing it means re-scanning
     # the corpus three times.
-    based = shingles.select(
-        "_id", F.pmod(F.xxhash64("_shingle"), F.lit(_MERSENNE)).alias("_base")
-    )
+    if portable:
+        from flink_1_3_2_hopsworks_spark.dedup.simhash import portable_hash60
+
+        base_hash = F.pmod(portable_hash60(F.col("_shingle")), F.lit(_MERSENNE))
+    else:
+        base_hash = F.pmod(F.xxhash64("_shingle"), F.lit(_MERSENNE))
+    based = shingles.select("_id", base_hash.alias("_base"))
     sig = based.groupBy("_id").agg(
         *[
             F.min(_perm(F.col("_base"), *ab)).alias(f"_h{i}")
@@ -153,16 +166,19 @@ def minhash_near_dups(
 
     # Buckets ride WITHOUT the shingle sets: 8 small rows per doc, not 8
     # copies of a multi-KB array (the arrays join back only for candidates).
+    def _bucket_key(b: int) -> Column:
+        cols = [F.col(f"_h{b * rows + r}") for r in range(rows)]
+        if portable:
+            return F.concat_ws("|", *cols).cast("string")
+        return F.xxhash64(*cols).cast("string")
+
     buckets = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket_key(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -222,10 +238,14 @@ def minhash_near_dups(
         F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
+    # k/num_hashes is exact (dyadic) for power-of-two num_hashes — the
+    # portable path skips rounding so the oracle matches bit-for-bit.
+    est = agree / F.lit(float(num_hashes))
+    jac = est if portable else F.round(est, 4)
     return (
         candidates.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .withColumn("jaccard", F.round(agree / F.lit(num_hashes), 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

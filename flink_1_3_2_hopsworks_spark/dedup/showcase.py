@@ -36,10 +36,13 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join),
-    verified with exact shingle Jaccard. Non-SQL-expressible (xxhash64) —
-    rows-only check; accuracy vs. the exact baseline is pytest-covered."""
+    scored by the signature-agreement estimator. Full DuckDB hash-match:
+    ``portable=True`` makes every hash md5-derived so the oracle replays
+    shingling, the 32 affine permutations, banding, the bucket cap, and
+    the estimator in SQL. Accuracy vs. the exact-Jaccard baseline is
+    additionally pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, "doc_id", "text", threshold=0.8)
+    return minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
 
 
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +92,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (CJK ratio + stopword votes). Rows-only check
-    (the voting cascade is impractical as one SQL oracle); accuracy against
-    the corpus ``lang`` label is pytest-covered."""
+    """Heuristic language ID (CJK ratio + stopword votes). Full DuckDB
+    hash-match — the oracle replays the whole voting cascade in SQL,
+    stopword lists generated from the same STOPWORDS dict; accuracy against
+    the corpus ``lang`` label is additionally pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))

@@ -79,8 +79,122 @@ def _simhash_oracle(bits: int = 60, max_distance: int = 8, max_bucket: int = 100
     """
 
 
+def _lang_id_oracle() -> str:
+    """Replays functions/text.py lang_id in SQL: CJK-ratio gate, stopword
+    hit votes (lists generated from the same STOPWORDS dict), earliest
+    language wins ties, zero hits → 'und'."""
+    from flink_1_3_2_hopsworks_spark.functions.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    hit_cols = ",\n                ".join(
+        "LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], t))) AS {lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(langs) + ")"
+    pick = "\n                ".join(
+        f"WHEN {lang} = {best} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                CASE WHEN LENGTH(TRIM(LOWER(text))) = 0 THEN []
+                     ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                END AS toks
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, lang, text,
+                {hit_cols}
+            FROM t
+        )
+        SELECT doc_id, lang,
+            CASE
+                WHEN LENGTH(text) = 0 THEN 'und'
+                WHEN LENGTH(REGEXP_REPLACE(text, '[^一-鿿]', '', 'g')) * 1.0
+                     / LENGTH(text) > 0.2 THEN 'zh'
+                WHEN {best} = 0 THEN 'und'
+                {pick}
+                ELSE '{langs[-1]}'
+            END AS lang_guess
+        FROM hits
+    """
+
+
+def _minhash_oracle(
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays dedup/minhash.py with portable=True in DuckDB SQL: the
+    affine-permutation coefficients come from the SAME seeded generator the
+    Spark side uses, band buckets are the same '|'-joined value strings,
+    and the estimator's k/num_hashes division is exact (dyadic)."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import _MERSENNE, _coeffs
+
+    rows = num_hashes // bands
+    coeffs = _coeffs(num_hashes)
+    sig_mins = ",\n                ".join(
+        f"MIN(({a}::BIGINT * h + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        "SELECT id, {b} AS band, CONCAT_WS('|', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    agree = "\n                + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH norm AS (
+            SELECT doc_id AS id,
+                REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS nrm
+            FROM documents
+        ), sh AS (
+            SELECT id,
+                SUBSTR(nrm, UNNEST(RANGE(1,
+                    GREATEST(LENGTH(nrm) - {shingle_k - 1}, 1) + 1)),
+                    {shingle_k}) AS s
+            FROM norm
+        ), based AS (
+            SELECT id,
+                ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT % {_MERSENNE} AS h
+            FROM sh
+        ), sig AS (
+            SELECT id,
+                {sig_mins}
+            FROM based GROUP BY id
+        ), buckets AS (
+            {band_rows}
+        ), capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bs
+                FROM buckets
+            ) WHERE bs <= {max_bucket}
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+            ({agree}) / {float(num_hashes)} AS jaccard
+        FROM cand
+        JOIN sig sa ON sa.id = id_a
+        JOIN sig sb ON sb.id = id_b
+        WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
+    "dd_minhash_pairs": _minhash_oracle(),
+    "text_lang_id": _lang_id_oracle(),
     "dd_exact_dedup": """
         SELECT
             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
