@@ -60,7 +60,9 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH. Rows-only check."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH. Full DuckDB
+    hash-match: the seeded hyperplanes are deterministic, so the oracle
+    inlines them and replays sign-bit bucketing + cosine verify in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.3)
 

@@ -191,9 +191,48 @@ def _minhash_oracle(
     """
 
 
+def _embedding_oracle(
+    threshold: float = 0.3, num_planes: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Replays dedup/embedding.py in DuckDB SQL: the seeded hyperplanes are
+    inlined as literal DOUBLE[] constants (full-precision repr → exact same
+    doubles), sign bits pack MSB-first exactly like the Spark UDF, and the
+    cosine verify mirrors the engine's dot/(|a||b|) formula."""
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import hyperplanes
+
+    planes = hyperplanes(dim, num_planes, seed)
+    bit_terms = "\n                + ".join(
+        "(CASE WHEN LIST_INNER_PRODUCT(v, ["
+        + ", ".join(repr(x) for x in planes[j])
+        + f"]::DOUBLE[]) >= 0 THEN {1 << (num_planes - 1 - j)} ELSE 0 END)"
+        for j in range(num_planes)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sig AS (
+            SELECT id, v,
+                {bit_terms}
+                AS s
+            FROM vecs
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                ROUND(
+                    LIST_INNER_PRODUCT(a.v, b.v)
+                    / (SQRT(LIST_INNER_PRODUCT(a.v, a.v))
+                       * SQRT(LIST_INNER_PRODUCT(b.v, b.v))),
+                    4
+                ) AS cosine
+            FROM sig a JOIN sig b ON a.s = b.s AND a.id < b.id
+        )
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+    """
+
+
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
     "dd_minhash_pairs": _minhash_oracle(),
+    "dd_embedding_pairs": _embedding_oracle(),
     "text_lang_id": _lang_id_oracle(),
     "dd_exact_dedup": """
         SELECT

@@ -27,8 +27,9 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed top-10 — the scale path (candidates limited
-    to the query's bucket). Approximate by design → rows-only check; recall
-    vs. brute force is pytest-covered."""
+    to the query's bucket). Approximate vs brute force but DETERMINISTIC
+    given the seeded hyperplanes, so the oracle replays bucket + rank
+    exactly (full hash-match); recall vs. brute force is pytest-covered."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, _queries_from_corpus(emb), "vec_id", "embedding", k=10
