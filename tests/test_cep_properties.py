@@ -163,3 +163,68 @@ def test_plain_chains_match_greedy_oracle(events, data):
         p = getattr(p, kind)(f"s{i}", pred)
     _, matches, _ = p._scan(events)
     assert sorted(tuple(m["ids"]) for m in matches) == _greedy_oracle(events, steps)
+
+
+ITERATIVE_PREDICATES = {
+    "gt_first": lambda e, ctx: (
+        not ctx.events_for_pattern("s0") or e["v"] > ctx.events_for_pattern("s0")[0]["v"]
+    ),
+    "ne_last": lambda e, ctx: (
+        not ctx.events_for_pattern("s0") or e["v"] != ctx.events_for_pattern("s0")[-1]["v"]
+    ),
+}
+
+
+@settings(max_examples=80, deadline=None)
+@given(events=events_strategy(), data=st.data())
+def test_iterative_chunked_scan_equals_oneshot(events, data):
+    """Chunk-resume equivalence must hold when partials carry event values
+    for iterative conditions (the JSON keyed-state round-trip path)."""
+    import json
+
+    first = PREDICATES[data.draw(st.sampled_from(PRED_NAMES))]
+    second = ITERATIVE_PREDICATES[
+        data.draw(st.sampled_from(sorted(ITERATIVE_PREDICATES)))
+    ]
+    p = Pattern.begin("s0", first).followed_by("s1", second)
+    if data.draw(st.booleans()):
+        p = p.within(data.draw(st.sampled_from([3.5, 10.0])))
+    _, oneshot, _ = p._scan(events)
+
+    cuts = sorted(
+        data.draw(st.lists(st.integers(min_value=0, max_value=len(events)), max_size=4))
+    )
+    bounds = [0, *cuts, len(events)]
+    partials, collected = None, []
+    for lo, hi in zip(bounds, bounds[1:]):
+        partials, matches, _ = p._scan(events[lo:hi], partials)
+        partials = json.loads(json.dumps(partials))  # keyed-state round-trip
+        collected.extend(matches)
+    assert _canon(collected) == _canon(oneshot)
+
+
+@settings(max_examples=80, deadline=None)
+@given(events=events_strategy(), data=st.data())
+def test_timeout_chunked_scan_equals_oneshot(events, data):
+    """Within-pruned partials must be identical whether the scan runs in one
+    shot or in chunks with state carried across (streaming timeout path);
+    end-of-input flush applies only to the final chunk."""
+    pattern = data.draw(chain_patterns(with_quantifiers=False)).within(
+        data.draw(st.sampled_from([2.5, 5.0, 10.0]))
+    )
+    _, oneshot_m, oneshot_t = pattern._scan(events, flush_timeouts=True)
+
+    cuts = sorted(
+        data.draw(st.lists(st.integers(min_value=0, max_value=len(events)), max_size=3))
+    )
+    bounds = [0, *cuts, len(events)]
+    partials, matches, timeouts = None, [], []
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        last = i == len(bounds) - 2
+        partials, m, t = pattern._scan(
+            events[lo:hi], partials, flush_timeouts=last
+        )
+        matches.extend(m)
+        timeouts.extend(t)
+    assert _canon(matches) == _canon(oneshot_m)
+    assert _canon(timeouts) == _canon(oneshot_t)
