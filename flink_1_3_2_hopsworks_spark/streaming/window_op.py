@@ -69,7 +69,8 @@ def count_evictor(max_count: int) -> Evictor:
     """Keep the last ``max_count`` elements (reference CountEvictor)."""
 
     def evict(records: list[dict], window_end_ms: int) -> list[dict]:
-        return records[-max_count:]
+        # records[-0:] would be the WHOLE list — guard the keep-none case
+        return records[-max_count:] if max_count > 0 else []
 
     return evict
 
