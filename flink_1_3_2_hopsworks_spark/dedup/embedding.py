@@ -23,6 +23,20 @@ def hyperplanes(dim: int, count: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((count, dim)).tolist()
 
 
+def hyperplane_bit_terms_sql(planes: list[list[float]], var: str = "v") -> str:
+    """DuckDB SQL fragment computing the SAME MSB-first packed sign-bit
+    signature as ``sign_signature`` — the single source of truth for the
+    dd_embedding_pairs and sim_lsh_topk oracles (full-precision float repr
+    round-trips to the identical doubles)."""
+    n = len(planes)
+    return "\n                + ".join(
+        f"(CASE WHEN LIST_INNER_PRODUCT({var}, ["
+        + ", ".join(repr(x) for x in planes[j])
+        + f"]::DOUBLE[]) >= 0 THEN {1 << (n - 1 - j)} ELSE 0 END)"
+        for j in range(n)
+    )
+
+
 def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit signature: for each hyperplane, 1 if dot(vec, plane) >= 0.
 

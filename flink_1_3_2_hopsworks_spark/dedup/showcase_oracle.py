@@ -1,12 +1,10 @@
 """DuckDB oracle SQL for dedup + text-analysis showcase queries.
 
-MinHash / embedding-LSH queries are deliberately omitted (xxhash64 /
-custom fingerprints are not SQL-expressible) — they get the driver's
-rows-only check; their accuracy is pytest-verified against the exact
-baselines. SimHash IS fully oracled: the registry gate hashes tokens with
-the md5-prefix portable hash, which DuckDB reproduces exactly, so the
-whole pipeline (bit-majority fingerprints → chunk blocking → bucket cap →
-XOR-popcount Hamming verify → hamming-0 star recovery) replays in SQL.
+Every gate here is fully oracled (hash-match): the registry variants use
+DuckDB-reproducible hashes — the md5-prefix portable hash for SimHash and
+MinHash, seeded hyperplane constants for embedding LSH — so the generated
+SQL replays each pipeline end-to-end (fingerprints/signatures → blocking →
+caps → verification). Accuracy vs exact baselines stays pytest-covered.
 """
 
 
@@ -198,15 +196,12 @@ def _embedding_oracle(
     inlined as literal DOUBLE[] constants (full-precision repr → exact same
     doubles), sign bits pack MSB-first exactly like the Spark UDF, and the
     cosine verify mirrors the engine's dot/(|a||b|) formula."""
-    from flink_1_3_2_hopsworks_spark.dedup.embedding import hyperplanes
-
-    planes = hyperplanes(dim, num_planes, seed)
-    bit_terms = "\n                + ".join(
-        "(CASE WHEN LIST_INNER_PRODUCT(v, ["
-        + ", ".join(repr(x) for x in planes[j])
-        + f"]::DOUBLE[]) >= 0 THEN {1 << (num_planes - 1 - j)} ELSE 0 END)"
-        for j in range(num_planes)
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        hyperplane_bit_terms_sql,
+        hyperplanes,
     )
+
+    bit_terms = hyperplane_bit_terms_sql(hyperplanes(dim, num_planes, seed))
     return f"""
         WITH vecs AS (
             SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings

@@ -76,7 +76,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     from flink_1_3_2_hopsworks_spark.multimodal import codecs
 
     if codecs.is_bmp(payload):
-        return codecs.decode_bmp(payload)
+        try:
+            return codecs.decode_bmp(payload)
+        except Exception:
+            # Sniffed as BMP but malformed (truncated pixel data, variant
+            # header): fake=True must stay TOTAL over arbitrary bytes.
+            if not fake:
+                raise
+            return _fake_features(payload)
     if fake:
         return _fake_features(payload)
     raise NotImplementedError(
@@ -92,7 +99,14 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     from flink_1_3_2_hopsworks_spark.multimodal import codecs
 
     if codecs.is_wav(payload):
-        return codecs.decode_wav(payload)[0]
+        try:
+            return codecs.decode_wav(payload)[0]
+        except Exception:
+            # RIFF/WAVE header but not PCM-16 (float/8-bit variants):
+            # fake=True must stay total over arbitrary bytes.
+            if not fake:
+                raise
+            return _fake_features(payload)
     if fake:
         return _fake_features(payload)
     raise NotImplementedError(
@@ -117,10 +131,19 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         def feat(p: bytes) -> np.ndarray:
             # Real in-container decodes take precedence over the stand-in:
             # BMP → grayscale-thumbnail features, WAV → segment-RMS features.
-            if codecs.is_bmp(p):
-                return codecs.image_features(codecs.decode_bmp(p), FEATURE_DIM)
-            if codecs.is_wav(p):
-                return codecs.audio_features(codecs.decode_wav(p)[0], FEATURE_DIM)
+            # fake=True stays total: a sniffed-but-malformed payload falls
+            # back to the stand-in instead of failing the stage.
+            try:
+                if codecs.is_bmp(p):
+                    return codecs.image_features(codecs.decode_bmp(p), FEATURE_DIM)
+                if codecs.is_wav(p):
+                    return codecs.audio_features(
+                        codecs.decode_wav(p)[0], FEATURE_DIM
+                    )
+            except Exception:
+                if not fake:
+                    raise
+                return _fake_features(p)
             if fake:
                 return _fake_features(p)
             raise NotImplementedError(
@@ -195,9 +218,14 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
 
         def one(p: bytes) -> bytes:
             if codecs.is_bmp(p):
-                return codecs.encode_bmp(
-                    codecs.resize_nearest(codecs.decode_bmp(p), width, height)
-                )
+                try:
+                    return codecs.encode_bmp(
+                        codecs.resize_nearest(codecs.decode_bmp(p), width, height)
+                    )
+                except Exception:
+                    if not fake:
+                        raise
+                    return _fake_resize(p, width, height)
             if fake:
                 return _fake_resize(p, width, height)
             raise NotImplementedError(

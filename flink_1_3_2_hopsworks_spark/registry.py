@@ -135,6 +135,11 @@ _DRIVER_PROVEN = frozenset(
 
 
 def _ordered(names) -> list[str]:
+    # A renamed/removed query silently shrinking the proven set would skew
+    # the rotation — fail loudly instead.
+    stale = _DRIVER_PROVEN - set(_QUERIES)
+    if stale:
+        raise AssertionError(f"_DRIVER_PROVEN names not in registry: {sorted(stale)}")
     return sorted(names, key=lambda n: n in _DRIVER_PROVEN)  # stable sort
 
 

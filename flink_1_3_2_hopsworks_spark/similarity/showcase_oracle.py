@@ -7,15 +7,12 @@ inlines them and replays bucket + rank exactly.
 
 
 def _lsh_topk_oracle(k: int = 10, num_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
-    from flink_1_3_2_hopsworks_spark.dedup.embedding import hyperplanes
-
-    planes = hyperplanes(dim, num_planes, seed)
-    bit_terms = "\n                + ".join(
-        "(CASE WHEN LIST_INNER_PRODUCT(v, ["
-        + ", ".join(repr(x) for x in planes[j])
-        + f"]::DOUBLE[]) >= 0 THEN {1 << (num_planes - 1 - j)} ELSE 0 END)"
-        for j in range(num_planes)
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        hyperplane_bit_terms_sql,
+        hyperplanes,
     )
+
+    bit_terms = hyperplane_bit_terms_sql(hyperplanes(dim, num_planes, seed))
     return f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

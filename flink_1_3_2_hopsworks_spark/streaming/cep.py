@@ -80,7 +80,11 @@ _NS = 1_000_000_000
 
 def _is_iterative(pred: Predicate) -> bool:
     """True when the predicate takes a second ``ctx`` parameter (reference
-    IterativeCondition vs SimpleCondition)."""
+    IterativeCondition vs SimpleCondition).
+
+    Only parameters WITHOUT defaults count: the common state-binding idiom
+    ``lambda e, t=threshold: e["value"] > t`` is a simple condition — its
+    second parameter must keep its bound default, not receive the ctx."""
     try:
         params = [
             p
@@ -92,7 +96,8 @@ def _is_iterative(pred: Predicate) -> bool:
         return False
     if any(p.kind == p.VAR_POSITIONAL for p in params):
         return True
-    return len(params) >= 2
+    required = [p for p in params if p.default is p.empty]
+    return len(required) >= 2
 
 
 def _json_safe(ev: dict) -> dict:
@@ -528,12 +533,15 @@ class Pattern:
             partials = json.loads(state.get[0]) if state.exists else []
             matches: list[dict] = []
             timeouts: list[dict] = []
-            for pdf in pdf_iter:
-                partials, completed, pruned = self._scan(
+            # Concatenate the key's whole micro-batch before sorting —
+            # per-chunk scans would leak Arrow-chunk arrival order into the
+            # NFA for keys spanning multiple record batches.
+            chunks = list(pdf_iter)
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                partials, matches, timeouts = self._scan(
                     self._to_events(pdf, ts_col, id_col), partials
                 )
-                matches.extend(completed)
-                timeouts.extend(pruned)
             state.update((json.dumps(partials),))
             if matches or (with_timeouts and timeouts):
                 key_vals = dict(

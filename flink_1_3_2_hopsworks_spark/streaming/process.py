@@ -126,12 +126,17 @@ def count_window_agg_stream(
     )
     casters = key_casters(df, keys)
 
-    def _ordered(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # Micro-batch rows arrive partition-interleaved; consume them in
-        # (ts, event_id) order like the OVER siblings (over_rows sorts by
-        # order_col) — otherwise window contents depend on shuffle order.
+    def _ordered(pdf_iter) -> "pd.DataFrame | None":
+        # Micro-batch rows arrive partition-interleaved AND chunked by
+        # Arrow batch size; concatenate the key's whole micro-batch FIRST,
+        # then sort once by (ts, event_id) — a per-chunk sort would still
+        # leak shuffle order across chunk boundaries for >10k-row keys.
         # Inputs lacking both columns keep arrival order (pure
         # processing-time streams, the reference GlobalWindows default).
+        chunks = list(pdf_iter)
+        if not chunks:
+            return None
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         cols = [c for c in (ts_col, "event_id") if c in pdf.columns]
         return pdf.sort_values(cols, kind="stable") if cols else pdf
 
@@ -146,8 +151,9 @@ def count_window_agg_stream(
                 total, n, window_id = 0.0, 0, 0
             kv = key_py_values(casters, key)
             out = []
-            for pdf in pdf_iter:
-                for v in _ordered(pdf)[value_col]:
+            batch = _ordered(pdf_iter)
+            if batch is not None:
+                for v in batch[value_col]:
                     total += float(v)
                     n += 1
                     if n == size:
@@ -171,8 +177,9 @@ def count_window_agg_stream(
                 buf, since, window_id = [], 0, 0
             kv = key_py_values(casters, key)
             out = []
-            for pdf in pdf_iter:
-                for v in _ordered(pdf)[value_col]:
+            batch = _ordered(pdf_iter)
+            if batch is not None:
+                for v in batch[value_col]:
                     buf.append(float(v))
                     if len(buf) > size:
                         buf.pop(0)

@@ -86,7 +86,8 @@ ORACLE: dict[str, str] = {
                 ) AS rn
             FROM s
             JOIN p ON p.user_id = s.user_id
-                  AND p.ts > s.ts
+                  AND (p.ts > s.ts
+                       OR (p.ts = s.ts AND p.event_id > s.event_id))
                   AND p.ts <= s.ts + INTERVAL 30 MINUTE
         )
         SELECT
@@ -115,7 +116,8 @@ ORACLE: dict[str, str] = {
                 ) AS rn
             FROM err
             JOIN events e2 ON e2.user_id = err.user_id
-                  AND e2.ts > err.ts
+                  AND (e2.ts > err.ts
+                       OR (e2.ts = err.ts AND e2.event_id > err.event_id))
                   AND e2.ts <= err.ts + INTERVAL 30 MINUTE
                   AND e2.value > err.value
         )
@@ -138,7 +140,8 @@ ORACLE: dict[str, str] = {
             SELECT 1 FROM events p
             WHERE p.event_type = 'purchase'
               AND p.user_id = s.user_id
-              AND p.ts > s.ts
+              AND (p.ts > s.ts
+                   OR (p.ts = s.ts AND p.event_id > s.event_id))
               AND p.ts <= s.ts + INTERVAL 30 MINUTE
           )
     """,

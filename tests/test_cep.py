@@ -423,3 +423,20 @@ def test_iterative_state_survives_json_roundtrip(spark):
     partials = _json.loads(_json.dumps(partials))
     _, m2, _ = p._scan([ev(1, "x", 12.0)], partials)
     assert not m1 and [tuple(m["ids"]) for m in m2] == [(0, 1)]
+
+
+def test_default_arg_predicate_is_simple_condition(spark):
+    """The state-binding idiom ``lambda e, t=10: ...`` must stay a SIMPLE
+    condition — a bound default is not a ctx parameter."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import _is_iterative
+
+    assert not _is_iterative(lambda e, t=10.0: e["value"] > t)
+    assert _is_iterative(lambda e, ctx: True)
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:01:00", "b"),
+    ])
+    p = Pattern.begin(
+        "s1", lambda e, want="a": e["event_type"] == want
+    ).followed_by("s2", lambda e: e["event_type"] == "b")
+    assert _matches(df, p) == [(0, 1)]

@@ -115,3 +115,23 @@ def test_avro_roundtrip_or_gate(spark, tmp_path):
             src_io.write_avro(df, path)
         with pytest.raises(RuntimeError, match="avro format unavailable"):
             src_io.read_avro(spark, path).collect()
+
+
+def test_fake_stays_total_over_malformed_sniffable_payloads():
+    """fake=True must never raise: a payload that sniffs as WAV/BMP but is
+    malformed (non-PCM16 WAV, truncated BMP) falls back to the stand-in."""
+    import struct
+
+    # RIFF/WAVE header but not a parseable PCM-16 file
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 20
+    # BMP header claiming pixels beyond the payload
+    bad_bmp = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54, 0, 0, 54, 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0,
+    )
+    assert decode_audio(bad_wav, fake=True).shape == (16,)
+    assert decode_image(bad_bmp, fake=True).shape == (16,)
+    with pytest.raises(Exception):
+        decode_audio(bad_wav, fake=False)
+    with pytest.raises(Exception):
+        decode_image(bad_bmp, fake=False)
