@@ -328,3 +328,17 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_limit.zip_with_index(
         nation.select("n_nationkey", "n_name"), "idx", order=["n_nationkey"]
     )
+
+
+def op_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSet summarize (reference DataSetUtils#summarize): per-column
+    count/nulls/min/max/mean for lineitem key + measure columns, computed
+    in ONE aggregate pass; the oracle states each column's stats row."""
+    from flink_1_3_2_hopsworks_spark.operators.aggregations import summarize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = summarize(li, ["l_orderkey", "l_linenumber", "l_quantity"])
+    return out.select(
+        "column", "n", "nulls", "min_value", "max_value",
+        F.round("mean", 4).alias("mean"),
+    )

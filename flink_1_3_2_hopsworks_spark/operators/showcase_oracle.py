@@ -176,4 +176,26 @@ ORACLE: dict[str, str] = {
             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
         FROM nation
     """,
+    "op_summarize": """
+        SELECT 'l_orderkey' AS column, COUNT(l_orderkey) AS n,
+            SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+            CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+            CAST(MAX(l_orderkey) AS VARCHAR) AS max_value,
+            ROUND(AVG(l_orderkey), 4) AS mean
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(l_linenumber),
+            SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+            CAST(MIN(l_linenumber) AS VARCHAR),
+            CAST(MAX(l_linenumber) AS VARCHAR),
+            ROUND(AVG(l_linenumber), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(l_quantity),
+            SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+            CAST(MIN(l_quantity) AS VARCHAR),
+            CAST(MAX(l_quantity) AS VARCHAR),
+            ROUND(AVG(l_quantity), 4)
+        FROM lineitem
+    """,
 }
