@@ -177,25 +177,25 @@ ORACLE: dict[str, str] = {
         FROM nation
     """,
     "op_summarize": """
-        SELECT 'l_orderkey' AS column, COUNT(l_orderkey) AS n,
-            SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        SELECT 'l_orderkey' AS column, CAST(COUNT(l_orderkey) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
             CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
             CAST(MAX(l_orderkey) AS VARCHAR) AS max_value,
-            ROUND(AVG(l_orderkey), 4) AS mean
+            CAST(ROUND(AVG(l_orderkey), 4) AS DOUBLE) AS mean
         FROM lineitem
         UNION ALL
-        SELECT 'l_linenumber', COUNT(l_linenumber),
-            SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+        SELECT 'l_linenumber', CAST(COUNT(l_linenumber) AS BIGINT),
+            CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             CAST(MIN(l_linenumber) AS VARCHAR),
             CAST(MAX(l_linenumber) AS VARCHAR),
-            ROUND(AVG(l_linenumber), 4)
+            CAST(ROUND(AVG(l_linenumber), 4) AS DOUBLE)
         FROM lineitem
         UNION ALL
-        SELECT 'l_quantity', COUNT(l_quantity),
-            SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        SELECT 'l_quantity', CAST(COUNT(l_quantity) AS BIGINT),
+            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             CAST(MIN(l_quantity) AS VARCHAR),
             CAST(MAX(l_quantity) AS VARCHAR),
-            ROUND(AVG(l_quantity), 4)
+            CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE)
         FROM lineitem
     """,
 }
