@@ -79,9 +79,19 @@ class Graph:
 
     def union(self, other: "Graph") -> "Graph":
         """Union of vertex and edge sets (reference Graph#union: distinct
-        vertices, bag-union edges)."""
+        vertices, bag-union edges).
+
+        Divergence note: Gelly distincts vertices on the whole (id, value)
+        row, so an id present in both graphs with different values yields
+        two vertices. Here an id appears once, and ``self``'s row wins
+        deterministically (anti-join keeps only ``other``'s new ids) —
+        nondeterministic dropDuplicates survival would break repeatable
+        plans at scale."""
+        new_ids = other.vertices.join(
+            self.vertices.select("id"), "id", "left_anti"
+        )
         return Graph(
-            self.vertices.unionByName(other.vertices).dropDuplicates(["id"]),
+            self.vertices.unionByName(new_ids),
             self.edges.unionByName(other.edges),
         )
 
@@ -99,11 +109,12 @@ class Graph:
 
     def intersect(self, other: "Graph") -> "Graph":
         """Edges present in both graphs (reference Graph#intersect with
-        distinct edges); vertices induced."""
-        common = self.edges.select("src", "dst").intersect(
-            other.edges.select("src", "dst")
-        )
-        return Graph.from_edges(common)
+        distinct edges); vertices induced. Gelly pairs edges on
+        (src, dst, value), so the intersect key is every column the two
+        edge sets share — edge values included — not just the endpoints."""
+        key = [c for c in self.edges.columns if c in set(other.edges.columns)]
+        common = self.edges.select(*key).intersect(other.edges.select(*key))
+        return Graph(vertices_from_edges(common), common)
 
     # -- orientation (reference reverse / getUndirected) --------------------
 
@@ -121,15 +132,25 @@ class Graph:
 
     # -- degrees (reference inDegrees / outDegrees / getDegrees) ------------
 
+    def _vertex_degrees(self) -> DataFrame:
+        """Degrees over the FULL vertex set: the reference coGroups edges
+        with vertices and emits 0 for edge-less vertices (Gelly
+        Graph#outDegrees/#inDegrees), so isolated vertices — e.g. after
+        filter_on_vertices or union — must not vanish."""
+        return (
+            self.vertices.select("id")
+            .join(_degrees(self.edges), "id", "left")
+            .fillna(0, ["out_degree", "in_degree"])
+        )
+
     def out_degrees(self) -> DataFrame:
-        return _degrees(self.edges).select("id", "out_degree")
+        return self._vertex_degrees().select("id", "out_degree")
 
     def in_degrees(self) -> DataFrame:
-        return _degrees(self.edges).select("id", "in_degree")
+        return self._vertex_degrees().select("id", "in_degree")
 
     def degrees(self) -> DataFrame:
-        d = _degrees(self.edges)
-        return d.select(
+        return self._vertex_degrees().select(
             "id", (F.col("in_degree") + F.col("out_degree")).alias("degree")
         )
 

@@ -69,10 +69,12 @@ def _superstep_loop(
     converged = None
     if converge_on:
         def converged(prev: DataFrame, curr: DataFrame) -> bool:
+            # Null-safe: a user update() that yields NULL must count as a
+            # change, not vanish from the filter (NULL != x is NULL).
             return (
                 prev.withColumnRenamed(value_col, "_prev")
                 .join(curr, "id")
-                .filter(F.col("_prev") != F.col(value_col))
+                .filter(~F.col("_prev").eqNullSafe(F.col(value_col)))
                 .isEmpty()
             )
 
@@ -236,7 +238,7 @@ def community_detection(
         return (
             prev.withColumnRenamed("label", "_pl")
             .join(curr, "id")
-            .filter(F.col("_pl") != F.col("label"))
+            .filter(~F.col("_pl").eqNullSafe(F.col("label")))
             .isEmpty()
         )
 

@@ -347,7 +347,11 @@ class Pattern:
             return bool(pred(ev, ctx))
 
         for p in partials:
-            if within_ns is not None and ev_ns - p["ts"][0] > within_ns:
+            # Strict bound, matching the reference NFA's
+            # ``timestamp - startTimestamp >= windowTime`` (flink-cep
+            # nfa/NFA.java#isStateTimedOut): an event landing exactly at
+            # start + within is a timeout, not a completion.
+            if within_ns is not None and ev_ns - p["ts"][0] >= within_ns:
                 pruned.append(p)  # timed out by within
                 continue
             node = nodes[p["idx"]]

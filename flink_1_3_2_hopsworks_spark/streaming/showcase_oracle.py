@@ -88,7 +88,7 @@ ORACLE: dict[str, str] = {
             JOIN p ON p.user_id = s.user_id
                   AND (p.ts > s.ts
                        OR (p.ts = s.ts AND p.event_id > s.event_id))
-                  AND p.ts <= s.ts + INTERVAL 30 MINUTE
+                  AND p.ts < s.ts + INTERVAL 30 MINUTE
         )
         SELECT
             user_id,
@@ -118,7 +118,7 @@ ORACLE: dict[str, str] = {
             JOIN events e2 ON e2.user_id = err.user_id
                   AND (e2.ts > err.ts
                        OR (e2.ts = err.ts AND e2.event_id > err.event_id))
-                  AND e2.ts <= err.ts + INTERVAL 30 MINUTE
+                  AND e2.ts < err.ts + INTERVAL 30 MINUTE
                   AND e2.value > err.value
         )
         SELECT
@@ -142,7 +142,7 @@ ORACLE: dict[str, str] = {
               AND p.user_id = s.user_id
               AND (p.ts > s.ts
                    OR (p.ts = s.ts AND p.event_id > s.event_id))
-              AND p.ts <= s.ts + INTERVAL 30 MINUTE
+              AND p.ts < s.ts + INTERVAL 30 MINUTE
           )
     """,
     "ev_first_event_per_key": """

@@ -330,6 +330,23 @@ def test_with_timeouts_batch_emits_pruned_and_flushed(spark):
     assert [tuple(r["event_ids"]) for r in plain.collect()] == [(1, 2)]
 
 
+def test_within_boundary_is_strict(spark):
+    # Reference NFA prunes at timestamp - start >= windowTime: a completing
+    # event landing EXACTLY at start + within is a timeout, not a match.
+    df = _events(spark, [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:10:00", "b"),   # exactly within=600s later
+    ])
+    p = (
+        Pattern.begin("s1", lambda e: e["event_type"] == "a")
+        .followed_by("s2", lambda e: e["event_type"] == "b")
+        .within(600)
+    )
+    out = p.match_batch(df, ["user_id"], "ts", "event_id", with_timeouts=True)
+    rows = {tuple(r["event_ids"]): r["timed_out"] for r in out.collect()}
+    assert rows == {(0,): True}
+
+
 def test_string_keys_match_batch(spark):
     data = [
         (0, datetime.fromisoformat("2024-01-01 00:00:00"), "u1", "a", 0.0),

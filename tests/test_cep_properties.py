@@ -113,7 +113,8 @@ def test_matches_are_well_formed(events, data):
         assert m["ids"] == sorted(set(m["ids"])), "ids strictly increase"
         assert m["ts"] == sorted(m["ts"]), "timestamps non-decreasing"
         if within_ns is not None:
-            assert m["ts"][-1] - m["ts"][0] <= within_ns, "within honored"
+            # Strict bound (reference NFA prunes at >= windowTime).
+            assert m["ts"][-1] - m["ts"][0] < within_ns, "within honored"
         for ev_id, name in zip(m["ids"], m["names"]):
             assert pred_of[name](by_id[ev_id]), f"step {name} predicate"
 

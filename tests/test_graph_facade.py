@@ -63,6 +63,36 @@ def test_degrees(spark):
     assert total == {1: 3, 2: 1, 3: 2}
 
 
+def test_degrees_include_isolated_vertices(spark):
+    # A vertex with no incident edges (here: kept by filter_on_vertices
+    # after its edges are dropped) must appear with degree 0, matching
+    # Gelly's coGroup-with-vertex-set semantics.
+    g = _g(spark, [(1, 2), (3, 4)]).filter_on_vertices(F.col("id") != 4)
+    out_d = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
+    assert out_d == {1: 1, 2: 0, 3: 0}
+    total = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert total == {1: 1, 2: 1, 3: 0}
+
+
+def test_union_prefers_self_vertex_value(spark):
+    va = spark.createDataFrame([(1, "a1"), (2, "a2")], "id long, value string")
+    vb = spark.createDataFrame([(2, "b2"), (3, "b3")], "id long, value string")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    u = Graph(va, e).union(Graph(vb, e))
+    got = {r["id"]: r["value"] for r in u.vertices.collect()}
+    assert got == {1: "a1", 2: "a2", 3: "b3"}  # self wins on collision
+
+
+def test_intersect_keys_on_edge_value(spark):
+    a = _g(spark, [(1, 2, 1.0), (2, 3, 5.0)], weighted=True)
+    b = _g(spark, [(1, 2, 1.0), (2, 3, 9.0)], weighted=True)
+    inter = a.intersect(b)  # (2,3) differs in value → excluded
+    assert [(r["src"], r["dst"], r["value"]) for r in inter.edges.collect()] == [
+        (1, 2, 1.0)
+    ]
+    assert sorted(r["id"] for r in inter.vertices.collect()) == [1, 2]
+
+
 def test_join_with_vertices_keeps_unmatched(spark):
     g = _g(spark, [(1, 2)]).map_vertices(F.lit(0.0))
     inputs = spark.createDataFrame([(1, 7.0)], "id long, bonus double")
