@@ -129,6 +129,70 @@ def ivf_probe_topk(
     )
 
 
+def ivf_cells_expr(vec, centroids: list[list[float]], n: int) -> Column:
+    """The ``n`` nearest cell ids to ``vec`` by cosine (desc, ties → lower
+    cell id), as a pure Column expression over literal centroids.
+
+    This is the serve-from-a-frozen-model path: at 100 TB you train the
+    coarse quantizer once (``ivf_index`` on a sample), freeze the k
+    centroids, and assign/probe with THIS expression — the k×dim literal
+    rides the plan into every executor, so assignment is part of the scan
+    projection: no crossJoin, no shuffle, no per-row Python."""
+    scored = F.array(*[
+        F.struct(
+            (-cosine(vec, F.lit(c))).alias("neg"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n), lambda s: s["cell"]
+    )
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF top-k against FROZEN centroids (train-once / serve-many).
+
+    Deterministic end-to-end given the centroid literals — assignment,
+    probing, scoring, and ranking are all replayable in SQL, which is what
+    lets the registry gate hash-match a DuckDB oracle (unlike the sampled
+    k-means inside ``ivf_topk``). Plan shape: corpus scan with the cell
+    argmax fused into the projection → equi-join against the broadcast
+    (query × nprobe) probe set → cosine → per-query top-k window. The only
+    shuffle is the final top-k."""
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        .withColumn("_cell", ivf_cells_expr(F.col("_cv"), centroids, 1)[0])
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            ivf_cells_expr(F.col(vec_col), centroids, nprobe)
+        ).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

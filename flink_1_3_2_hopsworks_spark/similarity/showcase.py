@@ -37,14 +37,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized top-10 — the data-adaptive scale path (k-means
-    cells + nprobe probing). Approximate by design → rows-only check;
-    recall vs. brute force is pytest-covered (tests/test_similarity_ivf.py).
-    """
-    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_topk
+    """IVF coarse-quantized top-10 — the data-adaptive scale path, served
+    from the FROZEN coarse quantizer (gate_model.FROZEN_CENTROIDS, trained
+    once by k-means at gate scale). Deterministic end-to-end, so the DuckDB
+    oracle replays assignment → nprobe cells → cosine → top-k for a full
+    hash-match; live-training recall is pytest-covered
+    (tests/test_similarity_ivf.py)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import FROZEN_CENTROIDS
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_fixed_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _queries_from_corpus(emb), "vec_id", "embedding",
-        k=10, num_cells=16, nprobe=6,
+    return ivf_fixed_topk(
+        emb, _queries_from_corpus(emb), FROZEN_CENTROIDS,
+        "vec_id", "embedding", k=10, nprobe=6,
     )

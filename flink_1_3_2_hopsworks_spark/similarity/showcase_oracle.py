@@ -1,8 +1,9 @@
 """DuckDB oracle SQL for similarity-search showcase queries.
 
-``sim_ivf_topk`` stays rows-only (sampled k-means is not SQL-replayable);
-``sim_lsh_topk``'s deterministic seeded hyperplanes ARE — its oracle
-inlines them and replays bucket + rank exactly.
+``sim_lsh_topk`` inlines the seeded hyperplanes and replays bucket + rank
+exactly; ``sim_ivf_topk`` inlines the FROZEN k-means centroids
+(similarity/gate_model.py) and replays cell assignment → nprobe probing →
+cosine → per-query top-k. Both are deterministic, so both hash-match.
 """
 
 
@@ -40,8 +41,56 @@ def _lsh_topk_oracle(k: int = 10, num_planes: int = 6, dim: int = 64, seed: int 
     """
 
 
+def _ivf_topk_oracle(k: int = 10, nprobe: int = 6) -> str:
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import FROZEN_CENTROIDS
+
+    values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+        WITH cent(cell, cv) AS (
+            VALUES {values}
+        ), vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sims AS (
+            SELECT vec_id, cell,
+                LIST_COSINE_SIMILARITY(v, cv) AS sim
+            FROM vecs CROSS JOIN cent
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims
+            ) WHERE rn = 1
+        ), probed AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims WHERE vec_id < 5
+            ) WHERE rn <= {nprobe}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                LIST_COSINE_SIMILARITY(q.v, c.v) AS cos
+            FROM probed p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN vecs q ON q.vec_id = p.query_id
+            JOIN vecs c ON c.vec_id = a.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 ORACLE: dict[str, str] = {
     "sim_lsh_topk": _lsh_topk_oracle(),
+    "sim_ivf_topk": _ivf_topk_oracle(),
     "sim_bruteforce_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

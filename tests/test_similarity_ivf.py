@@ -77,6 +77,66 @@ def test_ivf_index_probe_split(emb, queries):
     )
 
 
+def test_ivf_fixed_full_probe_equals_exact(emb, queries):
+    """ivf_fixed_topk with nprobe = num_cells covers every cell, so it must
+    reproduce the exact brute-force top-k regardless of centroid quality."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import FROZEN_CENTROIDS
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_fixed_topk
+
+    exact = sorted(
+        map(tuple, brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            ivf_fixed_topk(
+                emb, queries, FROZEN_CENTROIDS, "vec_id", "embedding",
+                k=10, nprobe=len(FROZEN_CENTROIDS),
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+
+def test_ivf_fixed_assignment_is_shuffle_free(emb):
+    """Frozen-centroid cell assignment must be a scan-side projection:
+    no Exchange in the plan before any join/window stage."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import FROZEN_CENTROIDS
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+    assigned = emb.select(
+        "vec_id", ivf_cells_expr(F.col("embedding"), FROZEN_CENTROIDS, 1)[0].alias("_cell")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivf_partitioned_index_prunes_to_probed_cells(emb, queries, spark, tmp_path):
+    """Persisting the index partitioned by _cell makes partition pruning the
+    inverted file: a candidate read for the probed cells must scan only
+    those directories (PartitionFilters on _cell, pruned partition count)."""
+    from flink_1_3_2_hopsworks_spark.sources.io import write_partitioned
+
+    index, centroids = ivf_index(emb, "vec_id", "embedding", num_cells=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(index, path, ["_cell"])
+
+    stored = spark.read.parquet(path)
+    n_cells = stored.select("_cell").distinct().count()
+    probe_cells = [0, 1, 2]
+    candidates = stored.filter(F.col("_cell").isin(probe_cells))
+    plan = candidates._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters")[1][:200]
+    # pruned read touches exactly the probed directories (input_file_name
+    # reflects post-pruning scanned files, unlike DataFrame.inputFiles)
+    scanned = [
+        r[0] for r in candidates.select(F.input_file_name()).distinct().collect()
+    ]
+    cells_touched = {f.split("_cell=")[1].split("/")[0] for f in scanned}
+    assert cells_touched <= {str(c) for c in probe_cells}
+    assert len(cells_touched) < n_cells
+
+
 def test_ivf_more_probes_more_recall(emb, queries):
     """nprobe = num_cells degenerates to exact search (full coverage)."""
     exact = {
