@@ -11,6 +11,8 @@ estimated fraction, then cut to exactly n — two jobs, no driver-side data.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -36,3 +38,21 @@ def sample_with_size(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     frac = min(1.0, n / total + 3.0 * (n ** 0.5) / total + 1e-6)
     over = df.sample(withReplacement=False, fraction=frac, seed=seed)
     return over.withColumn("_r", F.rand(seed)).orderBy("_r").limit(n).drop("_r")
+
+
+def sample_with_size_hashed(
+    df: DataFrame, n: int, key_cols: Sequence[str], salt: str = "s42"
+) -> DataFrame:
+    """Fixed-size sample without replacement, selected by salted-hash order
+    (top-n by md5 of the key): same reference semantics as sampleWithSize —
+    a uniform fixed-size draw — but PORTABLE: any engine replays the exact
+    row set from (key, salt), making samples auditable and the registry
+    gate oracle-checkable (Spark's XORShift rand is not). Single pass, no
+    count job; orderBy+limit plans as TakeOrderedAndProject (per-partition
+    top-n, no full sort shuffle). Change ``salt`` to redraw."""
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+        )
+    )
+    return df.withColumn("_h", h).orderBy("_h").limit(n).drop("_h")

@@ -330,6 +330,56 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduceGroup (reference GroupReduceOperator / GroupReduceFunction):
+    the UDF sees the WHOLE group at once — here order statistics (median)
+    that no distributive aggregate computes — via group_reduce's
+    applyInPandas. Order statistics only, so the oracle is exact: no
+    accumulation-order float drift."""
+    import pandas as pd
+
+    from flink_1_3_2_hopsworks_spark.operators.aggregations import group_reduce
+
+    events = load_table(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf.iloc[0]["event_type"],
+                    "n": len(pdf),
+                    "min_value": round(float(v.min()), 2),
+                    "max_value": round(float(v.max()), 2),
+                    "median_value": round(float(v.median()), 4),
+                }
+            ]
+        )
+
+    return group_reduce(
+        events.select("event_type", "value"),
+        ["event_type"],
+        stats,
+        "event_type string, n long, min_value double, max_value double, "
+        "median_value double",
+    )
+
+
+def op_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampleWithSize (reference DataSetUtils#sampleWithSize) in its
+    portable salted-hash form: a fixed-size uniform draw whose row set any
+    engine can replay from (key, salt) — the oracle re-derives the exact
+    200 rows. Plans as TakeOrderedAndProject (no full sort)."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        sample_with_size_hashed,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return sample_with_size_hashed(events, 200, ["event_id"])
+
+
 def op_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSet summarize (reference DataSetUtils#summarize): per-column
     count/nulls/min/max/mean for lineitem key + measure columns, computed

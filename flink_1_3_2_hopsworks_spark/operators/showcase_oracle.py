@@ -176,6 +176,21 @@ ORACLE: dict[str, str] = {
             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
         FROM nation
     """,
+    "op_group_reduce_stats": """
+        SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(ROUND(MIN(value), 2) AS DOUBLE) AS min_value,
+            CAST(ROUND(MAX(value), 2) AS DOUBLE) AS max_value,
+            CAST(ROUND(MEDIAN(value), 4) AS DOUBLE) AS median_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "op_sample_fixed_size": """
+        SELECT event_id, user_id, event_type
+        FROM events
+        ORDER BY MD5(CONCAT_WS('|', CAST(event_id AS VARCHAR), 's42'))
+        LIMIT 200
+    """,
     "op_summarize": """
         SELECT 'l_orderkey' AS column, CAST(COUNT(l_orderkey) AS BIGINT) AS n,
             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,

@@ -77,6 +77,85 @@ def ev_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_window_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream join (reference JoinedStreams: a.join(b).where(k)
+    .equalTo(k).window(Tumbling 1h).apply): clicks × purchases per user
+    within the same hourly window, routed through windowed_stream_join —
+    the SAME plan runs streaming (stream-stream join, watermark-purged
+    state) and batch (this gate); the oracle states the equivalent
+    hour-bucket equi-join."""
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import windowed_stream_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = windowed_stream_join(clicks, purchases, ["user_id"], "ts", "1 hour")
+    return out.select(
+        "user_id",
+        _fmt("window_start"),
+        _fmt("window_end"),
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def ev_window_cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream coGroup (reference CoGroupedStreams: both full
+    groups handed to the apply fn per (key, window) pane — including
+    one-sided panes, which a join would drop). Runs the pane machinery of
+    windowed_cogroup_stream in its batch twin; oracle = per-pane
+    conditional aggregates over the union."""
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+        windowed_cogroup_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    def cg(left, right):
+        return [
+            {
+                "n_clicks": len(left),
+                "n_purchases": len(right),
+                "click_value": float(left["value"].sum()) if len(left) else 0.0,
+                "purchase_value": float(right["value"].sum()) if len(right) else 0.0,
+            }
+        ]
+
+    out = windowed_cogroup_batch(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        3600,
+        cg,
+        "n_clicks long, n_purchases long, click_value double, purchase_value double",
+        ["value"],
+    )
+    return out.select(
+        "user_id",
+        _fmt("window_start"),
+        _fmt("window_end"),
+        "n_clicks",
+        "n_purchases",
+        F.round("click_value", 2).alias("click_value"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def ev_running_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed running aggregate (reference KeyedStream#sum → per-record
     emission; batch form of the update-mode stream in streaming.dedup)."""

@@ -145,6 +145,43 @@ ORACLE: dict[str, str] = {
               AND p.ts < s.ts + INTERVAL 30 MINUTE
           )
     """,
+    "ev_window_join_click_purchase": """
+        WITH c AS (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS w, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS w,
+                   event_id AS purchase_id, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id,
+            STRFTIME(c.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(c.w + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+            c.click_id,
+            p.purchase_id,
+            ROUND(p.value, 2) AS purchase_value
+        FROM c JOIN p ON p.user_id = c.user_id AND p.w = c.w
+    """,
+    "ev_window_cogroup_click_purchase": """
+        SELECT user_id,
+            STRFTIME(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(w + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clicks,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchases,
+            CAST(ROUND(COALESCE(
+                SUM(CASE WHEN event_type = 'click' THEN value END), 0), 2)
+                 AS DOUBLE) AS click_value,
+            CAST(ROUND(COALESCE(
+                SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 2)
+                 AS DOUBLE) AS purchase_value
+        FROM (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS w, event_type, value
+            FROM events WHERE event_type IN ('click', 'purchase')
+        )
+        GROUP BY user_id, w
+    """,
     "ev_first_event_per_key": """
         SELECT
             user_id,

@@ -146,6 +146,22 @@ def test_sample_with_size(spark):
     assert rows(got, "id") == rows(again, "id")
 
 
+def test_sample_with_size_hashed(spark):
+    df = spark.range(1000)
+    got = sampling.sample_with_size_hashed(df, 100, ["id"])
+    ids = rows(got, "id")
+    assert len(ids) == 100 and len(set(ids)) == 100
+    # Deterministic: same (key, salt) → the exact same row set.
+    assert ids == rows(sampling.sample_with_size_hashed(df, 100, ["id"]), "id")
+    # A different salt redraws.
+    other = rows(sampling.sample_with_size_hashed(df, 100, ["id"], salt="x"), "id")
+    assert ids != other
+    # Top-n by hash plans as TakeOrdered, not a full sort shuffle.
+    plan = sampling.sample_with_size_hashed(df, 100, ["id"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_sort_partition(spark, tuples3):
     out = sort_limit.sort_partition(tuples3.repartition(2, "grp"), F.asc("id"))
     # Within every partition, ids are ascending.
