@@ -66,6 +66,32 @@ def gr_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (reference library/ConnectedComponents.java —
+    min-label propagation to fixpoint) over the SPARSE high-quantity
+    purchase subgraph, which fractures into dozens of components. The
+    DuckDB oracle recomputes each vertex's component as the min id in its
+    reachability closure (recursive CTE)."""
+    from flink_1_3_2_hopsworks_spark.graph.pregel import connected_components
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49.5
+    )
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    # Sparse components can be long paths; give min-label propagation
+    # diameter-many supersteps (converged() stops early regardless).
+    out = connected_components(edges, max_iterations=60)
+    return out.select("id", "component").orderBy("id")
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

@@ -35,6 +35,29 @@ ORACLE: dict[str, str] = {
         GROUP BY id
         ORDER BY id
     """,
+    "gr_connected_components": """
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), sym AS (
+            SELECT c AS src, s AS dst FROM base
+            UNION ALL
+            SELECT s AS src, c AS dst FROM base
+        ), verts AS (
+            SELECT DISTINCT src AS id FROM sym
+        ), reach(root, node) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT reach.root, sym.dst
+            FROM reach JOIN sym ON sym.src = reach.node
+        )
+        SELECT root AS id, CAST(MIN(node) AS BIGINT) AS component
+        FROM reach
+        GROUP BY root
+        ORDER BY id
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s

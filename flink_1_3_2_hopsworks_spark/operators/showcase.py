@@ -330,6 +330,23 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_join_with_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joinWithTiny (reference JoinOperatorSets BROADCAST_HASH_SECOND hint):
+    supplier ⋈ broadcast(nation) — the sugar must plan a broadcast-hash
+    join of the tiny side, never a shuffle of the big side."""
+    from flink_1_3_2_hopsworks_spark.operators.joins import join_with_tiny
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = join_with_tiny(
+        supplier, nation, supplier.s_nationkey == nation.n_nationkey
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reduceGroup (reference GroupReduceOperator / GroupReduceFunction):
     the UDF sees the WHOLE group at once — here order statistics (median)

@@ -176,6 +176,13 @@ ORACLE: dict[str, str] = {
             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
         FROM nation
     """,
+    "op_join_with_tiny": """
+        SELECT n_name,
+            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+            CAST(ROUND(SUM(s_acctbal), 2) AS DOUBLE) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "op_group_reduce_stats": """
         SELECT event_type,
             CAST(COUNT(*) AS BIGINT) AS n,

@@ -174,6 +174,60 @@ def ev_running_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_count_tumbling_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling COUNT windows (reference KeyedStream#countWindow(n):
+    GlobalWindows + CountTrigger(n)): per user, consecutive blocks of 20
+    events in event_id order; incomplete trailing blocks never fire. Runs
+    the batch twin of the keyed-state streaming operator
+    (process.py count_window_agg_stream — batch/stream equivalence is
+    pytest-asserted); the oracle restates block = (row_number-1) // 20."""
+    from flink_1_3_2_hopsworks_spark.streaming.process import (
+        count_window_agg_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = count_window_agg_batch(
+        events.select("user_id", "event_id", "value"),
+        ["user_id"],
+        "event_id",
+        20,
+        [
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        ],
+    )
+    return out.select("user_id", "window_id", "sum_value", "first_id", "last_id")
+
+
+def cep_double_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP STRICT contiguity (reference Pattern#next vs #followedBy): an
+    error whose IMMEDIATELY next event for that user is also an error — a
+    single intervening event of any other type kills the partial, unlike
+    the relaxed gates above. All-matches: k consecutive errors yield k-1
+    pairs. Oracle = LAG over the per-user (ts, event_id) sequence."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
+
+    events = load_table(spark, sf_dir, "events")
+    pattern = Pattern.begin(
+        "e1", lambda e: e["event_type"] == "error"
+    ).next("e2", lambda e: e["event_type"] == "error")
+    matches = pattern.match_batch(
+        events,
+        ["user_id"],
+        "ts",
+        "event_id",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return matches.select(
+        "user_id",
+        F.element_at("event_ids", 1).alias("first_error_id"),
+        F.element_at("event_ids", 2).alias("second_error_id"),
+        F.date_format("start_ts", _TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", _TS_FMT).alias("end_ts"),
+    )
+
+
 def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP (reference flink-cep §2.11): signup followedBy purchase within
     30 minutes, per user — NFA over keyed event sequences. The 2-step

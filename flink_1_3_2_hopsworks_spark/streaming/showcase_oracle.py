@@ -145,6 +145,37 @@ ORACLE: dict[str, str] = {
               AND p.ts < s.ts + INTERVAL 30 MINUTE
           )
     """,
+    "ev_count_tumbling_20": """
+        SELECT user_id, window_id,
+            CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value,
+            MIN(event_id) AS first_id,
+            MAX(event_id) AS last_id
+        FROM (
+            SELECT user_id, event_id, value,
+                CAST((ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                ) - 1) // 20 AS BIGINT) AS window_id
+            FROM events
+        )
+        GROUP BY user_id, window_id
+        HAVING COUNT(*) = 20
+    """,
+    "cep_double_error": """
+        SELECT user_id,
+            prev_id AS first_error_id,
+            event_id AS second_error_id,
+            STRFTIME(prev_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+            STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS end_ts
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                LAG(event_type) OVER w AS prev_type,
+                LAG(event_id) OVER w AS prev_id,
+                LAG(ts) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE event_type = 'error' AND prev_type = 'error'
+    """,
     "ev_window_join_click_purchase": """
         WITH c AS (
             SELECT user_id, DATE_TRUNC('hour', ts) AS w, event_id AS click_id

@@ -201,3 +201,40 @@ def test_simhash_fingerprint_single_aggregate_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one partial+final HashAggregate pair for the majority sums
     assert plan.count("HashAggregate") == 2
+
+
+def test_join_with_tiny_broadcasts(spark):
+    """joinWithTiny/joinWithHuge sugar must plan BroadcastHashJoin with the
+    tiny side broadcast — never a shuffle of the big side."""
+    from flink_1_3_2_hopsworks_spark.operators.joins import (
+        join_with_huge,
+        join_with_tiny,
+    )
+
+    supplier = load_table(spark, SF, "supplier")
+    nation = load_table(spark, SF, "nation")
+    plan = plan_of(
+        join_with_tiny(supplier, nation, supplier.s_nationkey == nation.n_nationkey)
+    )
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(
+        join_with_huge(nation, supplier, nation.n_nationkey == supplier.s_nationkey)
+    )
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_count_window_batch_single_shuffle_no_python(spark):
+    """Tumbling count windows: one hash exchange on the keys (shared by the
+    row_number window and the block aggregate) and zero Python stages."""
+    from flink_1_3_2_hopsworks_spark.streaming.process import (
+        count_window_agg_batch,
+    )
+
+    events = load_table(spark, SF, "events").select("user_id", "event_id", "value")
+    out = count_window_agg_batch(
+        events, ["user_id"], "event_id", 20,
+        [F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
