@@ -31,6 +31,29 @@ def ml_linreg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_knn_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN (reference ml/nn/KNN.scala, block-nested exact mode): the
+    5 nearest training vectors per query by Euclidean distance, ranked
+    deterministically (distance, neighbor_id). DuckDB replays the distances
+    with LIST_DISTANCE; the LSH mode's recall is pytest-covered."""
+    from flink_1_3_2_hopsworks_spark.ml.pipeline import KNN
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    train = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    model = KNN(k=5, exact=True).fit(train, "features", "vec_id")
+    out = model.predict(queries)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("distance", 4).alias("distance"),
+        "rank",
+    )
+
+
 def ml_scaled_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StandardScaler fit+transform (reference preprocessing/
     StandardScaler.scala adapter) on lineitem quantity: z-scores against

@@ -7,6 +7,27 @@ ORACLE: dict[str, str] = {
             ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept
         FROM lineitem
     """,
+    "ml_knn_neighbors": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), t AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS tv
+            FROM embeddings WHERE vec_id >= 5
+        ), pairs AS (
+            SELECT query_id, neighbor_id, LIST_DISTANCE(qv, tv) AS d
+            FROM q CROSS JOIN t
+        ), ranked AS (
+            SELECT query_id, neighbor_id, d,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC
+                ) AS INTEGER) AS rank
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id,
+            ROUND(ROUND(d, 6), 4) AS distance, rank
+        FROM ranked WHERE rank <= 5
+    """,
     "ml_scaled_quantity": """
         SELECT
             l_orderkey,

@@ -330,6 +330,29 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_split_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/select routing (reference SplitStream + OutputTag side
+    outputs, §2.7): one scan fans out into named predicate routes; two
+    routes are selected and re-tagged. Spark dedups the shared scan across
+    branches; the oracle restates the selected routes as filtered unions."""
+    from flink_1_3_2_hopsworks_spark.operators.routing import split
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    routes = split(
+        events,
+        {
+            "high": F.col("value") >= 75.0,
+            "mid": (F.col("value") >= 25.0) & (F.col("value") < 75.0),
+            "low": F.col("value") < 25.0,
+        },
+    )
+    high = routes["high"].withColumn("route", F.lit("high"))
+    low = routes["low"].withColumn("route", F.lit("low"))
+    return high.unionByName(low).select("event_id", "event_type", "route", "value")
+
+
 def op_join_with_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     """joinWithTiny (reference JoinOperatorSets BROADCAST_HASH_SECOND hint):
     supplier ⋈ broadcast(nation) — the sugar must plan a broadcast-hash

@@ -176,6 +176,13 @@ ORACLE: dict[str, str] = {
             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
         FROM nation
     """,
+    "op_split_select": """
+        SELECT event_id, event_type, 'high' AS route, value
+        FROM events WHERE value >= 75.0
+        UNION ALL
+        SELECT event_id, event_type, 'low' AS route, value
+        FROM events WHERE value < 25.0
+    """,
     "op_join_with_tiny": """
         SELECT n_name,
             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
