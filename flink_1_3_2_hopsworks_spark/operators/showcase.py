@@ -330,6 +330,48 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_delta_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta iteration (reference DeltaIteration: updatable solution set +
+    shrinking workset, §2.8): incremental BFS over the sparse high-quantity
+    purchase graph — each round expands only the newly-settled frontier,
+    the delta merges into the solution by key, and iteration stops when the
+    workset empties (far fewer rows touched per round than a bulk
+    recompute). Oracle: recursive BFS CTE with min hop counts."""
+    from flink_1_3_2_hopsworks_spark.operators.iterate import iterate_delta
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49.5
+    )
+    e = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    source = e.agg(F.min("src")).collect()[0][0]
+    init = spark.createDataFrame([(source, 0)], "id long, hops long")
+
+    def step(solution, workset, i):
+        cand = (
+            workset.withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+        )
+        delta = cand.join(solution, "id", "left_anti")
+        return delta, delta
+
+    out = iterate_delta(init, init, step, ["id"], max_iterations=60)
+    return out.orderBy("id")
+
+
 def op_split_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """split/select routing (reference SplitStream + OutputTag side
     outputs, §2.7): one scan fans out into named predicate routes; two

@@ -176,6 +176,28 @@ ORACLE: dict[str, str] = {
             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS idx
         FROM nation
     """,
+    "op_delta_iteration": """
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), sym AS (
+            SELECT c AS src, s AS dst FROM base
+            UNION ALL
+            SELECT s AS src, c AS dst FROM base
+        ), reach(id, d) AS (
+            SELECT (SELECT MIN(c) FROM base), 0
+            UNION
+            SELECT sym.dst, reach.d + 1
+            FROM reach JOIN sym ON sym.src = reach.id
+            WHERE reach.d < 60
+        )
+        SELECT id, CAST(MIN(d) AS BIGINT) AS hops
+        FROM reach
+        GROUP BY id
+        ORDER BY id
+    """,
     "op_split_select": """
         SELECT event_id, event_type, 'high' AS route, value
         FROM events WHERE value >= 75.0

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_3_2_hopsworks_spark.catalog import load_table
 from flink_1_3_2_hopsworks_spark.table import (
     Over,
+    Session,
+    Slide,
     TableEnvironment,
     Tumble,
 )
@@ -85,6 +87,48 @@ def tbl_tumble_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "total_value",
+    ).df
+
+
+def tbl_slide_6h_2h_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slide group-window path (reference api/windows.scala `Slide over
+    6.hours every 2.hours`): every event lands in 3 overlapping windows;
+    counts/value per (window, type)."""
+    env = _env(spark, sf_dir, "events")
+    out = (
+        env.scan("events")
+        .window(Slide.over("6 hours").every("2 hours").on("ts").with_alias("w"))
+        .group_by("w, event_type")
+        .select(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).df
+
+
+def tbl_session_30m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session group-window path (reference api/windows.scala `Session
+    withGap 30.minutes`) through Spark's native session_window — merge-on-
+    overlap sessions per user; end = last event + gap."""
+    env = _env(spark, sf_dir, "events")
+    out = (
+        env.scan("events")
+        .window(Session.with_gap("30 minutes").on("ts").with_alias("w"))
+        .group_by("w, user_id")
+        .select(F.count(F.lit(1)).alias("n_events"))
+    )
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "user_id",
+        "n_events",
     ).df
 
 

@@ -34,6 +34,54 @@ ORACLE = {
         FROM events
         GROUP BY 1, 2, 3
     """,
+    "tbl_slide_6h_2h_by_type": """
+        WITH starts AS (
+            SELECT
+                UNNEST([
+                    TIME_BUCKET(INTERVAL 2 HOUR, ts),
+                    TIME_BUCKET(INTERVAL 2 HOUR, ts) - INTERVAL 2 HOUR,
+                    TIME_BUCKET(INTERVAL 2 HOUR, ts) - INTERVAL 4 HOUR
+                ]) AS ws,
+                event_type,
+                value
+            FROM events
+        )
+        SELECT
+            STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+            STRFTIME(ws + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM starts
+        GROUP BY 1, 2, 3
+    """,
+    "tbl_session_30m_by_user": """
+        WITH marked AS (
+            SELECT
+                user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT
+                user_id, ts,
+                SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+            FROM marked
+        )
+        SELECT
+            STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+            STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,
+            user_id,
+            COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
     "tbl_over_running_revenue": """
         SELECT
             o_custkey,
