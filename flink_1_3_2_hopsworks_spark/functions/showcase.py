@@ -184,3 +184,25 @@ def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, F.split("o_orderpriority", "-"), "token", ["o_orderkey"]
     )
     return tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def fn_rich_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RichFunction broadcast set (reference RuntimeContext
+    .getBroadcastVariable / DataSet#withBroadcastSet): a SMALL dimension
+    collected once and broadcast to every executor for Python-side lookup
+    inside a pandas UDF — the escape hatch when lookup logic can't be a
+    join (the join spelling is preferred and is what the oracle states)."""
+    from flink_1_3_2_hopsworks_spark.functions.rich import broadcast_set
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bc = broadcast_set(nation)
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    @F.pandas_udf("string")
+    def nation_name(keys: pd.Series) -> pd.Series:
+        mapping = {r["n_nationkey"]: r["n_name"] for r in bc.value}
+        return keys.map(mapping)
+
+    return supplier.select(
+        "s_suppkey", nation_name(F.col("s_nationkey")).alias("nation_name")
+    )

@@ -83,6 +83,10 @@ ORACLE: dict[str, str] = {
             ROUND(DEGREES(n_nationkey), 4) AS deg_k
         FROM nation
     """,
+    "fn_rich_broadcast_lookup": """
+        SELECT s_suppkey, n_name AS nation_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
     "fn_udf_scalar": """
         SELECT
             l_returnflag,
