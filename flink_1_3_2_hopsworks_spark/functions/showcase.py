@@ -198,10 +198,16 @@ def fn_rich_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = broadcast_set(nation)
     supplier = load_table(spark, sf_dir, "supplier")
 
+    # The dict is built once per executor process (RichFunction.open()
+    # semantics), not per Arrow batch — for a large dimension the rebuild
+    # would otherwise repeat on every batch.
+    cache: dict = {}
+
     @F.pandas_udf("string")
     def nation_name(keys: pd.Series) -> pd.Series:
-        mapping = {r["n_nationkey"]: r["n_name"] for r in bc.value}
-        return keys.map(mapping)
+        if "m" not in cache:
+            cache["m"] = {r["n_nationkey"]: r["n_name"] for r in bc.value}
+        return keys.map(cache["m"])
 
     return supplier.select(
         "s_suppkey", nation_name(F.col("s_nationkey")).alias("nation_name")

@@ -86,12 +86,15 @@ class Graph:
         two vertices. Here an id appears once, and ``self``'s row wins
         deterministically (anti-join keeps only ``other``'s new ids) —
         nondeterministic dropDuplicates survival would break repeatable
-        plans at scale."""
-        new_ids = other.vertices.join(
-            self.vertices.select("id"), "id", "left_anti"
+        plans at scale. Each input is also deduped on id so the result
+        upholds the distinct-vertex-id invariant even for hand-built
+        inputs."""
+        mine = self.vertices.dropDuplicates(["id"])
+        new_ids = other.vertices.dropDuplicates(["id"]).join(
+            mine.select("id"), "id", "left_anti"
         )
         return Graph(
-            self.vertices.unionByName(new_ids),
+            mine.unionByName(new_ids),
             self.edges.unionByName(other.edges),
         )
 
@@ -137,11 +140,7 @@ class Graph:
         with vertices and emits 0 for edge-less vertices (Gelly
         Graph#outDegrees/#inDegrees), so isolated vertices — e.g. after
         filter_on_vertices or union — must not vanish."""
-        return (
-            self.vertices.select("id")
-            .join(_degrees(self.edges), "id", "left")
-            .fillna(0, ["out_degree", "in_degree"])
-        )
+        return _degrees(self.edges, self.vertices)
 
     def out_degrees(self) -> DataFrame:
         return self._vertex_degrees().select("id", "out_degree")

@@ -32,17 +32,24 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def degrees(edges: DataFrame) -> DataFrame:
-    """Per-vertex out/in degree (reference Graph#outDegrees/#inDegrees)."""
+def degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Per-vertex out/in degree (reference Graph#outDegrees/#inDegrees).
+
+    Pass ``vertices`` (an ``id`` column) to compute over an explicit vertex
+    set — edge-less vertices then appear with degree 0, matching Gelly's
+    coGroup-with-vertices semantics; default derives the set from the edge
+    endpoints."""
     out_d = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
     in_d = edges.groupBy(F.col("dst").alias("id")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )
+    base = (
+        vertices.select("id") if vertices is not None else vertices_from_edges(edges)
+    )
     return (
-        vertices_from_edges(edges)
-        .join(out_d, "id", "left")
+        base.join(out_d, "id", "left")
         .join(in_d, "id", "left")
         .fillna(0, ["out_degree", "in_degree"])
     )

@@ -66,6 +66,25 @@ def gr_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-quantity slice of the purchase graph (o_custkey < 200,
+    l_quantity >= 49.5): sparse enough to fracture into dozens of
+    components — shared by the gr_connected_components and
+    op_delta_iteration gates (their oracles restate the same filters)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49.5
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def gr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (reference library/ConnectedComponents.java —
     min-label propagation to fixpoint) over the SPARSE high-quantity
@@ -74,21 +93,11 @@ def gr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability closure (recursive CTE)."""
     from flink_1_3_2_hopsworks_spark.graph.pregel import connected_components
 
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
-    lineitem = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity") >= 49.5
-    )
-    edges = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
-        )
-        .distinct()
-    )
     # Sparse components can be long paths; give min-label propagation
     # diameter-many supersteps (converged() stops early regardless).
-    out = connected_components(edges, max_iterations=60)
+    out = connected_components(
+        _sparse_bipartite_edges(spark, sf_dir), max_iterations=60
+    )
     return out.select("id", "component").orderBy("id")
 
 

@@ -337,20 +337,12 @@ def op_delta_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta merges into the solution by key, and iteration stops when the
     workset empties (far fewer rows touched per round than a bulk
     recompute). Oracle: recursive BFS CTE with min hop counts."""
+    from flink_1_3_2_hopsworks_spark.graph.showcase import (
+        _sparse_bipartite_edges,
+    )
     from flink_1_3_2_hopsworks_spark.operators.iterate import iterate_delta
 
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
-    lineitem = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity") >= 49.5
-    )
-    e = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1_000_000).alias("dst"),
-        )
-        .distinct()
-    )
+    e = _sparse_bipartite_edges(spark, sf_dir)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
@@ -369,6 +361,9 @@ def op_delta_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         return delta, delta
 
     out = iterate_delta(init, init, step, ["id"], max_iterations=60)
+    # iterate_delta localCheckpoints its result, so the cached loop
+    # invariant can be released immediately (registry runs share a session).
+    edges.unpersist()
     return out.orderBy("id")
 
 
@@ -424,6 +419,10 @@ def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
 
+    # Raw stats in the UDF; rounding happens JVM-side below — Python's
+    # round() is banker's (half-to-even) while Spark F.round and DuckDB
+    # ROUND are half-up, so rounding in pandas would diverge from the
+    # oracle on exactly-representable halves (0.125, 2.675, ...).
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         return pd.DataFrame(
@@ -431,19 +430,26 @@ def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "event_type": pdf.iloc[0]["event_type"],
                     "n": len(pdf),
-                    "min_value": round(float(v.min()), 2),
-                    "max_value": round(float(v.max()), 2),
-                    "median_value": round(float(v.median()), 4),
+                    "min_value": float(v.min()),
+                    "max_value": float(v.max()),
+                    "median_value": float(v.median()),
                 }
             ]
         )
 
-    return group_reduce(
+    out = group_reduce(
         events.select("event_type", "value"),
         ["event_type"],
         stats,
         "event_type string, n long, min_value double, max_value double, "
         "median_value double",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("median_value", 4).alias("median_value"),
     )
 
 
