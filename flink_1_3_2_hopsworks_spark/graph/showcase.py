@@ -101,6 +101,42 @@ def gr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "component").orderBy("id")
 
 
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (reference library/TriangleEnumerator +
+    TriangleCount) over the customer CO-PURCHASE projection of the sparse
+    subgraph (customers linked when they share a supplier — the bipartite
+    graph itself is triangle-free). Exact integer outputs; the oracle
+    re-enumerates wedges with the same canonical a<b<c join."""
+    from flink_1_3_2_hopsworks_spark.graph.library import (
+        triangle_count_per_vertex,
+    )
+
+    e = _sparse_bipartite_edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("u"), F.col("dst").alias("s"))
+    b = e.select(F.col("src").alias("v"), F.col("dst").alias("s"))
+    co = (
+        a.join(b, "s")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    out = triangle_count_per_vertex(co)
+    return out.select("id", "triangles").orderBy("id")
+
+
+def gr_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (reference library/similarity/
+    AdamicAdar.java): Σ_w 1/ln(deg(w)) over shared neighbors, on the
+    sparse purchase subgraph — the standard 'which links are missing'
+    score for co-purchase graphs."""
+    from flink_1_3_2_hopsworks_spark.graph.library import adamic_adar
+
+    out = adamic_adar(_sparse_bipartite_edges(spark, sf_dir))
+    return out.select(
+        "u", "v", F.round("adamic_adar", 4).alias("adamic_adar")
+    ).orderBy("u", "v")
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

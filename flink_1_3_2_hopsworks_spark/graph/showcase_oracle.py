@@ -58,6 +58,60 @@ ORACLE: dict[str, str] = {
         GROUP BY root
         ORDER BY id
     """,
+    "gr_triangle_count": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), co AS (
+            SELECT DISTINCT a.c AS u, b.c AS v
+            FROM base a JOIN base b ON a.s = b.s AND a.c < b.c
+        ), tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM co e1
+            JOIN co e2 ON e2.u = e1.v
+            JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), ids AS (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ), verts AS (
+            SELECT DISTINCT id
+            FROM (SELECT u AS id FROM co UNION ALL SELECT v AS id FROM co)
+        )
+        SELECT verts.id,
+            CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles
+        FROM verts
+        LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM ids GROUP BY id) t
+            USING (id)
+        ORDER BY verts.id
+    """,
+    "gr_adamic_adar": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT c AS src, s AS dst FROM base
+                UNION ALL
+                SELECT s AS src, c AS dst FROM base
+            ) WHERE src <> dst
+        ), deg AS (
+            SELECT src AS w, COUNT(*) AS wdeg FROM sym GROUP BY 1
+        ), shared AS (
+            SELECT l.dst AS u, r.dst AS v, l.src AS w
+            FROM sym l JOIN sym r ON l.src = r.src AND l.dst < r.dst
+        )
+        SELECT u, v,
+            CAST(ROUND(SUM(1.0 / LN(wdeg)), 4) AS DOUBLE) AS adamic_adar
+        FROM shared JOIN deg USING (w)
+        WHERE wdeg >= 2
+        GROUP BY u, v
+        ORDER BY u, v
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
