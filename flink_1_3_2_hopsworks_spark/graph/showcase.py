@@ -137,6 +137,67 @@ def gr_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("u", "v")
 
 
+def gr_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (reference library/
+    LocalClusteringCoefficient) over the customer co-purchase projection
+    of the sparse subgraph: 2·triangles / (deg·(deg−1)), exact rationals
+    rounded to 4dp — the oracle re-derives triangles and degrees in SQL."""
+    from flink_1_3_2_hopsworks_spark.graph.library import (
+        clustering_coefficient,
+    )
+
+    e = _sparse_bipartite_edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("u"), F.col("dst").alias("s"))
+    b = e.select(F.col("src").alias("v"), F.col("dst").alias("s"))
+    co = (
+        a.join(b, "s")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    out = clustering_coefficient(co)
+    return out.select(
+        "id",
+        "triangles",
+        "degree",
+        F.round("coefficient", 4).alias("coefficient"),
+    ).orderBy("id")
+
+
+def gr_graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural summarization (reference library/Summarization.java):
+    collapse the bipartite purchase graph by nation — customer vertices
+    group by c_nationkey, supplier vertices by 100+s_nationkey — and emit
+    the super-edges (src_group, dst_group, edge_count)."""
+    from flink_1_3_2_hopsworks_spark.graph.library import summarize_graph
+
+    edges = _bipartite_edges(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("group"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + _SUPP_OFFSET).alias("id"),
+        (F.col("s_nationkey").cast("long") + 100).alias("group"),
+    )
+    vertices = customer.unionByName(supplier)
+    _sv, super_edges = summarize_graph(vertices, edges, "group")
+    return super_edges.select(
+        "src_group", "dst_group", "edge_count"
+    ).orderBy("src_group", "dst_group")
+
+
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (reference library/
+    LabelPropagation.java), 2 supersteps over the sparse undirected
+    purchase subgraph — most-frequent neighbor label, ties to the smallest
+    label. Deterministic, so the oracle unrolls both rounds in SQL."""
+    from flink_1_3_2_hopsworks_spark.graph.library import label_propagation
+
+    out = label_propagation(_sparse_bipartite_edges(spark, sf_dir), iterations=2)
+    return out.select("id", "label").orderBy("id")
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

@@ -112,6 +112,100 @@ ORACLE: dict[str, str] = {
         GROUP BY u, v
         ORDER BY u, v
     """,
+    "gr_clustering_coef": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), co AS (
+            SELECT DISTINCT a.c AS u, b.c AS v
+            FROM base a JOIN base b ON a.s = b.s AND a.c < b.c
+        ), tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM co e1
+            JOIN co e2 ON e2.u = e1.v
+            JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), ids AS (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ), verts AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS id FROM co UNION ALL SELECT v AS id FROM co)
+            GROUP BY id
+        )
+        SELECT verts.id,
+            CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles,
+            deg AS degree,
+            CASE WHEN deg >= 2 THEN
+                CAST(ROUND(2.0 * COALESCE(t.cnt, 0) / (deg * (deg - 1)), 4)
+                     AS DOUBLE)
+            ELSE 0.0 END AS coefficient
+        FROM verts
+        LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM ids GROUP BY id) t
+            USING (id)
+        ORDER BY verts.id
+    """,
+    "gr_graph_summarize": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        )
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src_group,
+            CAST(s.s_nationkey + 100 AS BIGINT) AS dst_group,
+            CAST(COUNT(*) AS BIGINT) AS edge_count
+        FROM edges
+        JOIN customer c ON c.c_custkey = edges.src
+        JOIN supplier s ON s.s_suppkey = edges.s
+        GROUP BY 1, 2
+        ORDER BY src_group, dst_group
+    """,
+    "gr_label_propagation": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT c AS src, s AS dst FROM base
+                UNION ALL
+                SELECT s AS src, c AS dst FROM base
+            ) WHERE src <> dst
+        ), state0 AS (
+            SELECT DISTINCT src AS id, src AS label FROM sym
+        ), votes1 AS (
+            SELECT sym.dst AS id, s.label, COUNT(*) AS cnt
+            FROM sym JOIN state0 s ON sym.src = s.id
+            GROUP BY 1, 2
+        ), best1 AS (
+            SELECT id, label FROM (
+                SELECT id, label, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY cnt DESC, label ASC
+                ) AS rn FROM votes1
+            ) WHERE rn = 1
+        ), state1 AS (
+            SELECT s.id, COALESCE(b.label, s.label) AS label
+            FROM state0 s LEFT JOIN best1 b ON b.id = s.id
+        ), votes2 AS (
+            SELECT sym.dst AS id, s.label, COUNT(*) AS cnt
+            FROM sym JOIN state1 s ON sym.src = s.id
+            GROUP BY 1, 2
+        ), best2 AS (
+            SELECT id, label FROM (
+                SELECT id, label, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY cnt DESC, label ASC
+                ) AS rn FROM votes2
+            ) WHERE rn = 1
+        ), state2 AS (
+            SELECT s.id, COALESCE(b.label, s.label) AS label
+            FROM state1 s LEFT JOIN best2 b ON b.id = s.id
+        )
+        SELECT id, label FROM state2 ORDER BY id
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -54,6 +54,52 @@ def ml_knn_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_minmax_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMaxScaler fit+transform (reference preprocessing/
+    MinMaxScaler.scala adapter) on extended price: range-scaled to [0,1],
+    replayed per-row by DuckDB from the global min/max."""
+    from flink_1_3_2_hopsworks_spark.ml.pipeline import MinMaxScaler
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(F.col("l_extendedprice").cast("double")).alias("features"),
+    )
+    scaled = MinMaxScaler().fit(li, "features").transform(li)
+    return scaled.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at("features", 1), 4).alias("scaled_price"),
+    ).orderBy("l_orderkey", "l_linenumber").limit(5000)
+
+
+def ml_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolynomialFeatures degree-2 expansion (reference preprocessing/
+    PolynomialFeatures.scala adapter) of (quantity, discount): Spark's
+    PolynomialExpansion term order [x, x², y, x·y, y²], each term
+    recomputed arithmetically by the oracle."""
+    from flink_1_3_2_hopsworks_spark.ml.pipeline import PolynomialFeatures
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("features"),
+    )
+    out = PolynomialFeatures(degree=2).fit(li).transform(li, "features")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at("features", 1), 4).alias("x"),
+        F.round(F.element_at("features", 2), 4).alias("x2"),
+        F.round(F.element_at("features", 3), 4).alias("y"),
+        F.round(F.element_at("features", 4), 4).alias("xy"),
+        F.round(F.element_at("features", 5), 4).alias("y2"),
+    ).orderBy("l_orderkey", "l_linenumber").limit(2000)
+
+
 def ml_scaled_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StandardScaler fit+transform (reference preprocessing/
     StandardScaler.scala adapter) on lineitem quantity: z-scores against

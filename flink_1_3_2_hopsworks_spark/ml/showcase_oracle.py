@@ -28,6 +28,32 @@ ORACLE: dict[str, str] = {
             ROUND(ROUND(d, 6), 4) AS distance, rank
         FROM ranked WHERE rank <= 5
     """,
+    "ml_minmax_price": """
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            ROUND(
+                (l_extendedprice - MIN(l_extendedprice) OVER ())
+                / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()),
+                4
+            ) AS scaled_price
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 5000
+    """,
+    "ml_poly_features": """
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            ROUND(CAST(l_quantity AS DOUBLE), 4) AS x,
+            ROUND(CAST(l_quantity AS DOUBLE) * l_quantity, 4) AS x2,
+            ROUND(CAST(l_discount AS DOUBLE), 4) AS y,
+            ROUND(CAST(l_quantity AS DOUBLE) * l_discount, 4) AS xy,
+            ROUND(CAST(l_discount AS DOUBLE) * l_discount, 4) AS y2
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 2000
+    """,
     "ml_scaled_quantity": """
         SELECT
             l_orderkey,

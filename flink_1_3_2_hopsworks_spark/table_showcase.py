@@ -146,3 +146,18 @@ def tbl_over_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .df
     )
+
+
+def tbl_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy/offset/fetch paging path (reference table.scala orderBy +
+    offset + fetch → Calcite Sort with fetch/offset): page 3 of the
+    highest-value orders, tie-broken by key for determinism."""
+    env = _env(spark, sf_dir, "orders")
+    out = (
+        env.scan("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .order_by("o_totalprice desc", "o_orderkey asc")
+        .offset(40)
+        .fetch(20)
+    )
+    return out.df

@@ -93,4 +93,10 @@ ORACLE = {
             ), 2) AS running_total
         FROM orders
     """,
+    "tbl_offset_fetch": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 40
+    """,
 }
