@@ -407,6 +407,23 @@ def op_join_with_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_join_with_huge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joinWithHuge (reference JoinOperatorSets BROADCAST_HASH_FIRST hint):
+    broadcast(nation) ⋈ customer — the sugar broadcasts the declared-tiny
+    LEFT side so the huge probe side never shuffles."""
+    from flink_1_3_2_hopsworks_spark.operators.joins import join_with_huge
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = join_with_huge(
+        nation, customer, nation.n_nationkey == customer.c_nationkey
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reduceGroup (reference GroupReduceOperator / GroupReduceFunction):
     the UDF sees the WHOLE group at once — here order statistics (median)

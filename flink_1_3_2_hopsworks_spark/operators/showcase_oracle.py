@@ -212,6 +212,13 @@ ORACLE: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "op_join_with_huge": """
+        SELECT n_name,
+            CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS total_acctbal
+        FROM nation JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
     "op_group_reduce_stats": """
         SELECT event_type,
             CAST(COUNT(*) AS BIGINT) AS n,

@@ -300,6 +300,41 @@ def cep_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_clean_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negative pattern (reference Pattern#notFollowedBy): signup
+    followed by its first purchase within 30 minutes, but the partial is
+    KILLED if an error for that user arrives before the purchase — the
+    not-step guards the gap between two positive steps. Oracle: first-match
+    join + NOT EXISTS error in the (ts, event_id)-ordered gap."""
+    from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
+
+    # Keep the not-guard's event type in the scan: dropping 'error' rows
+    # would silently disable the kill semantics.
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    pattern = (
+        Pattern.begin("signup", lambda e: e["event_type"] == "signup")
+        .not_followed_by("err", lambda e: e["event_type"] == "error")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(30 * 60)
+    )
+    matches = pattern.match_batch(
+        events,
+        ["user_id"],
+        "ts",
+        "event_id",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return matches.select(
+        "user_id",
+        F.element_at("event_ids", 1).alias("signup_id"),
+        F.element_at("event_ids", 2).alias("purchase_id"),
+        F.date_format("start_ts", _TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", _TS_FMT).alias("end_ts"),
+    )
+
+
 def cep_signup_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP timeout side output (reference PatternStream.select timeout
     overload): signups whose purchase never arrived within 30 minutes,

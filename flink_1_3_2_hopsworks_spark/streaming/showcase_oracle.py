@@ -129,6 +129,50 @@ ORACLE: dict[str, str] = {
             STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
         FROM ranked WHERE rn = 1
     """,
+    "cep_clean_purchase": """
+        WITH s AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        p AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        e AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+        ),
+        ranked AS (
+            SELECT
+                s.user_id,
+                s.event_id AS signup_id,
+                p.event_id AS purchase_id,
+                s.ts AS start_ts,
+                p.ts AS end_ts,
+                ROW_NUMBER() OVER (
+                    PARTITION BY s.user_id, s.event_id
+                    ORDER BY p.ts ASC, p.event_id ASC
+                ) AS rn
+            FROM s
+            JOIN p ON p.user_id = s.user_id
+                  AND (p.ts > s.ts
+                       OR (p.ts = s.ts AND p.event_id > s.event_id))
+                  AND p.ts < s.ts + INTERVAL 30 MINUTE
+        )
+        SELECT
+            user_id,
+            signup_id,
+            purchase_id,
+            STRFTIME(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+            STRFTIME(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts
+        FROM ranked r
+        WHERE rn = 1
+          AND NOT EXISTS (
+            SELECT 1 FROM e
+            WHERE e.user_id = r.user_id
+              AND (e.ts > r.start_ts
+                   OR (e.ts = r.start_ts AND e.event_id > r.signup_id))
+              AND (e.ts < r.end_ts
+                   OR (e.ts = r.end_ts AND e.event_id < r.purchase_id))
+          )
+    """,
     "cep_signup_timeout": """
         SELECT
             s.user_id,
