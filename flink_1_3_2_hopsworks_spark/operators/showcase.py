@@ -215,6 +215,41 @@ def op_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.minus(c, s)
 
 
+def op_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (reference DataSetIntersect keepAll): multiplicity-
+    preserving intersection — each nationkey survives min(customer-count,
+    supplier-count) times, summarized as a count per key so the bag
+    semantics are observable."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        setops.intersect(c, s, all=True)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+def op_minus_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (reference DataSetMinus keepAll): bag difference — each
+    nationkey survives max(customer-count − supplier-count, 0) times,
+    summarized as a count per key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        setops.minus(c, s, all=True)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
 def op_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise first-n (reference grouped first(n)): top-3 orders per
     status by total price."""

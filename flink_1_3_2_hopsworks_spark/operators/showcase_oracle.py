@@ -212,6 +212,24 @@ ORACLE: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "op_intersect_all": """
+        WITH i AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM i GROUP BY nationkey
+    """,
+    "op_minus_all": """
+        WITH m AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM m GROUP BY nationkey
+    """,
     "op_join_with_huge": """
         SELECT n_name,
             CAST(COUNT(*) AS BIGINT) AS n_customers,

@@ -200,6 +200,34 @@ def ev_count_tumbling_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "window_id", "sum_value", "first_id", "last_id")
 
 
+def ev_count_sliding_20_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT windows (reference KeyedStream#countWindow(size, slide)
+    = GlobalWindows + CountTrigger(slide) + CountEvictor(size)): per user,
+    fire on every 5th event aggregating the last ≤20 events in event_id
+    order. Batch twin of the keyed-state streaming operator
+    (process.py count_window_agg_stream with slide; equivalence is
+    pytest-asserted); the oracle restates the ROWS frame + trigger filter."""
+    from flink_1_3_2_hopsworks_spark.streaming.process import (
+        sliding_count_window_agg_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_count_window_agg_batch(
+        events.select("user_id", "event_id", "value"),
+        ["user_id"],
+        "event_id",
+        20,
+        5,
+        "value",
+    )
+    return out.select(
+        "user_id",
+        "window_id",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def cep_double_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP STRICT contiguity (reference Pattern#next vs #followedBy): an
     error whose IMMEDIATELY next event for that user is also an error — a

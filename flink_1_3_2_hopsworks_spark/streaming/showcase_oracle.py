@@ -204,6 +204,23 @@ ORACLE: dict[str, str] = {
         GROUP BY user_id, window_id
         HAVING COUNT(*) = 20
     """,
+    "ev_count_sliding_20_5": """
+        SELECT user_id,
+            CAST((rn // 5) - 1 AS BIGINT) AS window_id,
+            n,
+            CAST(ROUND(sum_value, 2) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT user_id,
+                ROW_NUMBER() OVER w AS rn,
+                COUNT(*) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                    AS n,
+                SUM(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                    AS sum_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        )
+        WHERE rn % 5 = 0
+    """,
     "cep_double_error": """
         SELECT user_id,
             prev_id AS first_error_id,
