@@ -198,6 +198,22 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "label").orderBy("id")
 
 
+def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (reference library/linkanalysis/HITS.java),
+    2 power iterations with per-half-step L1 normalization, on the DIRECTED
+    customer→supplier purchase subgraph — customers are pure hubs,
+    suppliers pure authorities. Deterministic up to float summation order;
+    both sides double-round (6dp then 4dp) to absorb last-ulp drift."""
+    from flink_1_3_2_hopsworks_spark.graph.library import hits
+
+    out = hits(_sparse_bipartite_edges(spark, sf_dir), iterations=2)
+    return out.select(
+        "id",
+        F.round(F.round("hub", 6), 4).alias("hub"),
+        F.round(F.round("auth", 6), 4).alias("auth"),
+    ).orderBy("id")
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

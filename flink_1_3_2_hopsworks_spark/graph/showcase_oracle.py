@@ -206,6 +206,51 @@ ORACLE: dict[str, str] = {
         )
         SELECT id, label FROM state2 ORDER BY id
     """,
+    "gr_hits": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM base UNION ALL SELECT dst FROM base
+            )
+        ), a1r AS (
+            SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS raw
+            FROM base GROUP BY dst
+        ), a1 AS (
+            SELECT v.id,
+                COALESCE(a1r.raw, 0) / (SELECT SUM(raw) FROM a1r) AS auth
+            FROM verts v LEFT JOIN a1r USING (id)
+        ), h1r AS (
+            SELECT b.src AS id, SUM(a1.auth) AS raw
+            FROM base b JOIN a1 ON a1.id = b.dst GROUP BY b.src
+        ), h1 AS (
+            SELECT v.id,
+                COALESCE(h1r.raw, 0) / (SELECT SUM(raw) FROM h1r) AS hub
+            FROM verts v LEFT JOIN h1r USING (id)
+        ), a2r AS (
+            SELECT b.dst AS id, SUM(h1.hub) AS raw
+            FROM base b JOIN h1 ON h1.id = b.src GROUP BY b.dst
+        ), a2 AS (
+            SELECT v.id,
+                COALESCE(a2r.raw, 0) / (SELECT SUM(raw) FROM a2r) AS auth
+            FROM verts v LEFT JOIN a2r USING (id)
+        ), h2r AS (
+            SELECT b.src AS id, SUM(a2.auth) AS raw
+            FROM base b JOIN a2 ON a2.id = b.dst GROUP BY b.src
+        ), h2 AS (
+            SELECT v.id,
+                COALESCE(h2r.raw, 0) / (SELECT SUM(raw) FROM h2r) AS hub
+            FROM verts v LEFT JOIN h2r USING (id)
+        )
+        SELECT h2.id,
+            CAST(ROUND(ROUND(h2.hub, 6), 4) AS DOUBLE) AS hub,
+            CAST(ROUND(ROUND(a2.auth, 6), 4) AS DOUBLE) AS auth
+        FROM h2 JOIN a2 ON a2.id = h2.id
+        ORDER BY h2.id
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
