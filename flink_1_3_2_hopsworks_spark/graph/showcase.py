@@ -101,26 +101,33 @@ def gr_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "component").orderBy("id")
 
 
-def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex triangle counts (reference library/TriangleEnumerator +
-    TriangleCount) over the customer CO-PURCHASE projection of the sparse
-    subgraph (customers linked when they share a supplier — the bipartite
-    graph itself is triangle-free). Exact integer outputs; the oracle
-    re-enumerates wedges with the same canonical a<b<c join."""
-    from flink_1_3_2_hopsworks_spark.graph.library import (
-        triangle_count_per_vertex,
-    )
-
+def _co_purchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer co-purchase projection of the sparse subgraph (customers
+    linked when they share a supplier; canonical src < dst) — shared by the
+    gr_triangle_count and gr_clustering_coef gates, whose oracles restate
+    the same projection."""
     e = _sparse_bipartite_edges(spark, sf_dir)
     a = e.select(F.col("src").alias("u"), F.col("dst").alias("s"))
     b = e.select(F.col("src").alias("v"), F.col("dst").alias("s"))
-    co = (
+    return (
         a.join(b, "s")
         .filter(F.col("u") < F.col("v"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .distinct()
     )
-    out = triangle_count_per_vertex(co)
+
+
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (reference library/TriangleEnumerator +
+    TriangleCount) over the customer CO-PURCHASE projection of the sparse
+    subgraph (the bipartite graph itself is triangle-free). Exact integer
+    outputs; the oracle re-enumerates wedges with the same canonical
+    a<b<c join."""
+    from flink_1_3_2_hopsworks_spark.graph.library import (
+        triangle_count_per_vertex,
+    )
+
+    out = triangle_count_per_vertex(_co_purchase_projection(spark, sf_dir))
     return out.select("id", "triangles").orderBy("id")
 
 
@@ -146,16 +153,7 @@ def gr_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficient,
     )
 
-    e = _sparse_bipartite_edges(spark, sf_dir)
-    a = e.select(F.col("src").alias("u"), F.col("dst").alias("s"))
-    b = e.select(F.col("src").alias("v"), F.col("dst").alias("s"))
-    co = (
-        a.join(b, "s")
-        .filter(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .distinct()
-    )
-    out = clustering_coefficient(co)
+    out = clustering_coefficient(_co_purchase_projection(spark, sf_dir))
     return out.select(
         "id",
         "triangles",
