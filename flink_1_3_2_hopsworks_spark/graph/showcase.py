@@ -212,6 +212,24 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (reference library/PageRank.java), 2 power iterations with
+    uniform teleport and dangling mass redistributed uniformly (every
+    supplier vertex is dangling in the directed customer→supplier graph),
+    on the sparse purchase subgraph. Deterministic up to float summation
+    order; both sides round once to 5dp — a 6dp-then-4dp double-round
+    MISFIRES here because a rank lands exactly on a 6dp half-boundary
+    (0.0046495), where the cascade amplifies last-ulp drift instead of
+    absorbing it."""
+    from flink_1_3_2_hopsworks_spark.graph.pregel import pagerank
+
+    out = pagerank(_sparse_bipartite_edges(spark, sf_dir), iterations=2)
+    return out.select(
+        "id",
+        F.round("rank", 5).alias("rank"),
+    ).orderBy("id")
+
+
 def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity (reference
     library/similarity/JaccardIndex.java) between customers, by shared

@@ -251,6 +251,57 @@ ORACLE: dict[str, str] = {
         FROM h2 JOIN a2 ON a2.id = h2.id
         ORDER BY h2.id
     """,
+    "gr_pagerank": """
+        WITH base AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        ), verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM base UNION ALL SELECT dst FROM base
+            )
+        ), nv AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts
+        ), deg AS (
+            SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM base GROUP BY src
+        ), r0 AS (
+            SELECT v.id, 1.0 / (SELECT n FROM nv) AS rank FROM verts v
+        ), d1 AS (
+            SELECT COALESCE(SUM(r0.rank), 0) AS dangling
+            FROM r0 LEFT JOIN deg USING (id) WHERE deg.id IS NULL
+        ), c1 AS (
+            SELECT b.dst AS id, SUM(r0.rank / deg.deg) AS c
+            FROM base b
+            JOIN r0 ON r0.id = b.src
+            JOIN deg ON deg.id = b.src
+            GROUP BY b.dst
+        ), r1 AS (
+            SELECT v.id,
+                (0.15 / (SELECT n FROM nv)
+                 + 0.85 * (SELECT dangling FROM d1) / (SELECT n FROM nv))
+                + 0.85 * COALESCE(c1.c, 0) AS rank
+            FROM verts v LEFT JOIN c1 USING (id)
+        ), d2 AS (
+            SELECT COALESCE(SUM(r1.rank), 0) AS dangling
+            FROM r1 LEFT JOIN deg USING (id) WHERE deg.id IS NULL
+        ), c2 AS (
+            SELECT b.dst AS id, SUM(r1.rank / deg.deg) AS c
+            FROM base b
+            JOIN r1 ON r1.id = b.src
+            JOIN deg ON deg.id = b.src
+            GROUP BY b.dst
+        ), r2 AS (
+            SELECT v.id,
+                (0.15 / (SELECT n FROM nv)
+                 + 0.85 * (SELECT dangling FROM d2) / (SELECT n FROM nv))
+                + 0.85 * COALESCE(c2.c, 0) AS rank
+            FROM verts v LEFT JOIN c2 USING (id)
+        )
+        SELECT id, CAST(ROUND(rank, 5) AS DOUBLE) AS rank
+        FROM r2 ORDER BY id
+    """,
     "gr_customer_jaccard": """
         WITH edges AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
