@@ -238,3 +238,16 @@ def test_count_window_batch_single_shuffle_no_python(spark):
     plan = plan_of(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_offset_fetch_plans_take_ordered(spark):
+    """Table orderBy/offset/fetch paging must plan TakeOrderedAndProject
+    (per-partition top-k heaps, offset applied at the final gather) with
+    only the projected columns read — never a global sort of the table."""
+    from flink_1_3_2_hopsworks_spark.table_showcase import tbl_offset_fetch
+
+    plan = plan_of(tbl_offset_fetch(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=40" in plan
+    assert "Sort " not in plan  # no global SortExec stage
+    assert "o_orderdate" not in plan  # column pruning reached the scan
