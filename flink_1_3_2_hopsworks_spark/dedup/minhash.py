@@ -21,7 +21,7 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 # Universal-hash family over a Mersenne prime (the MLlib MinHashLSH scheme):
 # each minhash function is h_i(x) = (a_i * base(x) + b_i) mod P where
@@ -186,11 +186,18 @@ def minhash_near_dups(
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"))
 
-    # Cap degenerate buckets before the quadratic pair join.
-    capped = buckets.withColumn(
-        "_bsize",
-        F.count(F.lit(1)).over(Window.partitionBy("_band", "_bucket")),
-    ).filter(F.col("_bsize") <= max_bucket)
+    # Cap degenerate buckets before the quadratic pair join — broadcast
+    # ANTI-join against the (tiny) oversized-bucket list rather than a
+    # window count: the hot bucket the cap exists for is exactly the
+    # partition a WindowExec would buffer whole in one task, while the
+    # hash-aggregate takes a map-side partial and the short list broadcasts.
+    oversized = (
+        buckets.groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bsize"))
+        .filter(F.col("_bsize") > max_bucket)
+        .select("_band", "_bucket")
+    )
+    capped = buckets.join(F.broadcast(oversized), ["_band", "_bucket"], "left_anti")
 
     left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
     right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))

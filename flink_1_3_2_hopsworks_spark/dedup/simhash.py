@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 
 def portable_hash60(col: Column) -> Column:
@@ -128,8 +128,8 @@ def simhash_near_dups(
     Scale path: 4-chunk blocking turns the quadratic pair space into
     per-chunk-value buckets; verification is an integer XOR popcount.
     ``max_bucket`` caps any one (chunk-index, chunk-value) bucket — a
-    window count + filter before the self-join, bounding the worst task
-    at max_bucket² pairs regardless of corpus skew.
+    hash-aggregated count + broadcast anti-join before the self-join,
+    bounding the worst task at max_bucket² pairs regardless of corpus skew.
 
     Hamming-0 pairs ALWAYS survive the cap: identical-fingerprint groups
     additionally emit a linear doc→canonical (min-id) star, so even when
@@ -137,7 +137,15 @@ def simhash_near_dups(
     all fingerprint 0) is dropped, its exact duplicates still pair — N−1
     rows per group, never N².
     """
-    fps = simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr).withColumnRenamed(id_col, "_id")
+    # Persisted like minhash's signature table: one long per doc — tiny next
+    # to the corpus — and referenced by the blocking self-join (twice), the
+    # bucket-size count, and the exact-star (twice); recomputing it would
+    # re-scan and re-hash the corpus per reference.
+    fps = (
+        simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr)
+        .withColumnRenamed(id_col, "_id")
+        .persist()
+    )
     chunked = fps.select(
         "_id",
         "simhash",
@@ -149,20 +157,33 @@ def simhash_near_dups(
         ).alias("_c"),
     ).select("_id", "simhash", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
 
-    capped = chunked.withColumn(
-        "_bsize", F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
-    ).filter(F.col("_bsize") <= max_bucket)
+    # Cap oversized buckets via a broadcast ANTI-join against the (tiny)
+    # oversized-bucket list — NOT a window count over (ci, cv): the hot
+    # bucket the cap exists for is exactly the partition a WindowExec would
+    # have to buffer whole in one task. The hash-aggregate does a map-side
+    # partial instead, and the ≤4·65536-row count table broadcasts.
+    oversized = (
+        chunked.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("_bsize"))
+        .filter(F.col("_bsize") > max_bucket)
+        .select("ci", "cv")
+    )
+    capped = chunked.join(F.broadcast(oversized), ["ci", "cv"], "left_anti")
 
     left = capped.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"))
     right = capped.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    # Hamming filter BEFORE the pair dedup: the XOR popcount is codegen'd
+    # and cuts the candidate stream to near-duplicates only, so the
+    # dropDuplicates shuffle moves the surviving pairs — not every blocked
+    # candidate (a pair sharing k chunks appears k times; dedup must follow
+    # the verify, but the verify is the cheap half).
     blocked = (
         left.join(right, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("long"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Exact-duplicate recovery (see docstring): canonical star per
     # identical-fingerprint group, linear in group size. groupBy+join, not
