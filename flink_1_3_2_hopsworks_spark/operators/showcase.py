@@ -365,6 +365,42 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_bulk_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk iteration (reference IterativeDataSet + runtime iteration-head
+    loop, §2.8): 3 fixed supersteps of per-row Newton square-root refinement
+    x ← (x + v/x)/2 seeded with x = v, run through the iterate() driver loop
+    (localCheckpoint per superstep truncating lineage). Per-row IEEE double
+    arithmetic — the oracle unrolls the same 3 steps and both engines
+    produce bit-identical values, no float-summation-order drift."""
+    from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+
+    def step(state, i):
+        return state.select(
+            "l_orderkey",
+            "l_linenumber",
+            "v",
+            ((F.col("x") + F.col("v") / F.col("x")) / 2).alias("x"),
+        )
+
+    out = iterate(li, step, max_iterations=3)
+    return (
+        out.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("x", 4).alias("newton_sqrt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5000)
+    )
+
+
 def op_delta_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta iteration (reference DeltaIteration: updatable solution set +
     shrinking workset, §2.8): incremental BFS over the sparse high-quantity

@@ -212,6 +212,24 @@ ORACLE: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "op_bulk_iteration": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+                CAST(l_extendedprice AS DOUBLE) AS v,
+                CAST(l_extendedprice AS DOUBLE) AS x
+            FROM lineitem
+        ), s1 AS (
+            SELECT l_orderkey, l_linenumber, v, (x + v / x) / 2 AS x FROM base
+        ), s2 AS (
+            SELECT l_orderkey, l_linenumber, v, (x + v / x) / 2 AS x FROM s1
+        ), s3 AS (
+            SELECT l_orderkey, l_linenumber, v, (x + v / x) / 2 AS x FROM s2
+        )
+        SELECT l_orderkey, l_linenumber, ROUND(x, 4) AS newton_sqrt
+        FROM s3
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 5000
+    """,
     "op_intersect_all": """
         WITH i AS (
             SELECT c_nationkey AS nationkey FROM customer
