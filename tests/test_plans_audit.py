@@ -251,3 +251,20 @@ def test_offset_fetch_plans_take_ordered(spark):
     assert "offset=40" in plan
     assert "Sort " not in plan  # no global SortExec stage
     assert "o_orderdate" not in plan  # column pruning reached the scan
+
+
+def test_dedup_bucket_caps_avoid_window_exec(spark):
+    """The max_bucket caps must plan as hash-aggregate + broadcast anti-join,
+    NOT a window count: the hot bucket the cap exists for is exactly the
+    partition a WindowExec would buffer whole in one task."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_near_dups
+
+    docs = load_table(spark, SF, "documents")
+    for df in (
+        simhash_near_dups(docs, "doc_id", "text"),
+        minhash_near_dups(docs, "doc_id", "text"),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan
+        assert "LeftAnti, BuildRight" in plan  # broadcast anti-join cap
