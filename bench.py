@@ -154,12 +154,13 @@ def main() -> None:
     # Timed via the noop sink: full distributed execution of the plan without
     # driver-side row materialization (collect() of a 150k-row result costs
     # multiples of the query itself and measures Python, not the engine).
-    # Two back-to-back passes, per-query MIN recorded: a single pass
+    # Three back-to-back passes, per-query MIN recorded: a single pass
     # conflates machine noise with plan cost (round-2's artifact showed a
-    # phantom 1.68× "regression" that was concurrent load).
+    # phantom 1.68× "regression" that was concurrent load; round-4 measured
+    # uniform +10-60% ambient drift between same-code runs minutes apart).
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -174,7 +175,7 @@ def main() -> None:
     # min-by-wall, same hygiene as the batch loop.
     stream_replay(spark, "/root/testdata/sf0.001")
     rows, proc_s, wall_s = min(
-        (stream_replay(spark, sf_dir) for _ in range(2)), key=lambda r: r[2]
+        (stream_replay(spark, sf_dir) for _ in range(3)), key=lambda r: r[2]
     )
     timings["stream_events_replay"] = round(wall_s, 3)
 
@@ -189,7 +190,7 @@ def main() -> None:
                 "stream_replay_events_per_sec": round(rows / proc_s) if proc_s else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "notes": {
-                    "timing": "min of 2 back-to-back passes per query",
+                    "timing": "min of 3 back-to-back passes per query",
                     "loadavg_at_start": [round(x, 2) for x in loadavg_start],
                     "stream_events_replay": (
                         "r4 config change, same pipeline semantics: state "
