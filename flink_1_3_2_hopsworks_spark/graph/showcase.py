@@ -212,6 +212,20 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def gr_facade_filtered_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent Graph facade end-to-end (reference Graph.java fromDataSet →
+    filterOnVertices → getDegrees): keep customers plus the first 50
+    suppliers, then total degrees over the FULL kept vertex set — customers
+    whose every supplier was filtered away must appear with degree 0 (the
+    reference coGroups the vertex set; a join on edges alone would drop
+    them)."""
+    from flink_1_3_2_hopsworks_spark.graph.graph import Graph
+
+    g = Graph.from_edges(_bipartite_edges(spark, sf_dir))
+    filtered = g.filter_on_vertices(F.col("id") <= _SUPP_OFFSET + 50)
+    return filtered.degrees().orderBy("id")
+
+
 def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (reference library/PageRank.java), 2 power iterations with
     uniform teleport and dangling mass redistributed uniformly (every

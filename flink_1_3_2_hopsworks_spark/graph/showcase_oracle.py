@@ -251,6 +251,33 @@ ORACLE: dict[str, str] = {
         FROM h2 JOIN a2 ON a2.id = h2.id
         ORDER BY h2.id
     """,
+    "gr_facade_filtered_degrees": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ), verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ), kept AS (
+            SELECT id FROM verts WHERE id <= 1000050
+        ), fe AS (
+            SELECT src, dst FROM edges
+            WHERE src <= 1000050 AND dst <= 1000050
+        ), outd AS (
+            SELECT src AS id, COUNT(*) AS c FROM fe GROUP BY 1
+        ), ind AS (
+            SELECT dst AS id, COUNT(*) AS c FROM fe GROUP BY 1
+        )
+        SELECT k.id,
+            CAST(COALESCE(o.c, 0) + COALESCE(i.c, 0) AS BIGINT) AS degree
+        FROM kept k
+        LEFT JOIN outd o USING (id)
+        LEFT JOIN ind i USING (id)
+        ORDER BY k.id
+    """,
     "gr_pagerank": """
         WITH base AS (
             SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
