@@ -365,6 +365,39 @@ def op_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSet program entry point (reference §3.2: ExecutionEnvironment →
+    fluent DataSet chain — DataSet.java filter/joinWithTiny where/equalTo/
+    groupBy/aggregate.and): finished-order revenue per customer nation with
+    the earliest order date, driven END-TO-END through the facade. The
+    whole chain stays one Catalyst plan (asserted in tests/test_api.py)."""
+    from flink_1_3_2_hopsworks_spark.api import (
+        Aggregations,
+        ExecutionEnvironment,
+    )
+
+    env = ExecutionEnvironment.get_execution_environment(spark)
+    orders = env.read_parquet(f"{sf_dir}/orders.parquet")
+    customer = env.read_parquet(f"{sf_dir}/customer.parquet")
+    joined = (
+        orders.filter("o_orderstatus = 'F'")
+        .join_with_tiny(customer)
+        .where("o_custkey")
+        .equal_to("c_custkey")
+    )
+    agg = (
+        joined.group_by("c_nationkey")
+        .aggregate(Aggregations.SUM, "o_totalprice")
+        .and_agg(Aggregations.MIN, "o_orderdate")
+        .done()
+    )
+    return agg.map(
+        F.col("c_nationkey"),
+        F.round("o_totalprice", 2).alias("total_revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+    ).df
+
+
 def op_bulk_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk iteration (reference IterativeDataSet + runtime iteration-head
     loop, §2.8): 3 fixed supersteps of per-row Newton square-root refinement

@@ -212,6 +212,14 @@ ORACLE: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "ds_chain_revenue": """
+        SELECT c_nationkey,
+            CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_revenue,
+            STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_nationkey
+    """,
     "op_bulk_iteration": """
         WITH base AS (
             SELECT l_orderkey, l_linenumber,

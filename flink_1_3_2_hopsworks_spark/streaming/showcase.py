@@ -77,6 +77,38 @@ def ev_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_stream_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStream program entry point (reference §3.3: fluent
+    DataStream#filter → keyBy → window(TumblingEventTimeWindows) →
+    aggregate), driven END-TO-END through the api.py facade on the batch
+    twin of the stream — per-user 6-hour purchase windows with count and
+    max value. The facade compiles to the same incremental windowed-agg
+    plan the direct spelling uses."""
+    from flink_1_3_2_hopsworks_spark.api import (
+        DataStream,
+        TumblingEventTimeWindows,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream = (
+        DataStream(events)
+        .filter(F.col("event_type") == "purchase")
+        .key_by("user_id")
+        .window(TumblingEventTimeWindows.of("6 hours"))
+        .aggregate(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+    return stream.map(
+        _fmt("window_start"),
+        _fmt("window_end"),
+        F.col("user_id"),
+        F.col("n_purchases"),
+        F.col("max_value"),
+    ).df
+
+
 def ev_window_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed stream join (reference JoinedStreams: a.join(b).where(k)
     .equalTo(k).window(Tumbling 1h).apply): clicks × purchases per user

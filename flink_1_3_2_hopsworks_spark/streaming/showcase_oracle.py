@@ -28,6 +28,23 @@ ORACLE: dict[str, str] = {
         FROM starts
         GROUP BY 1, 2
     """,
+    "ds_stream_program": """
+        WITH w AS (
+            SELECT user_id, value,
+                DATE_TRUNC('day', ts)
+                + INTERVAL 6 HOUR * CAST(DATE_PART('hour', ts) // 6 AS INT)
+                    AS ws
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+            STRFTIME(ws + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+            user_id,
+            COUNT(*) AS n_purchases,
+            ROUND(MAX(value), 2) AS max_value
+        FROM w
+        GROUP BY 1, 2, 3
+    """,
     "ev_session_5m": """
         WITH marked AS (
             SELECT
