@@ -186,18 +186,22 @@ def minhash_near_dups(
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"))
 
-    # Cap degenerate buckets before the quadratic pair join — broadcast
-    # ANTI-join against the (tiny) oversized-bucket list rather than a
-    # window count: the hot bucket the cap exists for is exactly the
-    # partition a WindowExec would buffer whole in one task, while the
-    # hash-aggregate takes a map-side partial and the short list broadcasts.
+    # Cap degenerate buckets before the quadratic pair join — ANTI-join
+    # against the oversized-bucket list rather than a window count: the hot
+    # bucket the cap exists for is exactly the partition a WindowExec would
+    # buffer whole in one task, while the hash-aggregate takes a map-side
+    # partial. No broadcast hint: unlike simhash's chunk domain (bounded at
+    # 4·65536 values), (_band, _bucket) is unbounded — a templated corpus
+    # can yield up to rows/max_bucket oversized entries, so let AQE
+    # broadcast the list when it is actually small and degrade to a
+    # shuffled anti-join when it is not.
     oversized = (
         buckets.groupBy("_band", "_bucket")
         .agg(F.count(F.lit(1)).alias("_bsize"))
         .filter(F.col("_bsize") > max_bucket)
         .select("_band", "_bucket")
     )
-    capped = buckets.join(F.broadcast(oversized), ["_band", "_bucket"], "left_anti")
+    capped = buckets.join(oversized, ["_band", "_bucket"], "left_anti")
 
     left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
     right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))

@@ -140,7 +140,10 @@ def simhash_near_dups(
     # Persisted like minhash's signature table: one long per doc — tiny next
     # to the corpus — and referenced by the blocking self-join (twice), the
     # bucket-size count, and the exact-star (twice); recomputing it would
-    # re-scan and re-hash the corpus per reference.
+    # re-scan and re-hash the corpus per reference. Lifecycle: the cache
+    # lives until LRU eviction or spark.catalog.clearCache() — a caller
+    # looping over many corpora should clear between runs (no unpersist
+    # hook can fire here: the returned plan executes after this function).
     fps = (
         simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr)
         .withColumnRenamed(id_col, "_id")
