@@ -100,3 +100,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus ``lang`` label is additionally pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (north-star training-pipeline op:
+    keyword/feature extraction over a corpus). Fully relational — explode →
+    tf → document frequency → smoothed idf → per-doc top-k — and the
+    oracle replays the whole computation in SQL: every number derives from
+    integers through identical double ops, so the hash matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=3)

@@ -289,6 +289,35 @@ ORACLE: dict[str, str] = {
             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
     """,
+    "text_tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term <> ''
+            GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1
+        ), nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                tf.tf * (LN(((SELECT n FROM nd) + 1.0) / (dfr + 1.0)) + 1.0)
+                    AS tfidf
+            FROM tf JOIN dfreq USING (term)
+        ), ranked AS (
+            SELECT doc_id, term, tf, tfidf,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf,
+            CAST(ROUND(tfidf, 4) AS DOUBLE) AS tfidf, rank
+        FROM ranked WHERE rank <= 3
+    """,
     "text_quality": """
         WITH stats AS (
             SELECT

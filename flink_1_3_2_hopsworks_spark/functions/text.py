@@ -143,3 +143,51 @@ def fingerprint(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k TF-IDF terms per document — the standard keyword/feature
+    extractor a training-data pipeline runs over a corpus.
+
+    Fully relational: explode lowercase whitespace tokens → per-(doc, term)
+    counts (tf) → per-term document frequency → smoothed idf
+    ln((N+1)/(df+1)) + 1 → tf·idf → top-k per doc (ties broken by term).
+    The corpus size N rides as a broadcast one-row cross join — no
+    collect(), so the plan stays fully distributed. All arithmetic is
+    integer-derived double ops, so any engine replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            F.round("tfidf", 4).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -56,3 +56,34 @@ def sample_with_size_hashed(
         )
     )
     return df.withColumn("_h", h).orderBy("_h").limit(n).drop("_h")
+
+
+def stratified_sample_hashed(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    salt: str = "s42",
+) -> DataFrame:
+    """Fixed-size PER-STRATUM sample (training-pipeline class balancing —
+    Spark's own sampleBy is fraction-based and draws from a non-portable
+    RNG): the n smallest salted-md5 key hashes within each stratum. Same
+    portable-draw design as sample_with_size_hashed — any engine replays
+    the exact row set from (key, salt), so samples are auditable and
+    oracle-checkable. One shuffle on the strata keys; the per-stratum
+    row_number window holds at most the stratum, and the draw is uniform
+    within it. Change ``salt`` to redraw."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+        )
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("_h"))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_h", "_rn")
+    )

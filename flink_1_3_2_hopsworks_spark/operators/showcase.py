@@ -574,6 +574,21 @@ def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sampling (north-star training-pipeline op:
+    class-balanced draws; Spark's sampleBy is fraction-based and
+    non-portable): 100 events per event_type by salted-hash order — the
+    oracle replays the exact row set per stratum."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        stratified_sample_hashed,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return stratified_sample_hashed(events, 100, ["event_type"], ["event_id"])
+
+
 def op_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sampleWithSize (reference DataSetUtils#sampleWithSize) in its
     portable salted-hash form: a fixed-size uniform draw whose row set any

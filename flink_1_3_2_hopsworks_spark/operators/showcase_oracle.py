@@ -272,6 +272,18 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "op_stratified_sample": """
+        SELECT event_id, user_id, event_type
+        FROM (
+            SELECT event_id, user_id, event_type,
+                ROW_NUMBER() OVER (
+                    PARTITION BY event_type
+                    ORDER BY MD5(CONCAT_WS('|', CAST(event_id AS VARCHAR), 's42'))
+                ) AS rn
+            FROM events
+        )
+        WHERE rn <= 100
+    """,
     "op_sample_fixed_size": """
         SELECT event_id, user_id, event_type
         FROM events

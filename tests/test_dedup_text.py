@@ -245,3 +245,61 @@ def test_simhash_cap_bounds_bucket_join(spark):
     # remain instead of C(20,2)=190 all-pairs
     hot_pairs = {k: v for k, v in pairs.items() if k[0] >= 100}
     assert hot_pairs == {(100, 100 + i): 0 for i in range(1, 20)}
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """tf·idf on a 3-doc corpus against hand-computed smoothed-idf scores;
+    ties break alphabetically, rank is dense per doc."""
+    import math
+
+    from flink_1_3_2_hopsworks_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rank"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+
+    def idf(dfreq):
+        return math.log(4.0 / (dfreq + 1.0)) + 1.0
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(1, "apple")] == (2, round(2 * idf(1), 4), 1)
+    assert out[(1, "banana")][2] == 2
+    # doc 3: cherry tf=3 dominates; durian df=1 second
+    assert out[(3, "cherry")][2] == 1
+    assert out[(3, "durian")] == (1, round(idf(1), 4), 2)
+    # k=2 → no rank-3 rows
+    assert all(rank <= 2 for (_, _, rank) in out.values())
+
+
+def test_stratified_sample_fixed_size_per_stratum(spark):
+    """Each stratum yields exactly min(n, stratum size) rows, the draw is
+    deterministic for a salt, and a different salt redraws."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        stratified_sample_hashed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "id long, grp string",
+    )
+    out = stratified_sample_hashed(df, 10, ["grp"], ["id"])
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    again = stratified_sample_hashed(df, 10, ["grp"], ["id"])
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    redraw = stratified_sample_hashed(df, 10, ["grp"], ["id"], salt="other")
+    assert sorted(r["id"] for r in redraw.collect()) != sorted(
+        r["id"] for r in out.collect()
+    )
