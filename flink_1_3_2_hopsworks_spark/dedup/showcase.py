@@ -110,3 +110,39 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers through identical double ops, so the hash matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north-star training-pipeline op): emails, IPv4s, and
+    phone patterns masked by a codegen'd regexp_replace chain; the oracle
+    applies the same RE2-compatible patterns. Output is fingerprinted so
+    the gate hashes redacted CONTENT, not multi-KB strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = T.redact_pii("text")
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        (F.length(red) != F.length("text")).alias("was_redacted"),
+    )
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (north-star training-pipeline op): per-lang
+    shards, 2048-token bins, docs laid head-to-tail in doc_id order —
+    bin_id = floor(tokens-before / budget). Pure integer window math,
+    replayed exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pack_sequences(docs, "doc_id", "text", 2048, shard_cols=["lang"])
+
+
+def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning pipeline (the north-star composition):
+    quality filter (score ≥ 0.8, ≥ 20 tokens) → exact dedup on the
+    normalized-text fingerprint keeping the smallest doc_id — one
+    declarative plan, filter pushed below the dedup shuffle. The oracle
+    replays quality scoring, the filter, and the dedup group-by in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (T.quality_score("text") >= 0.8) & (T.token_count("text") >= 20)
+    )
+    return dedup_documents(kept, "text", "doc_id")

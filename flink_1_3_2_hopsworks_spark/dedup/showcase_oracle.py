@@ -289,6 +289,69 @@ ORACLE: dict[str, str] = {
             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
     """,
+    "text_pii_redact": """
+        SELECT doc_id,
+            MD5(red) AS redacted_fp,
+            LENGTH(red) <> LENGTH(text) AS was_redacted
+        FROM (
+            SELECT doc_id, text,
+                REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '<IP>', 'g'),
+                    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                    '<PHONE>', 'g') AS red
+            FROM documents
+        )
+    """,
+    "text_pack_sequences": """
+        WITH t AS (
+            SELECT lang, doc_id,
+                CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                     END AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, doc_id, n_tokens,
+            CAST(FLOOR(
+                (SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 2048.0
+            ) AS BIGINT) AS bin_id
+        FROM t
+    """,
+    "pipe_corpus_clean": """
+        WITH stats AS (
+            SELECT
+                doc_id, text,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tok,
+                CASE WHEN LENGTH(text) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                          / LENGTH(text) END AS punct,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\\s+', '', 'g')) AS DOUBLE)
+                          / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS awl
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, text FROM stats
+            WHERE ROUND(
+                    0.4 * LEAST(n_tok / 50.0, 1.0)
+                    + 0.3 * (CASE WHEN awl >= 3.0 AND awl <= 8.0
+                             THEN 1.0 ELSE 0.5 END)
+                    + 0.3 * GREATEST(0.0, 1.0 - punct * 5.0),
+                  4) >= 0.8
+              AND n_tok >= 20
+        )
+        SELECT
+            MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
+            MIN(doc_id) AS doc_id,
+            COUNT(*) AS group_size
+        FROM kept
+        GROUP BY 1
+    """,
     "text_tfidf_top_terms": """
         WITH toks AS (
             SELECT doc_id,

@@ -191,3 +191,61 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
             "rank",
         )
     )
+
+
+# PII patterns kept to syntax valid AND equivalent in both Java regex
+# (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround, fixed
+# quantifiers — Java's leftmost-first and RE2's leftmost-longest semantics
+# agree on these.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails, IPv4 addresses, and xxx-xxx-xxxx phone numbers — the
+    baseline PII-scrub a training-data pipeline applies before anything
+    else. Pure regexp_replace chain: codegen'd, scales with the scan."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    shard_cols: list[str] | None = None,
+):
+    """Greedy sequence packing (concat-then-chunk): documents in ``id_col``
+    order are laid head-to-tail and cut into ``budget_tokens``-sized bins —
+    bin_id = floor(tokens-before-this-doc / budget). The pre-tokenizer
+    batching step of an LLM training pipeline.
+
+    Pure integer window math, so any engine replays it exactly. Scale:
+    a single global running sum would serialize into one task — pass
+    ``shard_cols`` to pack per shard (each shard's window is independent;
+    on a cluster each shard packs in parallel and bin ids are per-shard).
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col).cast("long")
+    shard = list(shard_cols or [])
+    w = (
+        Window.partitionBy(*shard).orderBy(id_col)
+        if shard
+        else Window.partitionBy().orderBy(id_col)
+    )
+    running_after = F.sum(n_tok).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        *shard,
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor((running_after - n_tok) / budget_tokens).alias("bin_id"),
+    )

@@ -303,3 +303,37 @@ def test_stratified_sample_fixed_size_per_stratum(spark):
     assert sorted(r["id"] for r in redraw.collect()) != sorted(
         r["id"] for r in out.collect()
     )
+
+
+def test_redact_pii_masks_and_preserves(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309"),
+            (2, "server at 192.168.1.254 responded"),
+            (3, "no pii here, just 3.14 and v1.2.3 strings"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["red"] for r in df.select(
+        "id", redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[2] == "server at <IP> responded"
+    # version strings and decimals must survive untouched
+    assert out[3] == "no pii here, just 3.14 and v1.2.3 strings"
+
+
+def test_pack_sequences_bins_are_budgeted(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import pack_sequences
+
+    # 6 docs x 5 tokens, budget 10 → bins of 2 docs each, per shard
+    rows = [(i, "a b c d e", "s1" if i < 6 else "s2") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_sequences(df, "doc_id", "text", 10, shard_cols=["lang"])
+    got = {(r["lang"], r["doc_id"]): r["bin_id"] for r in out.collect()}
+    assert got == {
+        ("s1", 0): 0, ("s1", 1): 0, ("s1", 2): 1,
+        ("s1", 3): 1, ("s1", 4): 2, ("s1", 5): 2,
+        ("s2", 6): 0, ("s2", 7): 0, ("s2", 8): 1,
+    }
