@@ -528,6 +528,60 @@ def op_join_with_huge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — the custom operator composed from DataFrame
+    ops (union-merge + last-ignorenulls window, ONE shuffle, no quadratic
+    time-range join): for each click, the user's most recent purchase
+    at-or-before it (NULLs when none precedes). Deterministic ties:
+    latest ts, then largest purchase event_id."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        "last_event_id",
+        F.round("last_value", 2).alias("last_value"),
+    )
+
+
+def op_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (lo <= value < hi — inexpressible as an equi-join):
+    lineitem priced into 10k-wide bands via a broadcast nested-loop join
+    against the tiny band table, then aggregated per band."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price")
+    )
+    bands = spark.range(0, 12).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10000.0).alias("lo"),
+        ((F.col("id") + 1) * 10000.0).alias("hi"),
+    )
+    joined = range_join(li, bands, "price")
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
 def op_group_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reduceGroup (reference GroupReduceOperator / GroupReduceFunction):
     the UDF sees the WHOLE group at once — here order statistics (median)

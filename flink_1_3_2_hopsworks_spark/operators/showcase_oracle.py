@@ -263,6 +263,43 @@ ORACLE: dict[str, str] = {
         FROM nation JOIN customer ON n_nationkey = c_nationkey
         GROUP BY n_name
     """,
+    "op_asof_join": """
+        WITH c AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT c.event_id AS ce, p.event_id AS pe, p.value AS pv,
+                ROW_NUMBER() OVER (
+                    PARTITION BY c.user_id, c.event_id
+                    ORDER BY p.ts DESC, p.event_id DESC
+                ) AS rn
+            FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+        )
+        SELECT c.user_id,
+            STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+            c.event_id,
+            r.pe AS last_event_id,
+            ROUND(r.pv, 2) AS last_value
+        FROM c
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.ce = c.event_id
+    """,
+    "op_range_band_join": """
+        WITH bands AS (
+            SELECT r AS band_id, r * 10000.0 AS lo, (r + 1) * 10000.0 AS hi
+            FROM RANGE(0, 12) t(r)
+        )
+        SELECT band_id, lo, hi,
+            CAST(COUNT(*) AS BIGINT) AS n_items,
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS DOUBLE)
+                AS total_price
+        FROM lineitem
+        JOIN bands ON CAST(l_extendedprice AS DOUBLE) >= lo
+                  AND CAST(l_extendedprice AS DOUBLE) < hi
+        GROUP BY band_id, lo, hi
+    """,
     "op_group_reduce_stats": """
         SELECT event_type,
             CAST(COUNT(*) AS BIGINT) AS n,

@@ -184,3 +184,27 @@ def test_partitioning_spellings(spark):
 
     assert sl.rescale(df.repartition(8), 2).rdd.getNumPartitions() == 2
     assert sl.global_partition(df).rdd.getNumPartitions() == 1
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of boundary, latest-wins, tiebreak by right id, NULLs
+    when nothing precedes."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.0), (1, 10, 8, 2.0), (1, 15, 9, 3.0), (2, 6, 10, 4.0)],
+        "k long, t long, rid long, v double",
+    )
+    out = {
+        r["lid"]: (r["last_rid"], r["last_v"])
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rid", "v"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out[100] == (8, 2.0)   # t=10 inclusive; tie at t=10 → larger rid
+    assert out[101] == (9, 3.0)   # latest preceding is t=15
+    assert out[102] == (None, None)  # right row at t=6 is AFTER t=5

@@ -271,3 +271,32 @@ def test_dedup_bucket_caps_avoid_window_exec(spark):
     mh_plan = plan_of(minhash_near_dups(docs, "doc_id", "text"))
     assert "Window" not in mh_plan
     assert "LeftAnti" in mh_plan  # anti-join cap, strategy AQE's choice
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of join must plan as union + ONE hash exchange on the key +
+    a window scan — never a join with a time-range condition (quadratic
+    explosion risk); the band range join must broadcast the band table."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import asof_join, range_join
+
+    events = load_table(spark, SF, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    plan = plan_of(
+        asof_join(clicks, purchases, ["user_id"], "ts", "ts", ["event_id"])
+    )
+    assert "Join" not in plan  # union-merge, not a join
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "Window" in plan
+
+    bands = spark.range(0, 3).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    plan2 = plan_of(range_join(events.select(F.col("value").alias("v")), bands, "v"))
+    assert "BroadcastNestedLoopJoin" in plan2
