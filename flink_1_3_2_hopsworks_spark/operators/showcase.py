@@ -561,6 +561,33 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (SURVEY §2.3 native extra; post-1.3 Flink
+    KeyedStream#intervalJoin): click ⋈ purchase pairs for the same user
+    within ±15 minutes — an equi-join on the key with a time-band
+    residual, so Spark shuffles ONCE on user_id and applies the band as a
+    post-join filter (the streaming twin is the watermarked stream-stream
+    join in streaming/window_op.py)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = clicks.join(purchases, "user_id").filter(
+        (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES"))
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 def op_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (lo <= value < hi — inexpressible as an equi-join):
     lineitem priced into 10k-wide bands via a broadcast nested-loop join

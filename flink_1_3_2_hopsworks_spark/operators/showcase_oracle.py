@@ -286,6 +286,21 @@ ORACLE: dict[str, str] = {
         FROM c
         LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.ce = c.event_id
     """,
+    "op_interval_join": """
+        WITH c AS (
+            SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+            WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, click_id, purchase_id,
+            STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+            STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        FROM c JOIN p ON p.user_id = c.user_id
+            AND p_ts >= c_ts - INTERVAL 15 MINUTE
+            AND p_ts <= c_ts + INTERVAL 15 MINUTE
+    """,
     "op_range_band_join": """
         WITH bands AS (
             SELECT r AS band_id, r * 10000.0 AS lo, (r + 1) * 10000.0 AS hi
