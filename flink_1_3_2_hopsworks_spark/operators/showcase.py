@@ -528,6 +528,38 @@ def op_join_with_huge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (data profiling — the
+    summarize() companion): p50/p90/p99 of event value per type. Spark's
+    exact `percentile` and DuckDB's QUANTILE_CONT share the linear-
+    interpolation definition, so the oracle matches to 4dp."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (profiling): l_quantity into 10 unit-width ×5
+    bins — integer bucket arithmetic, exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least(
+                F.floor((F.col("l_quantity").cast("double") - 1.0) / 5.0),
+                F.lit(9),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (temporal) join — the custom operator composed from DataFrame
     ops (union-merge + last-ignorenulls window, ONE shuffle, no quadratic

@@ -263,6 +263,23 @@ ORACLE: dict[str, str] = {
         FROM nation JOIN customer ON n_nationkey = c_nationkey
         GROUP BY n_name
     """,
+    "op_percentiles": """
+        SELECT event_type,
+            CAST(ROUND(QUANTILE_CONT(value, 0.5), 4) AS DOUBLE) AS p50,
+            CAST(ROUND(QUANTILE_CONT(value, 0.9), 4) AS DOUBLE) AS p90,
+            CAST(ROUND(QUANTILE_CONT(value, 0.99), 4) AS DOUBLE) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "op_histogram": """
+        SELECT
+            CAST(LEAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 5.0), 9)
+                AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY bucket
+    """,
     "op_asof_join": """
         WITH c AS (
             SELECT user_id, ts, event_id FROM events
