@@ -146,3 +146,26 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (T.quality_score("text") >= 0.8) & (T.token_count("text") >= 20)
     )
     return dedup_documents(kept, "text", "doc_id")
+
+
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building (north-star training-pipeline op): global
+    term frequencies and document frequencies, top-200 terms by count
+    (ties alphabetical) — the tokenizer-training input. One explode + one
+    hash-aggregate; TakeOrderedAndProject for the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(200)
+    )

@@ -404,4 +404,18 @@ ORACLE: dict[str, str] = {
             4) AS quality
         FROM stats
     """,
+    "text_vocab_top_terms": """
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+            FROM documents
+        )
+        SELECT term,
+            CAST(COUNT(*) AS BIGINT) AS tf,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term <> ''
+        GROUP BY term
+        ORDER BY tf DESC, term ASC
+        LIMIT 200
+    """,
 }
