@@ -169,3 +169,19 @@ def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(200)
     )
+
+
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (multimodal §2.14 — payloads are
+    binary + typed metadata): text encoded to utf-8 bytes, with byte
+    length and content digest computed ON THE BINARY column. The decode
+    paths (BMP/WAV) are pytest-gated in tests/test_multimodal_codecs.py;
+    this gate driver-proves the binary column type survives the engine
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )

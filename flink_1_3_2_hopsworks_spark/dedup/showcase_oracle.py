@@ -418,4 +418,10 @@ ORACLE: dict[str, str] = {
         ORDER BY tf DESC, term ASC
         LIMIT 200
     """,
+    "mm_binary_stats": """
+        SELECT doc_id,
+            CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+            MD5(text) AS digest
+        FROM documents
+    """,
 }

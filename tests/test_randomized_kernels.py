@@ -172,3 +172,40 @@ def test_session_window_kernel_gap_islands(spark):
                 count += 1
         model.append((key, count))
     assert got_sessions == sorted(model)
+
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_asof_join_equals_naive_oracle(spark, seed):
+    """The union-merge as-of join must equal the naive per-row 'latest right
+    row with t <= left.t, ties by largest rid' definition on random inputs
+    (seeded, like the other kernels here)."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    left_rows = [
+        (int(rng.integers(1, 4)), int(rng.integers(0, 50)), i)
+        for i in range(30)
+    ]
+    right_rows = [
+        (int(rng.integers(1, 4)), int(rng.integers(0, 50)), 1000 + i)
+        for i in range(30)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(k, t, rid, float(rid % 7)) for k, t, rid in right_rows],
+        "k long, t long, rid long, v double",
+    )
+    got = {
+        r["lid"]: (r["last_rid"], r["last_v"])
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rid", "v"], right_tiebreak="rid"
+        ).collect()
+    }
+    for k, t, lid in left_rows:
+        cand = [(rt, rid) for rk, rt, rid in right_rows if rk == k and rt <= t]
+        if not cand:
+            assert got[lid] == (None, None)
+        else:
+            _, best = max(cand)
+            assert got[lid] == (best, float(best % 7))
