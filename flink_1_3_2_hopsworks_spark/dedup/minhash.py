@@ -100,6 +100,7 @@ def minhash_near_dups(
     max_bucket: int = 1000,
     verify: str = "estimate",
     portable: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -162,7 +163,12 @@ def minhash_near_dups(
             F.min(_perm(F.col("_base"), *ab)).alias(f"_h{i}")
             for i, ab in enumerate(_coeffs(num_hashes))
         ]
-    ).persist()
+    )
+    # Lifecycle: callers looping over corpora pass persist=False and accept
+    # the recompute, or clearCache between runs — the returned plan executes
+    # after this function, so no unpersist hook can fire here.
+    if persist:
+        sig = sig.persist()
 
     # Buckets ride WITHOUT the shingle sets: 8 small rows per doc, not 8
     # copies of a multi-KB array (the arrays join back only for candidates).

@@ -122,6 +122,8 @@ def simhash_near_dups(
     max_distance: int = 3,
     max_bucket: int = 1000,
     hash_expr: Callable[[Column], Column] | None = None,
+    fingerprints: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with simhash Hamming distance <= max_distance.
 
@@ -140,15 +142,20 @@ def simhash_near_dups(
     # Persisted like minhash's signature table: one long per doc — tiny next
     # to the corpus — and referenced by the blocking self-join (twice), the
     # bucket-size count, and the exact-star (twice); recomputing it would
-    # re-scan and re-hash the corpus per reference. Lifecycle: the cache
-    # lives until LRU eviction or spark.catalog.clearCache() — a caller
-    # looping over many corpora should clear between runs (no unpersist
-    # hook can fire here: the returned plan executes after this function).
-    fps = (
-        simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr)
-        .withColumnRenamed(id_col, "_id")
-        .persist()
-    )
+    # re-scan and re-hash the corpus per reference. Lifecycle: a caller
+    # looping over many corpora should pass ``persist=False`` (recompute per
+    # reference) or supply a pre-persisted ``fingerprints`` DataFrame
+    # (columns [id_col, "simhash"], e.g. from simhash_fingerprints) and own
+    # its unpersist — no unpersist hook can fire here because the returned
+    # plan executes after this function.
+    if fingerprints is not None:
+        fps = fingerprints.withColumnRenamed(id_col, "_id")
+    else:
+        fps = simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr).withColumnRenamed(
+            id_col, "_id"
+        )
+        if persist:
+            fps = fps.persist()
     chunked = fps.select(
         "_id",
         "simhash",

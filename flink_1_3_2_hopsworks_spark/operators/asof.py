@@ -48,13 +48,21 @@ def asof_join(
     on = list(on)
     right_cols = list(right_cols)
     lcols = left.columns
+    # The right payload rides as ONE struct column so the window fill below is
+    # row-atomic: if the newest right row has a NULL in some right_col, the
+    # output still takes ALL its columns from that row (matching the oracle's
+    # row-level ROW_NUMBER pick and the streaming twin's whole-row state)
+    # instead of mixing in that column from an older right row.
+    r_struct_type = (
+        "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+    )
     tagged_l = left.select(
         *on,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_l"),
         F.lit(None).cast("long").alias("_rtb"),
         *[F.col(c) for c in lcols if c not in on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     tb = (
         F.col(right_tiebreak).cast("long")
@@ -67,7 +75,7 @@ def asof_join(
         F.lit(0).alias("_is_l"),
         tb.alias("_rtb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     # Right rows first at equal _t (inclusive as-of); among them the largest
     # tiebreak LAST, so last(ignorenulls) picks it deterministically.
@@ -78,16 +86,13 @@ def asof_join(
     )
     filled = tagged_l.unionByName(tagged_r).select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_f"),
     )
     return filled.filter(F.col("_is_l") == 1).select(
         *on,
         F.col("_t").alias(left_time),
         *[F.col(c) for c in lcols if c not in on and c != left_time],
-        *[F.col(f"_f_{c}").alias(f"last_{c}") for c in right_cols],
+        *[F.col("_f").getField(c).alias(f"last_{c}") for c in right_cols],
     )
 
 

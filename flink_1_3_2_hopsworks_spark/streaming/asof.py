@@ -101,13 +101,20 @@ def asof_join_stream(
         else:
             best = None
         key_vals = dict(zip(on, key_py_values(casters, key)))
+        # applyInPandasWithState guarantees no ordering ACROSS the Arrow
+        # chunks of one key group, so a key whose micro-batch data spans
+        # multiple chunks must be concatenated and sorted ONCE — sorting per
+        # chunk would replay rows out of (t, is_left, tiebreak) order (same
+        # pattern as streaming/process.py's _ordered helper).
+        chunks = list(pdf_iter)
         rows: list[dict] = []
-        for pdf in pdf_iter:
-            chunk = pdf.assign(
+        if chunks:
+            merged = pd.concat(chunks, ignore_index=True)
+            merged = merged.assign(
                 _ts_ms=lambda p: p["_t"].astype("int64") // 1_000_000,
                 _tb=lambda p: p["_rtb"].fillna(-1).astype("int64"),
-            ).sort_values(["_ts_ms", "_is_l", "_tb"])
-            rows.extend(chunk.to_dict("records"))
+            ).sort_values(["_ts_ms", "_is_l", "_tb"], kind="mergesort")
+            rows = merged.to_dict("records")
         out: list[dict] = []
         for r in rows:
             if r["_is_l"] == 0:  # right: keep the latest (t, tiebreak)

@@ -57,6 +57,37 @@ def test_simhash_distance_zero_for_exact_dup(spark, docs):
     assert all(3 not in k for k in pairs)
 
 
+def test_simhash_caller_owned_caching(spark, docs):
+    """persist=False and a caller-supplied pre-computed fingerprint table give
+    the same pairs as the default path (library never leaks a cache the
+    caller can't release)."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_fingerprints
+
+    expected = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, "doc_id", "text", max_distance=16).collect()
+    }
+    no_persist = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            docs, "doc_id", "text", max_distance=16, persist=False
+        ).collect()
+    }
+    assert no_persist == expected
+
+    fps = simhash_fingerprints(docs, "doc_id", "text").persist()
+    try:
+        supplied = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dups(
+                docs, "doc_id", "text", max_distance=16, fingerprints=fps
+            ).collect()
+        }
+    finally:
+        fps.unpersist()
+    assert supplied == expected
+
+
 def test_ngram_jaccard_exact_values(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]

@@ -208,3 +208,21 @@ def test_asof_join_semantics(spark):
     assert out[100] == (8, 2.0)   # t=10 inclusive; tie at t=10 → larger rid
     assert out[101] == (9, 3.0)   # latest preceding is t=15
     assert out[102] == (None, None)  # right row at t=6 is AFTER t=5
+
+
+def test_asof_join_null_right_col_is_row_atomic(spark):
+    """When the most recent right row has a NULL in one right_col, the output
+    takes ALL columns from that row — it must not mix the NULL column from an
+    older right row (the fill is a single struct, not per-column last)."""
+    from flink_1_3_2_hopsworks_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, 100)], "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.0), (1, 15, 9, None)],
+        "k long, t long, rid long, v double",
+    )
+    row = asof_join(
+        left, right, ["k"], "t", "t", ["rid", "v"], right_tiebreak="rid"
+    ).collect()[0]
+    assert row["last_rid"] == 9
+    assert row["last_v"] is None  # newest row's NULL, not 1.0 from rid=7

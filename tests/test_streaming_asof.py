@@ -77,3 +77,36 @@ def test_stream_asof_matches_batch_and_carries_state(spark, tmp_path):
         ).collect()
     }
     assert batch == got
+
+
+def test_stream_asof_multi_chunk_key_group_sorted_once(spark, tmp_path):
+    """A key whose micro-batch data spans multiple Arrow chunks must still
+    replay in (t, is_left, tiebreak) order: chunks are concatenated and
+    sorted ONCE (per-chunk sorting would let a left row see a right row
+    timestamped after it, or miss one before it)."""
+    lschema = "k long, ts timestamp, lid long"
+    rschema = "k long, ts timestamp, rid long, v double"
+    # One key, one micro-batch, 12 left + 12 right rows interleaved and
+    # deliberately scrambled so any 2-row Arrow chunk is unsorted w.r.t. the
+    # others. Left at second 2i+1 should match right at second 2i (v = i).
+    lrows = [(1, _ts(2 * i + 1), 100 + i) for i in range(12)]
+    rrows = [(1, _ts(2 * i), 200 + i, float(i)) for i in range(12)]
+    lrows = lrows[::-1]
+    rrows = rrows[6:] + rrows[:6]
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        left_s = _staged(spark, tmp_path, "lmc", lschema, lrows)
+        right_s = _staged(spark, tmp_path, "rmc", rschema, rrows)
+        out = asof_join_stream(
+            left_s, right_s, ["k"], "ts", "ts", ["rid", "v"], right_tiebreak="rid"
+        )
+        got = {r["lid"]: (r["last_rid"], r["last_v"]) for r in _collect(out)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert got == {100 + i: (200 + i, float(i)) for i in range(12)}
