@@ -107,57 +107,104 @@ def _load_all() -> None:
     register_module(ml_showcase, ml_showcase_oracle.ORACLE)
 
 
-# Names already green (rows+schema+hash) in a driver CORRECTNESS artifact
-# (r01–r03). The driver verifies a bounded prefix of ``queries()``, so emit
-# never-yet-proven names FIRST to rotate them into the artifact; the proven
-# tail keeps its original relative order and stays covered by
-# scripts/check_parity.py. NOT in this set despite appearing in r03:
-# op_summarize (hash_match=false there; oracle types pinned in r4) and
-# sim_ivf_topk (was rows-only; full oracle added in r4) — both must rotate
-# into r04's artifact to earn their green row.
-_DRIVER_PROVEN = frozenset(
-    {
-        "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_national_market_share",
-        "q9_product_type_profit", "q10_returned_items", "q11_important_stock",
-        "q12_shipping_delay", "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
-        "q18_large_volume_customer", "q19_discounted_revenue",
-        "q20_potential_part_promotion", "q21_suppliers_kept_orders_waiting",
-        "q22_global_sales_opportunity",
-        "op_anti_join", "op_cogroup", "op_cross_join", "op_cube",
-        "op_distinct", "op_first_n_per_group", "op_grouping_sets",
-        "op_intersect", "op_max_by", "op_min_by", "op_minus", "op_outer_join",
-        "op_over_range_trailing", "op_over_rows_moving_sum",
-        "op_over_unbounded_running", "op_ranking_functions", "op_rollup",
-        "op_semi_join", "op_top_k", "op_union_distinct", "op_zip_with_index",
-        "fn_array_ops", "fn_case_when", "fn_json_ops", "fn_math_ops",
-        "fn_native_extras", "fn_string_ops", "fn_temporal_ops",
-        # r03 rotation (CORRECTNESS_r03.json, all hash_match=true):
-        "fn_udaf_grouped", "fn_udf_scalar", "fn_udtf_lateral",
-        "dd_embedding_pairs", "dd_exact_dedup", "dd_minhash_pairs",
-        "dd_ngram_jaccard_pairs", "dd_simhash_pairs",
-        "text_fingerprint", "text_lang_id", "text_quality", "text_stats",
-        "sim_bruteforce_topk", "sim_lsh_topk",
-        "gr_customer_jaccard", "gr_degrees", "gr_sssp_hops",
-        "cep_error_spike", "cep_signup_purchase", "cep_signup_timeout",
-        "ev_async_enrich", "ev_first_event_per_key", "ev_running_user_total",
-        "ev_session_5m", "ev_sliding_2h_1h", "ev_tumbling_hourly",
-        "tbl_expr_priority_stats", "tbl_over_running_revenue",
-        "tbl_sql_region_year_revenue", "tbl_tumble_daily_by_type",
-        "ml_linreg_price", "ml_scaled_quantity",
-    }
-)
+# Round in which each name was LAST proven green (rows+schema+hash) in a
+# driver CORRECTNESS artifact — the union of CORRECTNESS_r01–r04.json (every
+# registered query is green in at least one). The driver verifies a bounded
+# ~50-name prefix of ``queries()``, so emit the LEAST-recently-proven names
+# first: each round the stalest cohort rotates back into the artifact and
+# re-proves itself after intervening code churn. Never-proven names (round 0,
+# i.e. anything not listed here) always sort first. check_parity.py covers
+# the full registry locally regardless of order.
+_LAST_PROVEN_ROUND: dict[str, int] = {
+    # r02 cohort (stalest — two rounds of churn since proven)
+    **dict.fromkeys(
+        [
+            "fn_array_ops", "fn_case_when", "fn_json_ops", "fn_math_ops",
+            "fn_native_extras", "fn_string_ops", "fn_temporal_ops",
+            "op_anti_join", "op_cogroup", "op_cross_join", "op_cube",
+            "op_distinct", "op_first_n_per_group", "op_grouping_sets",
+            "op_intersect", "op_max_by", "op_min_by", "op_minus",
+            "op_outer_join", "op_over_range_trailing",
+            "op_over_rows_moving_sum", "op_over_unbounded_running",
+            "op_ranking_functions", "op_rollup", "op_semi_join", "op_top_k",
+            "op_union_distinct", "op_zip_with_index",
+            "q19_discounted_revenue", "q20_potential_part_promotion",
+            "q21_suppliers_kept_orders_waiting", "q2_min_cost_supplier",
+            "q8_national_market_share", "q9_product_type_profit",
+        ],
+        2,
+    ),
+    # r03 cohort
+    **dict.fromkeys(
+        [
+            "cep_error_spike", "cep_signup_purchase", "cep_signup_timeout",
+            "dd_embedding_pairs", "dd_exact_dedup", "dd_minhash_pairs",
+            "dd_ngram_jaccard_pairs", "dd_simhash_pairs",
+            "ev_async_enrich", "ev_first_event_per_key",
+            "ev_running_user_total", "ev_session_5m", "ev_sliding_2h_1h",
+            "ev_tumbling_hourly",
+            "fn_udaf_grouped", "fn_udf_scalar", "fn_udtf_lateral",
+            "gr_customer_jaccard", "gr_degrees", "gr_sssp_hops",
+            "ml_linreg_price", "ml_scaled_quantity",
+            "q11_important_stock", "q12_shipping_delay",
+            "q13_customer_distribution", "q14_promo_revenue",
+            "q15_top_supplier", "q16_supplier_cnt",
+            "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+            "q3_shipping_priority", "q4_order_priority",
+            "q5_local_supplier_volume", "q6_forecast_revenue",
+            "q7_volume_shipping",
+            "sim_bruteforce_topk", "sim_lsh_topk",
+            "tbl_expr_priority_stats", "tbl_over_running_revenue",
+            "tbl_sql_region_year_revenue", "tbl_tumble_daily_by_type",
+            "text_fingerprint", "text_lang_id", "text_quality", "text_stats",
+        ],
+        3,
+    ),
+    # r04 cohort (freshest)
+    **dict.fromkeys(
+        [
+            "cep_clean_purchase", "cep_double_error",
+            "ds_chain_revenue", "ds_stream_program",
+            "ev_count_sliding_20_5", "ev_count_tumbling_20",
+            "ev_window_cogroup_click_purchase",
+            "ev_window_join_click_purchase",
+            "fn_rich_broadcast_lookup",
+            "gr_adamic_adar", "gr_clustering_coef",
+            "gr_connected_components", "gr_facade_filtered_degrees",
+            "gr_graph_summarize", "gr_hits", "gr_label_propagation",
+            "gr_pagerank", "gr_triangle_count",
+            "ml_knn_neighbors", "ml_minmax_price", "ml_poly_features",
+            "mm_binary_stats",
+            "op_asof_join", "op_bulk_iteration", "op_delta_iteration",
+            "op_group_reduce_stats", "op_histogram", "op_intersect_all",
+            "op_interval_join", "op_join_with_huge", "op_join_with_tiny",
+            "op_minus_all", "op_percentiles", "op_range_band_join",
+            "op_sample_fixed_size", "op_split_select",
+            "op_stratified_sample", "op_summarize",
+            "pipe_corpus_clean",
+            "q10_returned_items", "q18_large_volume_customer",
+            "q1_pricing_summary",
+            "sim_ivf_topk",
+            "tbl_offset_fetch", "tbl_session_30m_by_user",
+            "tbl_slide_6h_2h_by_type",
+            "text_pack_sequences", "text_pii_redact",
+            "text_tfidf_top_terms", "text_vocab_top_terms",
+        ],
+        4,
+    ),
+}
 
 
 def _ordered(names) -> list[str]:
-    # A renamed/removed query silently shrinking the proven set would skew
-    # the rotation — fail loudly instead.
-    stale = _DRIVER_PROVEN - set(_QUERIES)
+    # A renamed/removed query silently skewing the rotation would hide a
+    # coverage gap — fail loudly instead.
+    stale = set(_LAST_PROVEN_ROUND) - set(_QUERIES)
     if stale:
-        raise AssertionError(f"_DRIVER_PROVEN names not in registry: {sorted(stale)}")
-    return sorted(names, key=lambda n: n in _DRIVER_PROVEN)  # stable sort
+        raise AssertionError(
+            f"_LAST_PROVEN_ROUND names not in registry: {sorted(stale)}"
+        )
+    # Never-proven first (round 0), then stalest cohort; stable within cohort.
+    return sorted(names, key=lambda n: _LAST_PROVEN_ROUND.get(n, 0))
 
 
 def queries() -> dict[str, QueryFn]:
