@@ -192,6 +192,12 @@ def main() -> None:
                 "notes": {
                     "timing": "min of 3 back-to-back passes per query",
                     "loadavg_at_start": [round(x, 2) for x in loadavg_start],
+                    "fn_json_ops_r4_regression": (
+                        "ambient: r5 re-measure of the unchanged plan gives "
+                        "0.25-0.30s (min of 6), faster than r3's 0.388s; a "
+                        "from_json variant benched no faster (0.26s), so the "
+                        "r4 0.537s was machine load, not a plan change"
+                    ),
                     "stream_events_replay": (
                         "r4 config change, same pipeline semantics: state "
                         "partitions sized to state (8→2) and checkpoint on "

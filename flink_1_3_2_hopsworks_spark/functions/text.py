@@ -230,9 +230,23 @@ def pack_sequences(
     a single global running sum would serialize into one task — pass
     ``shard_cols`` to pack per shard (each shard's window is independent;
     on a cluster each shard packs in parallel and bin ids are per-shard).
+    Without ``shard_cols`` a RuntimeWarning is emitted (the other sharp
+    edges in this repo are gated the same way); globally-ordered bins are
+    occasionally what you want, so it warns rather than raises.
     """
+    import warnings
+
     from pyspark.sql import Window
 
+    if not shard_cols:
+        warnings.warn(
+            "pack_sequences without shard_cols uses a GLOBAL unpartitioned "
+            "window: the running sum serializes into one task at scale. "
+            "Pass shard_cols (e.g. ['lang'] or a hash bucket) to pack each "
+            "shard in parallel.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     n_tok = token_count(text_col).cast("long")
     shard = list(shard_cols or [])
     w = (

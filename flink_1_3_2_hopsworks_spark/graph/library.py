@@ -20,7 +20,7 @@ smallest-id endpoint; AQE skew-join handles residual hot vertices.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from flink_1_3_2_hopsworks_spark.graph.pregel import vertices_from_edges
 from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
@@ -190,16 +190,28 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
     verts = vertices_from_edges(edges)
     init = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
 
+    def _norm(raw: Column, total: Column) -> Column:
+        # Mirror `collect()[0][0] or 1.0`: empty/zero L1 mass divides by 1.
+        safe = F.when(total.isNull() | (total == 0.0), F.lit(1.0)).otherwise(total)
+        return F.coalesce(raw, F.lit(0.0)) / safe
+
     def step(state: DataFrame, i: int) -> DataFrame:
+        # Per-half-step L1 normalization rides as a broadcast ONE-ROW
+        # aggregate cross-joined into the plan (the tfidf_top_terms pattern)
+        # instead of a driver collect — the whole superstep is one lazy plan
+        # and the only action is iterate()'s localCheckpoint, halving job
+        # launches vs the two scalar collects it replaces.
         auth_new = (
             edges.join(state, edges.src == state.id)
             .select(F.col("dst").alias("id"), "hub")
             .groupBy("id")
             .agg(F.sum("hub").alias("auth_raw"))
         )
-        auth_sum = auth_new.agg(F.sum("auth_raw")).collect()[0][0] or 1.0
-        with_auth = verts.join(auth_new, "id", "left").select(
-            "id", (F.coalesce("auth_raw", F.lit(0.0)) / auth_sum).alias("auth")
+        auth_sum = auth_new.agg(F.sum("auth_raw").alias("_asum"))
+        with_auth = (
+            verts.join(auth_new, "id", "left")
+            .crossJoin(F.broadcast(auth_sum))
+            .select("id", _norm(F.col("auth_raw"), F.col("_asum")).alias("auth"))
         )
         hub_new = (
             edges.join(with_auth, edges.dst == with_auth.id)
@@ -207,12 +219,13 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .groupBy("id")
             .agg(F.sum("auth").alias("hub_raw"))
         )
-        hub_sum = hub_new.agg(F.sum("hub_raw")).collect()[0][0] or 1.0
+        hub_sum = hub_new.agg(F.sum("hub_raw").alias("_hsum"))
         return (
             with_auth.join(hub_new, "id", "left")
+            .crossJoin(F.broadcast(hub_sum))
             .select(
                 "id",
-                (F.coalesce("hub_raw", F.lit(0.0)) / hub_sum).alias("hub"),
+                _norm(F.col("hub_raw"), F.col("_hsum")).alias("hub"),
                 "auth",
             )
         )

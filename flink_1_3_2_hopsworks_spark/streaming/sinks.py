@@ -42,6 +42,24 @@ def file_sink(
     return writer.start()
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """Assemble the Kafka sink option dict (pure — unit-testable without a
+    broker). At-least-once via checkpointed batch replay, matching the
+    reference FlinkKafkaProducer010's default (its exactly-once txn producer
+    arrived post-1.3)."""
+    if not topic:
+        raise ValueError("kafka sink requires a non-empty topic")
+    if not checkpoint:
+        raise ValueError("kafka sink requires a checkpointLocation")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -50,13 +68,10 @@ def kafka_sink(
 ) -> StreamingQuery:
     """Kafka producer sink (reference FlinkKafkaProducer010): expects
     ``key``/``value`` binary or string columns."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    writer = df.writeStream.format("kafka")
+    for k, v in kafka_sink_options(bootstrap_servers, topic, checkpoint).items():
+        writer = writer.option(k, v)
+    return writer.start()
 
 
 def foreach_batch_sink(

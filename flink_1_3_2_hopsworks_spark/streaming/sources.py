@@ -35,18 +35,66 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Assemble the Kafka source option dict (pure — unit-testable without a
+    broker; the container has neither broker nor connector jar, so this is
+    where a config regression would otherwise hide behind the gate).
+
+    Offset-resume semantics match the reference (FlinkKafkaConsumerBase):
+    ``startingOffsets`` applies only on FIRST start; on restart the offsets
+    in the streaming checkpoint win. ``fail_on_data_loss=True`` mirrors the
+    reference's default fail-on-out-of-range behavior; False resets like
+    Flink's ``setStartFromGroupOffsets`` + auto.offset.reset."""
+    if not topic:
+        raise ValueError("kafka source requires a non-empty topic")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_value_projection(df: DataFrame, schema: StructType | str) -> DataFrame:
+    """Project a Kafka source frame's binary ``value`` into typed columns via
+    from_json — the reference's DeserializationSchema step. Pure DataFrame
+    transform: unit-testable on any frame with a binary ``value`` column."""
+    import pyspark.sql.functions as F
+
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_v")
+    ).select("_v.*")
+
+
 def kafka_stream(
-    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka source (reference FlinkKafkaConsumer010): offsets tracked in the
     streaming checkpoint — same exactly-once read semantics."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        fail_on_data_loss,
+        max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:

@@ -368,3 +368,23 @@ def test_pack_sequences_bins_are_budgeted(spark):
         ("s1", 3): 1, ("s1", 4): 2, ("s1", 5): 2,
         ("s2", 6): 0, ("s2", 7): 0, ("s2", 8): 1,
     }
+
+
+def test_pack_sequences_warns_on_global_window(spark):
+    """Without shard_cols the running sum is a single global window (one
+    task at scale) — the sharp edge warns at call time; sharded calls stay
+    silent."""
+    import warnings
+
+    from flink_1_3_2_hopsworks_spark.functions.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s1"), (1, "c d", "s1")], "doc_id long, text string, lang string"
+    )
+    with pytest.warns(RuntimeWarning, match="GLOBAL unpartitioned window"):
+        out = pack_sequences(df, "doc_id", "text", 4)
+    assert {r["bin_id"] for r in out.collect()} == {0}
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail the test
+        pack_sequences(df, "doc_id", "text", 4, shard_cols=["lang"])

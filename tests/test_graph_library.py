@@ -87,6 +87,27 @@ def test_hits_hubs_and_authorities(spark):
     assert got[3][0] == 0.0 and got[1][1] == 0.0
 
 
+def test_hits_no_driver_collects_per_superstep(spark, monkeypatch):
+    """L1 normalization rides as a broadcast one-row aggregate inside the
+    superstep plan — a superstep must not run scalar collect() actions (the
+    only actions in the loop are iterate()'s localCheckpoints)."""
+    from pyspark.sql import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    e = _edges(spark, [(1, 3), (2, 3)])
+    result = hits(e, 3)
+    assert calls["n"] == 0  # zero collects during plan construction
+    got = {r["id"]: round(r["auth"], 4) for r in result.collect()}
+    assert got[3] == 1.0
+
+
 def test_summarize_graph(spark):
     verts = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, group string"

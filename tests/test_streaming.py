@@ -256,3 +256,57 @@ def test_kafka_source_sink_gate(spark, tmp_path):
         kafka_sink(
             stream, "localhost:9092", "events_topic", str(tmp_path / "ckpt")
         )
+
+
+def test_kafka_option_assembly_contract():
+    """The full option dicts are pinned as pure functions so a config
+    regression (dropped failOnDataLoss, renamed subscribe, stringly-typed
+    bool) can't hide behind the missing-connector gate."""
+    import pytest
+
+    from flink_1_3_2_hopsworks_spark.streaming.sinks import kafka_sink_options
+    from flink_1_3_2_hopsworks_spark.streaming.sources import kafka_source_options
+
+    assert kafka_source_options("h1:9092,h2:9092", "t") == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+    }
+    assert kafka_source_options(
+        "b:9092", "t", starting_offsets="latest", fail_on_data_loss=False,
+        max_offsets_per_trigger=50000,
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    with pytest.raises(ValueError, match="topic"):
+        kafka_source_options("b:9092", "")
+
+    assert kafka_sink_options("b:9092", "out", "/ckpt") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+        "checkpointLocation": "/ckpt",
+    }
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        kafka_sink_options("b:9092", "out", "")
+
+
+def test_kafka_value_projection(spark):
+    """The DeserializationSchema step (binary value → typed columns) is a
+    pure DataFrame transform, exercised on a local frame shaped like the
+    Kafka source output."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.streaming.sources import kafka_value_projection
+
+    raw = spark.createDataFrame(
+        [('{"event_id": 7, "event_type": "click", "value": 1.5}',)], "s string"
+    ).select(F.col("s").cast("binary").alias("value"))
+    out = kafka_value_projection(
+        raw, "event_id long, event_type string, value double"
+    ).collect()[0]
+    assert (out["event_id"], out["event_type"], out["value"]) == (7, "click", 1.5)
