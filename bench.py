@@ -179,6 +179,23 @@ def main() -> None:
     )
     timings["stream_events_replay"] = round(wall_s, 3)
 
+    # Scaling section: scripts/bench_scale.py runs this suite + the
+    # dedup/text/graph heavyweights at sf0.1 AND a generated sf1 (10x) in one
+    # session and records per-query growth in SCALE_SF1.json; inline its
+    # summary so the driver artifact carries the scaling measurement.
+    sf1_summary = None
+    sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SF1.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            s = json.load(f)
+        sf1_summary = {
+            "what": "recorded by scripts/bench_scale.py; full detail in SCALE_SF1.json",
+            "total_ratio_on_10x_data": s.get("total_ratio"),
+            "worst_query": s.get("worst_query"),
+            "super_linear_queries": s.get("super_linear"),
+            "stream_replay": s.get("stream_replay"),
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -204,6 +221,7 @@ def main() -> None:
                         "tmpfs so per-batch wal/offset/state commits stop "
                         "charging ext4 fsync latency to a ~0.6s replay"
                     ),
+                    "sf1_scaling": sf1_summary,
                 },
             }
         )

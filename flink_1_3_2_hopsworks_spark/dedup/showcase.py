@@ -10,6 +10,7 @@ from flink_1_3_2_hopsworks_spark.catalog import load_table
 from flink_1_3_2_hopsworks_spark.dedup.embedding import embedding_near_dups
 from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
 from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.neardup import resolve_duplicate_clusters
 from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
 from flink_1_3_2_hopsworks_spark.dedup.simhash import (
     portable_hash60,
@@ -146,6 +147,20 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (T.quality_score("text") >= 0.8) & (T.token_count("text") >= 20)
     )
     return dedup_documents(kept, "text", "doc_id")
+
+
+def pipe_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate REMOVAL pipeline (the standard LLM-corpus fuzzy-dedup
+    composition): MinHash-LSH near-dup pairs → connected components over
+    the pair graph → keep the min-doc_id canonical per transitive cluster.
+    One row per document: (doc_id, canonical_id, kept).
+
+    Full DuckDB hash-match: the portable minhash pairs replay in SQL and
+    the cluster resolution replays as a recursive-CTE transitive closure
+    (min reachable id ≡ the label-propagation fixpoint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
+    return resolve_duplicate_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
 def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

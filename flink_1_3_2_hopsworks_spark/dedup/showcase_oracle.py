@@ -224,8 +224,39 @@ def _embedding_oracle(
     """
 
 
+def _near_dedup_oracle() -> str:
+    """pipe_near_dedup: the portable minhash pair oracle feeds a
+    recursive-CTE transitive closure — MIN(reachable id) per vertex is
+    exactly the label-propagation fixpoint the Spark side iterates to."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_oracle()}
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), verts AS (
+            SELECT DISTINCT src AS id FROM sym
+        ), reach(root, node) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT reach.root, sym.dst
+            FROM reach JOIN sym ON sym.src = reach.node
+        ), comp AS (
+            SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+        )
+        SELECT d.doc_id,
+            CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+            COALESCE(c.component, d.doc_id) = d.doc_id AS kept
+        FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
+    "pipe_near_dedup": _near_dedup_oracle(),
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
     "text_lang_id": _lang_id_oracle(),

@@ -370,6 +370,26 @@ def test_pack_sequences_bins_are_budgeted(spark):
     }
 
 
+def test_resolve_duplicate_clusters_transitive(spark):
+    """A~B and B~C (never A~C) must land in ONE cluster with the min id as
+    the single survivor; unpaired docs survive as their own canonical."""
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import resolve_duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["kept"])
+        for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True), 3: (1, False), 5: (1, False),  # transitive chain
+        2: (2, True), 6: (2, False),
+        4: (4, True),  # never paired
+    }
+
+
 def test_pack_sequences_warns_on_global_window(spark):
     """Without shard_cols the running sum is a single global window (one
     task at scale) — the sharp edge warns at call time; sharded calls stay
