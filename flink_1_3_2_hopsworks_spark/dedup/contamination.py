@@ -1,0 +1,79 @@
+"""Benchmark decontamination: flag corpus documents sharing word n-grams
+with a benchmark/eval set.
+
+The standard pre-training hygiene step (the reference engine has no
+counterpart; modeled on the n-gram-overlap procedure published with GPT-3
+appendix C / PaLM / Llama: a document is contaminated if any length-n word
+n-gram also occurs in the benchmark set).
+
+Scale design: the benchmark side (eval sets — thousands of documents) is
+tiny next to the corpus, so its distinct-gram set is BROADCAST and the
+corpus side streams through a map-side hash semi-join — no shuffle of the
+100-TB corpus. Gram generation is pure Column math (split → sequence →
+slice → concat), fully codegen'd; the only aggregation is the per-doc hit
+count, which shuffles one small (doc_id, gram) pair per *distinct* matching
+gram, bounded by the benchmark gram count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Array of length-``n`` word n-grams (space-joined) over lowercase
+    whitespace tokens; empty array when the document has fewer than ``n``
+    tokens. Deterministic string math — any engine replays it."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-corpus-document contamination verdict against ``benchmark``:
+    ``(id_col, n_hits, contaminated)`` where ``n_hits`` counts the
+    document's *distinct* n-grams that also occur anywhere in the benchmark
+    set and ``contaminated`` is ``n_hits > 0``. Every corpus row appears in
+    the output (zero-hit docs included via a left join).
+
+    ``broadcast_benchmark=False`` falls back to a shuffle join for the
+    rare benchmark set too large to broadcast."""
+    grams = word_ngrams(text_col, n)
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = (
+        corpus.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
+    )
+    hits = (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

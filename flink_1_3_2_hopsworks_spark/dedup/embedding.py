@@ -66,21 +66,54 @@ def embedding_near_dups(
     num_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    extra_planes: int = 16,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine >= threshold, via hyperplane-LSH
     bucketing + exact verification. Recall rises with fewer planes (bigger
     buckets); 8 planes catches a 0.9-cosine pair in one bucket with
     p = (1 - acos(0.9)/pi)^8 ≈ 0.33 — production would union several plane
-    sets (OR-amplification); kept single-set here for plan compactness."""
-    planes = hyperplanes(dim, num_planes, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-    ).withColumn("_sig", sign_signature(F.col("_v"), planes))
-    left = sig.select(F.col("_sig"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    right = sig.select(F.col("_sig"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    sets (OR-amplification); kept single-set here for plan compactness.
+
+    Scale guard — ADAPTIVE BUCKET SPLIT: clustered corpora concentrate
+    vectors into a few sign buckets, and an uncapped per-bucket self-join is
+    quadratic in the hot-bucket size (measured: 55x wall time on 10x rows at
+    sf1 before this fix). The signature is computed ONCE over
+    num_planes + extra_planes hyperplanes; rows bucket on the leading
+    ``num_planes`` bits, and any bucket larger than ``max_bucket`` re-keys
+    on the FULL bit string — work in dense regions is bounded by how finely
+    24 bits shatter them, instead of growing quadratically. Deterministic
+    (bucket sizes are data-determined, no RNG), hash-agg + join (no
+    WindowExec hot partition), and replayed exactly by the DuckDB oracle.
+    Recall in split buckets needs all-bit agreement — the documented trade;
+    OR-amplification remains the production recall lever.
+    """
+    total_planes = num_planes + extra_planes
+    # NumPy fills row-major, so the first num_planes rows equal the planes
+    # an (num_planes, dim) draw would produce — base buckets are unchanged.
+    planes = hyperplanes(dim, total_planes, seed)
+    sig = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_sig_all", sign_signature(F.col("_v"), planes))
+        .withColumn("_base", F.shiftright("_sig_all", extra_planes))
+    )
+    counts = sig.groupBy("_base").agg(F.count(F.lit(1)).alias("_bsz"))
+    # Disjoint key spaces: hot rows key on the full bit string, cold rows on
+    # base + 2^total (cannot collide with any full signature).
+    keyed = sig.join(counts, "_base").withColumn(
+        "_key",
+        F.when(F.col("_bsz") > max_bucket, F.col("_sig_all")).otherwise(
+            F.col("_base") + F.lit(1 << total_planes)
+        ),
+    )
+    left = keyed.select(
+        F.col("_key"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+    )
+    right = keyed.select(
+        F.col("_key"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+    )
     return (
-        left.join(right, "_sig")
+        left.join(right, "_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)

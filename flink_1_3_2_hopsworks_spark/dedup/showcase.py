@@ -27,12 +27,16 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-set Jaccard near-dup pairs via inverted-index join — the
-    SQL-checkable ground truth that MinHash approximates. Bigrams (not
-    unigrams): this corpus's tiny vocabulary makes unigram posting lists
-    degenerate (every doc shares every token)."""
+    """Exact bigram-set Jaccard near-dup pairs via a PREFIX-FILTERED
+    inverted-index join (AllPairs/PPJoin) — the SQL-checkable ground truth
+    that MinHash approximates, at MinHash's own 0.8 operating point (where
+    the prefix is each doc's ~20% rarest grams and candidates collapse to
+    true near-dups; a 0.35 threshold on this uniform-vocabulary corpus
+    degenerates any inverted index toward all-pairs). Bigrams (not
+    unigrams): the tiny vocabulary makes unigram posting lists degenerate
+    (every doc shares every token)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.35, n=2)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=2)
 
 
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +188,55 @@ def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(200)
     )
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (north-star training-pipeline op): flag
+    corpus docs sharing any 5-word-gram with the held-out benchmark slice
+    (source = 'src0' stands in for an eval set). Benchmark gram set is
+    broadcast; the corpus streams map-side — no corpus shuffle. The oracle
+    replays gram generation, the semi-join, and the hit count in SQL."""
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        benchmark_ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_ngram_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction + top-bigram coverage fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id", "text")
+
+
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM rarity score (ppm) per document — the model-free
+    perplexity proxy for lexical-typicality ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_rarity(docs, "doc_id", "text")
+
+
+def pipe_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture resampling (north-star training-pipeline op):
+    downsample the dominant language (en → 35%) to rebalance the corpus,
+    via the portable salted-md5 per-stratum draw — a pure filter, no
+    shuffle, exactly replayable by the oracle."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        mixture_sample_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample_hashed(
+        docs, {"en": 0.35}, "lang", ["doc_id"], salt="m42"
+    ).select("doc_id", "lang", "source")
 
 
 def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,18 +190,26 @@ def _minhash_oracle(
 
 
 def _embedding_oracle(
-    threshold: float = 0.3, num_planes: int = 8, dim: int = 64, seed: int = 42
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    extra_planes: int = 16,
+    max_bucket: int = 256,
 ) -> str:
     """Replays dedup/embedding.py in DuckDB SQL: the seeded hyperplanes are
     inlined as literal DOUBLE[] constants (full-precision repr → exact same
-    doubles), sign bits pack MSB-first exactly like the Spark UDF, and the
-    cosine verify mirrors the engine's dot/(|a||b|) formula."""
+    doubles), sign bits pack MSB-first exactly like the Spark UDF, the
+    adaptive bucket split (base bits; full bits when the base bucket
+    exceeds max_bucket) is replayed with the same disjoint key spaces, and
+    the cosine verify mirrors the engine's dot/(|a||b|) formula."""
     from flink_1_3_2_hopsworks_spark.dedup.embedding import (
         hyperplane_bit_terms_sql,
         hyperplanes,
     )
 
-    bit_terms = hyperplane_bit_terms_sql(hyperplanes(dim, num_planes, seed))
+    total = num_planes + extra_planes
+    bit_terms = hyperplane_bit_terms_sql(hyperplanes(dim, total, seed))
     return f"""
         WITH vecs AS (
             SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -210,6 +218,15 @@ def _embedding_oracle(
                 {bit_terms}
                 AS s
             FROM vecs
+        ), based AS (
+            SELECT id, v, s, s >> {extra_planes} AS b FROM sig
+        ), cnt AS (
+            SELECT b, COUNT(*) AS c FROM based GROUP BY b
+        ), keyed AS (
+            SELECT id, v,
+                CASE WHEN c > {max_bucket} THEN s
+                     ELSE b + {1 << total} END AS k
+            FROM based JOIN cnt USING (b)
         ), pairs AS (
             SELECT a.id AS id_a, b.id AS id_b,
                 ROUND(
@@ -218,7 +235,7 @@ def _embedding_oracle(
                        * SQRT(LIST_INNER_PRODUCT(b.v, b.v))),
                     4
                 ) AS cosine
-            FROM sig a JOIN sig b ON a.s = b.s AND a.id < b.id
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
         )
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
     """
@@ -296,7 +313,7 @@ ORACLE: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
     """,
     "text_stats": """
         SELECT
@@ -454,5 +471,99 @@ ORACLE: dict[str, str] = {
             CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
             MD5(text) AS digest
         FROM documents
+    """,
+    # 5-word-gram overlap vs the source='src0' benchmark slice. i ranges
+    # 1..len-4 (RANGE upper bound is exclusive); toks[i:i+4] is DuckDB's
+    # 1-based inclusive list slice = 5 tokens.
+    "text_decontaminate": """
+        WITH tok AS (
+            SELECT doc_id, source,
+                STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT DISTINCT ARRAY_TO_STRING(toks[i:i+4], ' ') AS gram
+            FROM (
+                SELECT toks, UNNEST(RANGE(1, LEN(toks) - 3)) AS i
+                FROM tok WHERE source = 'src0' AND LEN(toks) >= 5
+            )
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                ARRAY_TO_STRING(toks[i:i+4], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks, UNNEST(RANGE(1, LEN(toks) - 3)) AS i
+                FROM tok WHERE source <> 'src0' AND LEN(toks) >= 5
+            )
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM cg JOIN bg USING (gram) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+            COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.source <> 'src0'
+    """,
+    "text_repetition_stats": """
+        WITH tok AS (
+            SELECT doc_id,
+                STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, LEN(toks) AS n_tokens,
+                LEN(LIST_DISTINCT(toks)) AS n_distinct
+            FROM tok
+        ),
+        bigrams AS (
+            SELECT doc_id, ARRAY_TO_STRING(toks[i:i+1], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks, UNNEST(RANGE(1, LEN(toks))) AS i
+                FROM tok WHERE LEN(toks) >= 2
+            )
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS c
+            FROM bigrams GROUP BY doc_id, gram
+        ),
+        top AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+            FROM per_gram GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+            CAST(b.n_tokens AS INTEGER) AS n_tokens,
+            ROUND(CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens,
+                  6) AS dup_token_ratio,
+            COALESCE(ROUND(CAST(t.top_c AS DOUBLE) / t.n_bigrams, 6),
+                     0.0) AS top_bigram_ratio
+        FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+    "text_unigram_rarity": """
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+            FROM documents
+        ),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+        tot AS (SELECT COUNT(*) AS total FROM t2),
+        per AS (
+            SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n
+            FROM t2 JOIN freq USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id,
+            CAST(n AS BIGINT) AS n_tokens,
+            ROUND(CAST(s AS DOUBLE) / (CAST(total AS DOUBLE) * n)
+                  * 1000000.0, 4) AS token_ppm
+        FROM per CROSS JOIN tot
+    """,
+    # en threshold = int(0.35 * 2^32); everything else keeps rate 1.0.
+    "pipe_lang_mixture": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                   CAST(doc_id AS VARCHAR), 'm42')), 1, 8))::BIGINT
+            < CASE WHEN lang = 'en' THEN 1503238553 ELSE 4294967296 END
     """,
 }

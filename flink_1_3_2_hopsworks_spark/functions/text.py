@@ -193,6 +193,93 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition metrics per document — the standard
+    quality-filter signals for detecting boilerplate / degenerate text in a
+    training corpus (Rae et al. 2021 §A1.1): duplicate-token fraction and
+    the fraction of the document covered by its most frequent bigram.
+
+    Output: ``(id_col, n_tokens, dup_token_ratio, top_bigram_ratio)``.
+    All ratios are single divisions of exact integer counts, so any engine
+    replays them bit-for-bit. One explode + two hash-aggregates; the window
+    is per-document, never global.
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import word_ngrams
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+    )
+    bigrams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    )
+    top = (
+        bigrams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_n_bigrams"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                (F.col("n_tokens") - F.col("_n_distinct")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_ratio"),
+            F.coalesce(
+                F.round(
+                    F.col("_top").cast("double") / F.col("_n_bigrams"), 6
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def unigram_rarity(df, id_col: str, text_col: str):
+    """Per-document mean corpus-unigram probability (parts-per-million) —
+    the model-free perplexity proxy a pipeline uses to rank documents by
+    lexical typicality (low ppm = rare vocabulary, high = common/boilerplate).
+
+    The unigram LM is built from the corpus itself: p(w) = count(w)/total.
+    Per doc: token_ppm = 1e6 · Σ count(tok) / (total · n_tokens). The sums
+    are exact BIGINTs; the one double division + multiply is IEEE-determined,
+    so any engine replays it bit-for-bit. The corpus total rides as a
+    broadcast one-row cross join (the tfidf_top_terms pattern) — no collect.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    per_doc = (
+        toks.join(freq, "term")
+        .groupBy("_id")
+        .agg(
+            F.sum("_cnt").alias("_s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(
+            F.col("_s").cast("double")
+            / (F.col("_total").cast("double") * F.col("n_tokens"))
+            * F.lit(1000000.0),
+            4,
+        ).alias("token_ppm"),
+    )
+
+
 # PII patterns kept to syntax valid AND equivalent in both Java regex
 # (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround, fixed
 # quantifiers — Java's leftmost-first and RE2's leftmost-longest semantics

