@@ -15,7 +15,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from flink_1_3_2_hopsworks_spark.functions.vectors import cosine, dot
+from flink_1_3_2_hopsworks_spark.functions.vectors import dot, norm
 
 
 def hyperplanes(dim: int, count: int, seed: int = 42) -> list[list[float]]:
@@ -106,16 +106,37 @@ def embedding_near_dups(
             F.col("_base") + F.lit(1 << total_planes)
         ),
     )
+    # Per-VECTOR norms ride on the keyed table: cosine verify then costs one
+    # dot per pair instead of three interpreted HOF aggregates (Spark HOFs
+    # are CodegenFallback — at millions of candidate pairs the two
+    # per-pair norms dominated). Same expression dot/(|a|·|b|), same IEEE
+    # ops, so the oracle is untouched.
+    keyed = keyed.withColumn("_nrm", norm(F.col("_v")))
     left = keyed.select(
-        F.col("_key"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+        F.col("_key"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_nrm").alias("n_a"),
     )
     right = keyed.select(
-        F.col("_key"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+        F.col("_key"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_nrm").alias("n_b"),
     )
+    denom = F.col("n_a") * F.col("n_b")
     return (
         left.join(right, "_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    dot(F.col("v_a"), F.col("v_b")) / denom
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

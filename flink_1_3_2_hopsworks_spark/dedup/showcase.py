@@ -253,3 +253,33 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.md5(payload).alias("digest"),
     )
+
+
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator (north-star training-pipeline op): per-language
+    corpus summary — doc count, token/char totals, exact-duplicate counts
+    and ratio. All exact-integer aggregates plus one final division, so any
+    engine replays it bit-for-bit. One fingerprint window (keyed by the
+    high-cardinality fingerprint — never global) + one per-lang hash-agg."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(T.fingerprint("text"))
+    marked = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("_tok"),
+        F.length("text").alias("_chars"),
+        (F.count(F.lit(1)).over(w) > 1).alias("_is_dup"),
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).alias("n_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("_is_dup"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )

@@ -566,4 +566,24 @@ ORACLE: dict[str, str] = {
                    CAST(doc_id AS VARCHAR), 'm42')), 1, 8))::BIGINT
             < CASE WHEN lang = 'en' THEN 1503238553 ELSE 4294967296 END
     """,
+    "pipe_dataset_card": """
+        WITH marked AS (
+            SELECT doc_id, lang,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS tok,
+                LENGTH(text) AS chars,
+                COUNT(*) OVER (
+                    PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+                ) > 1 AS is_dup
+            FROM documents
+        )
+        SELECT lang,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS total_tokens,
+            CAST(SUM(chars) AS BIGINT) AS total_chars,
+            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS dup_ratio
+        FROM marked GROUP BY lang
+    """,
 }

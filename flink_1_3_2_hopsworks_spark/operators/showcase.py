@@ -729,3 +729,48 @@ def op_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "n", "nulls", "min_value", "max_value",
         F.round("mean", 4).alias("mean"),
     )
+
+
+def op_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): hot keys fan
+    out over (key, salt) reducers before the per-key merge — the 100-TB
+    posture for high-fanout aggregates AQE cannot split. The salt is
+    internal; the RESULT is the plain GROUP BY (the oracle), exactly:
+    sum/count/min/max of integer-valued columns merge deterministically."""
+    from flink_1_3_2_hopsworks_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+            "min_disc": ("min", "l_discount"),
+        },
+        num_salts=16,
+    )
+
+
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fan-out equi-join (operators/skew.py): big side salted,
+    small side replicated per salt — for joins AQE can't rewrite
+    (stream-static, bucketed inputs). Result ≡ the plain join; verified by
+    aggregating to per-nation totals (exact integer-valued sums)."""
+    from flink_1_3_2_hopsworks_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, ["s_suppkey"], num_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -381,4 +381,20 @@ ORACLE: dict[str, str] = {
             CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE)
         FROM lineitem
     """,
+    "op_salted_aggregate": """
+        SELECT l_returnflag,
+            SUM(l_quantity) AS sum_qty,
+            CAST(COUNT(l_quantity) AS BIGINT) AS n_rows,
+            MAX(l_extendedprice) AS max_price,
+            MIN(l_discount) AS min_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "op_salted_join": """
+        SELECT s.s_nationkey,
+            SUM(l.l_quantity) AS sum_qty,
+            CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey
+    """,
 }

@@ -36,6 +36,32 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@10 of the LSH index against the
+    exact brute-force baseline, per query (the metric a pipeline tracks
+    when tuning num_planes / nprobe). Composes the two gated plans with a
+    (query_id, vec_id) join; every query appears even at recall 0."""
+    lsh = sim_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(lsh, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")) / F.lit(10.0), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized top-10 — the data-adaptive scale path, served
     from the FROZEN coarse quantizer (gate_model.FROZEN_CENTROIDS, trained

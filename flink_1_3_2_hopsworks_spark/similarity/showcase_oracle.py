@@ -88,10 +88,7 @@ def _ivf_topk_oracle(k: int = 10, nprobe: int = 6) -> str:
     """
 
 
-ORACLE: dict[str, str] = {
-    "sim_lsh_topk": _lsh_topk_oracle(),
-    "sim_ivf_topk": _ivf_topk_oracle(),
-    "sim_bruteforce_topk": """
+_BRUTEFORCE_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
             FROM embeddings WHERE vec_id < 5
@@ -114,5 +111,31 @@ ORACLE: dict[str, str] = {
         )
         SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
         FROM ranked WHERE rank <= 10
-    """,
+    """
+
+
+def _recall_eval_oracle() -> str:
+    """Composes the two gate oracles: recall@10 of LSH vs brute force."""
+    return f"""
+        WITH lsh AS ({_lsh_topk_oracle()}),
+        bf AS ({_BRUTEFORCE_SQL}),
+        hits AS (
+            SELECT b.query_id, COUNT(*) AS n
+            FROM bf b JOIN lsh l
+              ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+            GROUP BY b.query_id
+        )
+        SELECT q.query_id,
+            CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+            ROUND(COALESCE(h.n, 0) / 10.0, 4) AS recall
+        FROM (SELECT DISTINCT query_id FROM bf) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+ORACLE: dict[str, str] = {
+    "sim_lsh_topk": _lsh_topk_oracle(),
+    "sim_ivf_topk": _ivf_topk_oracle(),
+    "sim_recall_eval": _recall_eval_oracle(),
+    "sim_bruteforce_topk": _BRUTEFORCE_SQL,
 }

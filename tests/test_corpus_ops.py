@@ -120,6 +120,29 @@ def test_ngram_strategies_identical(spark):
         assert (1, 4, 1.0) in bitmap
 
 
+def test_sim_recall_eval_bounds_and_consistency(spark):
+    """recall@10 lies in [0, 1], covers every query, and equals the direct
+    overlap of the two gated top-k results."""
+    from flink_1_3_2_hopsworks_spark.similarity.showcase import (
+        sim_bruteforce_topk,
+        sim_lsh_topk,
+        sim_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["query_id"]: r for r in sim_recall_eval(spark, sf).collect()}
+    bf = sim_bruteforce_topk(spark, sf).collect()
+    lsh = {(r["query_id"], r["vec_id"]) for r in sim_lsh_topk(spark, sf).collect()}
+    assert set(out) == {r["query_id"] for r in bf}
+    for qid, row in out.items():
+        direct = sum(
+            1 for r in bf if r["query_id"] == qid and (qid, r["vec_id"]) in lsh
+        )
+        assert row["n_hits"] == direct
+        assert 0.0 <= row["recall"] <= 1.0
+        assert row["recall"] == round(direct / 10.0, 4)
+
+
 def test_mixture_sample_rates_zero_and_one(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "de") for i in range(200)],

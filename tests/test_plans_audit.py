@@ -300,3 +300,34 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     )
     plan2 = plan_of(range_join(events.select(F.col("value").alias("v")), bands, "v"))
     assert "BroadcastNestedLoopJoin" in plan2
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must broadcast — the corpus side streams
+    map-side; a shuffle of the corpus gram stream would be the bottleneck
+    at 100 TB."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import text_decontaminate
+
+    plan = plan_of(text_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lang_mixture_is_pure_filter(spark):
+    """Mixture resampling is a narrow map over the scan: no Exchange, no
+    Python — the md5 draw is a codegen'd expression."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import pipe_lang_mixture
+
+    plan = plan_of(pipe_lang_mixture(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Filter" in plan
+
+
+def test_repetition_stats_single_doc_keyed_shuffle(spark):
+    """Repetition metrics shuffle only on the document key (bigram counts)
+    — no global window, no Python in the plan."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import text_repetition_stats
+
+    plan = plan_of(text_repetition_stats(spark, SF))
+    assert "Python" not in plan
+    assert "WindowExec" not in plan.replace("WindowGroupLimit", "")
