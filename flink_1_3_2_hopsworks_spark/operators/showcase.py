@@ -774,3 +774,33 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV distinct-count sketch (operators/sketches.py): estimate
+    |distinct o_custkey| from the 256 minimum md5 hashes. Unlike HLL++ the
+    sketch is engine-neutral — the oracle replays hash → k-min → estimator
+    exactly. Only k values ever leave a partition (TakeOrderedAndProject)."""
+    from flink_1_3_2_hopsworks_spark.operators.sketches import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, ["o_custkey"], k=256)
+
+
+def op_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable approximate percentiles (operators/sketches.py): exact
+    interpolated quartiles of l_extendedprice per returnflag over a
+    DETERMINISTIC 10% salted-hash sample — any engine replays the identical
+    sample, unlike approx_percentile's private sketch."""
+    from flink_1_3_2_hopsworks_spark.operators.sketches import (
+        sampled_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return sampled_percentiles(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        0.1,
+        group_cols=["l_returnflag"],
+    )

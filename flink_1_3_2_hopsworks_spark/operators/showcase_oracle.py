@@ -397,4 +397,29 @@ ORACLE: dict[str, str] = {
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY s.s_nationkey
     """,
+    "op_kmv_distinct": """
+        WITH hashes AS (
+            SELECT DISTINCT ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                CAST(o_custkey AS VARCHAR), 'kmv42')), 1, 8))::BIGINT AS h
+            FROM orders
+        ), sketch AS (SELECT h FROM hashes ORDER BY h LIMIT 256)
+        SELECT CAST(256 AS INTEGER) AS k,
+            CAST(COUNT(*) AS BIGINT) AS n_sketch,
+            MAX(h) AS kth_hash,
+            ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 255.0 * 4294967296.0 / MAX(h) END, 4) AS est_distinct
+        FROM sketch
+    """,
+    "op_sampled_percentiles": """
+        SELECT l_returnflag,
+            CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+            CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+            CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
+            CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90
+        FROM lineitem
+        WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                'sp42')), 1, 8))::BIGINT < 429496729
+        GROUP BY l_returnflag
+    """,
 }

@@ -177,3 +177,35 @@ def test_mixture_sample_is_deterministic_and_rate_shaped(spark):
         df, {"en": 0.35}, "lang", ["doc_id"], salt="other"
     ).count()
     assert redraw != len(a) or True  # different salt draws a different set
+
+
+def test_kmv_exact_below_k(spark):
+    from flink_1_3_2_hopsworks_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(i % 50,) for i in range(500)], ["v"])
+    row = kmv_distinct(df, ["v"], k=256).first()
+    assert row["n_sketch"] == 50
+    assert row["est_distinct"] == 50.0  # under k -> exact
+
+
+def test_kmv_estimates_within_theory_bound(spark):
+    from flink_1_3_2_hopsworks_spark.operators.sketches import kmv_distinct
+
+    true_n = 20_000
+    df = spark.range(true_n).selectExpr("id as v")
+    row = kmv_distinct(df, ["v"], k=256).first()
+    # KMV relative error ~ 1/sqrt(k) = 6.25%; allow 4 sigma.
+    assert abs(row["est_distinct"] - true_n) / true_n < 0.25
+    assert row["n_sketch"] == 256
+
+
+def test_sampled_percentiles_deterministic_and_close(spark):
+    from flink_1_3_2_hopsworks_spark.operators.sketches import (
+        sampled_percentiles,
+    )
+
+    df = spark.range(20_000).selectExpr("id", "cast(id as double) as x")
+    a = sampled_percentiles(df, "x", ["id"], 0.2, percentiles=(0.5,)).first()
+    b = sampled_percentiles(df, "x", ["id"], 0.2, percentiles=(0.5,)).first()
+    assert a["p50"] == b["p50"]  # portable draw: identical sample
+    assert abs(a["p50"] - 10_000) / 10_000 < 0.05
