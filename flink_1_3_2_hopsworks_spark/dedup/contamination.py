@@ -52,15 +52,31 @@ def benchmark_ngram_overlap(
 
     ``broadcast_benchmark=False`` falls back to a shuffle join for the
     rare benchmark set too large to broadcast."""
-    grams = word_ngrams(text_col, n)
+    numeric_id = dict(corpus.dtypes).get(id_col) in (
+        "bigint", "int", "smallint", "tinyint",
+    )
+    if numeric_id:
+        # Arrow-batched gram builder (same strings as word_ngrams; the
+        # Catalyst HOF formulation is interpreted per element and ~20x
+        # slower at corpus scale — see dedup/ngram.py).
+        from flink_1_3_2_hopsworks_spark.dedup.ngram import _gram_sets
+
+        corpus_grams = (
+            _gram_sets(corpus, id_col, text_col, n, short_doc_whole_text=False)
+            .select(F.col("_id").alias(id_col), F.explode("_g").alias("gram"))
+            .distinct()
+        )
+    else:
+        corpus_grams = corpus.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        ).distinct()
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram")).distinct()
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("gram")
+        ).distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    corpus_grams = (
-        corpus.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
-    )
     hits = (
         corpus_grams.join(bench_grams, "gram")
         .groupBy(id_col)

@@ -64,11 +64,21 @@ def token_ngrams(text: Column | str, n: int = 2) -> Column:
     )
 
 
-def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _gram_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    short_doc_whole_text: bool = True,
+) -> DataFrame:
     """(_id, _g) with _g = distinct word n-grams — same strings as
     ``token_ngrams`` but produced in an Arrow-batched pandas pass: the
     Catalyst higher-order-function formulation is interpreted per element
-    and measured ~20x slower at corpus scale (71 s for 2.7M grams at sf1)."""
+    and measured ~20x slower at corpus scale (71 s for 2.7M grams at sf1).
+
+    ``short_doc_whole_text`` selects the under-n convention:
+    True = the whole text as one gram (``token_ngrams``); False = no grams
+    (``word_ngrams`` / contamination semantics)."""
     import re
 
     ws = re.compile(r"\s+")
@@ -80,7 +90,7 @@ def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
                 t = text.strip().lower()
                 toks = ws.split(t) if t else []
                 if len(toks) < n:
-                    grams = [" ".join(toks)]
+                    grams = [" ".join(toks)] if short_doc_whole_text else []
                 else:
                     grams = list(
                         dict.fromkeys(
