@@ -138,6 +138,18 @@ def stream_replay(spark, sf_dir: str) -> tuple[int, float, float]:
     return rows, proc_ms / 1000.0, wall
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed SINGLE-THREADED workload (10M-iteration python
+    loop): the machine-speed denominator for cross-round artifact
+    comparison. (A numpy matmul probe was tried first and rejected — BLAS
+    threading makes it vary with idle-core count, not machine speed.)"""
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -159,6 +171,11 @@ def main() -> None:
     # phantom 1.68× "regression" that was concurrent load; round-4 measured
     # uniform +10-60% ambient drift between same-code runs minutes apart).
     loadavg_start = os.getloadavg()
+    # Fixed-work CPU probe: normalizes cross-round comparisons. Round-5
+    # measured the SAME code 25-35% slower than the round-4 artifact on
+    # every query including trivial untouched ones (fn_string_ops +34%) —
+    # host-speed drift, which this number makes visible in the artifact.
+    cpu_probe_s = _cpu_probe()
     timings: dict[str, float] = {}
     for _pass in range(3):
         for name in HEADLINE:
@@ -209,6 +226,17 @@ def main() -> None:
                 "notes": {
                     "timing": "min of 3 back-to-back passes per query",
                     "loadavg_at_start": [round(x, 2) for x in loadavg_start],
+                    "cpu_probe_sec": cpu_probe_s,
+                    "cpu_probe_ref": (
+                        "fixed 10M-iteration single-thread loop; r5 "
+                        "reference ~0.80s. r5 proved host-speed drift is "
+                        "real: the EXACT r4-commit code re-run in r5 "
+                        "measured 27.2-27.9s vs its recorded 22.2s artifact "
+                        "(+25%, uniform across untouched queries), while "
+                        "r5 HEAD vs r4-code back-to-back differed by only "
+                        "2%. Scale per-query times by the probe ratio "
+                        "before calling a cross-round delta a regression."
+                    ),
                     "fn_json_ops_r4_regression": (
                         "ambient: r5 re-measure of the unchanged plan gives "
                         "0.25-0.30s (min of 6), faster than r3's 0.388s; a "
