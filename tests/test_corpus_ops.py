@@ -209,3 +209,110 @@ def test_sampled_percentiles_deterministic_and_close(spark):
     b = sampled_percentiles(df, "x", ["id"], 0.2, percentiles=(0.5,)).first()
     assert a["p50"] == b["p50"]  # portable draw: identical sample
     assert abs(a["p50"] - 10_000) / 10_000 < 0.05
+
+
+def _python_jaccard_pairs(docs, threshold, n=2):
+    """Independent reference model: brute-force n-gram Jaccard in python."""
+    import re
+
+    gsets = {}
+    for i, text in docs:
+        t = text.strip().lower()
+        toks = re.split(r"\s+", t) if t else []
+        if len(toks) < n:
+            gsets[i] = {" ".join(toks)}
+        else:
+            gsets[i] = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
+    out = set()
+    ids = sorted(gsets)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            inter = len(gsets[ia] & gsets[ib])
+            union = len(gsets[ia] | gsets[ib])
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out.add((ia, ib, round(j, 4)))
+    return out
+
+
+def test_ngram_pairs_random_corpora_match_python_model(spark):
+    """Seeded random low-entropy corpora (the adversarial case for the
+    prefix filter): BOTH physical strategies must equal the brute-force
+    python model at several thresholds — this is the randomized check on
+    the hand-implemented AllPairs prefix/length-filter theorem."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense overlaps
+    docs = []
+    for i in range(60):
+        length = int(rng.integers(2, 14))
+        words = [vocab[int(x)] for x in rng.integers(0, len(vocab), length)]
+        docs.append((i, " ".join(words)))
+    # plant exact + near dups
+    docs[50] = (50, docs[0][1])
+    docs[51] = (51, docs[1][1] + " extra")
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.6, 0.9):
+        expected = _python_jaccard_pairs(docs, t)
+        bitmap = set(
+            map(tuple, ngram_jaccard_pairs(df, "doc_id", "text", t, 2).collect())
+        )
+        prefix = set(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    df, "doc_id", "text", t, 2, universe_cap=0
+                ).collect(),
+            )
+        )
+        assert bitmap == expected, f"bitmap t={t}"
+        assert prefix == expected, f"prefix t={t}"
+
+
+def test_decontaminate_random_matches_python_model(spark):
+    """Seeded random corpus vs an independent python n-gram-overlap model."""
+    import numpy as np
+    import re
+
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        benchmark_ngram_overlap,
+    )
+
+    rng = np.random.default_rng(77)
+    vocab = [f"t{i}" for i in range(20)]
+    mk = lambda k: " ".join(  # noqa: E731
+        vocab[int(x)] for x in rng.integers(0, len(vocab), k)
+    )
+    bench_docs = [(100 + i, mk(int(rng.integers(3, 12)))) for i in range(8)]
+    corpus_docs = [(i, mk(int(rng.integers(2, 15)))) for i in range(40)]
+    corpus_docs[30] = (30, "zzz " + bench_docs[0][1])  # planted contamination
+    n = 3
+
+    def grams(text):
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        return {
+            " ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))
+        } if len(toks) >= n else set()
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_docs))
+    expected = {
+        i: len(grams(t) & bench_grams) for i, t in corpus_docs
+    }
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in benchmark_ngram_overlap(
+            spark.createDataFrame(corpus_docs, ["doc_id", "text"]),
+            spark.createDataFrame(bench_docs, ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            n=n,
+        ).collect()
+    }
+    assert got == expected
+    assert got[30] > 0
