@@ -804,3 +804,30 @@ def op_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.1,
         group_cols=["l_returnflag"],
     )
+
+
+def op_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (operators/bloom.py): the fact scan is
+    pre-filtered by an 8 KiB bit filter built from the selective dim's
+    keys, so non-joining rows never reach the shuffle; the real join
+    removes false positives, making the result ≡ the plain join (the
+    oracle). The explicit, portable form of AQE's runtime bloom filter —
+    usable where the optimizer won't inject one."""
+    from flink_1_3_2_hopsworks_spark.operators.bloom import bloom_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    return (
+        bloom_join(li, dim, ["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

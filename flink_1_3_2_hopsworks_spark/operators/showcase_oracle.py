@@ -422,4 +422,14 @@ ORACLE: dict[str, str] = {
                 'sp42')), 1, 8))::BIGINT < 429496729
         GROUP BY l_returnflag
     """,
+    "op_bloom_filter_join": """
+        SELECT s.s_nationkey,
+            SUM(l.l_quantity) AS sum_qty,
+            CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN (SELECT s_suppkey, s_nationkey FROM supplier
+              WHERE s_acctbal > 9000) s
+          ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey
+    """,
 }

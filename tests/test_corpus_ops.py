@@ -316,3 +316,25 @@ def test_decontaminate_random_matches_python_model(spark):
     }
     assert got == expected
     assert got[30] > 0
+
+
+def test_bloom_no_false_negatives_and_reduces_scan(spark):
+    from flink_1_3_2_hopsworks_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_rows,
+        bloom_join,
+    )
+
+    dim = spark.range(0, 500).selectExpr("id * 7 as k", "id as payload")
+    fact = spark.range(0, 20_000).selectExpr("id as k", "id % 97 as v")
+    words = bloom_build(dim, ["k"])
+    # no false negatives: every true dim key passes the filter
+    passed = bloom_filter_rows(dim.select("k"), ["k"], words).count()
+    assert passed == 500
+    # selective: most non-joining fact rows are dropped before the join
+    pre = bloom_filter_rows(fact, ["k"], words).count()
+    assert pre < 2000  # 500 true keys + a small false-positive tail
+    # result equals the plain join
+    got = sorted(map(tuple, bloom_join(fact, dim, ["k"]).collect()))
+    want = sorted(map(tuple, fact.join(dim, ["k"]).collect()))
+    assert got == want
