@@ -204,17 +204,49 @@ def repetition_stats(df, id_col: str, text_col: str):
     replays them bit-for-bit. One explode + two hash-aggregates; the window
     is per-document, never global.
     """
-    from flink_1_3_2_hopsworks_spark.dedup.contamination import word_ngrams
-
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("_n_distinct"),
     )
-    bigrams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+    numeric_id = dict(df.dtypes).get(id_col) in (
+        "bigint", "int", "smallint", "tinyint",
     )
+    if numeric_id:
+        # Arrow-batched NON-distinct bigram builder — the Catalyst HOF
+        # formulation is interpreted per element and ~20x slower at corpus
+        # scale (see dedup/ngram.py).
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+
+        def build(batches):
+            for pdf in batches:
+                out = []
+                for text in pdf[text_col]:
+                    t = text.strip().lower()
+                    tk = ws.split(t) if t else []
+                    out.append(
+                        [f"{tk[i]} {tk[i + 1]}" for i in range(len(tk) - 1)]
+                        if len(tk) >= 2
+                        else []
+                    )
+                yield pd.DataFrame({id_col: pdf[id_col], "_g": out})
+
+        bigrams = (
+            df.select(id_col, text_col)
+            .mapInPandas(build, schema=f"{id_col} long, _g array<string>")
+            .select(id_col, F.explode("_g").alias("gram"))
+        )
+    else:
+        from flink_1_3_2_hopsworks_spark.dedup.contamination import word_ngrams
+
+        bigrams = df.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("gram")
+        )
     top = (
         bigrams.groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
