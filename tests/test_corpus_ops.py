@@ -338,3 +338,27 @@ def test_bloom_no_false_negatives_and_reduces_scan(spark):
     got = sorted(map(tuple, bloom_join(fact, dim, ["k"]).collect()))
     want = sorted(map(tuple, fact.join(dim, ["k"]).collect()))
     assert got == want
+
+
+def test_oracle_constants_in_sync_with_gates():
+    """The oracle SQL inlines literal thresholds / parameter defaults that
+    must track the gate parameters; a drift here would show up only as a
+    confusing hash mismatch at driver time — pin it as an import-time
+    check instead (no Spark needed)."""
+    import inspect
+
+    from flink_1_3_2_hopsworks_spark.dedup import showcase_oracle as dd_o
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import embedding_near_dups
+    from flink_1_3_2_hopsworks_spark.operators import showcase_oracle as op_o
+
+    # pipe_lang_mixture: en rate 0.35 -> int(0.35 * 2^32)
+    assert str(int(0.35 * (1 << 32))) in dd_o.ORACLE["pipe_lang_mixture"]
+    # op_sampled_percentiles: fraction 0.1 -> int(0.1 * 2^32)
+    assert str(int(0.1 * (1 << 32))) in op_o.ORACLE["op_sampled_percentiles"]
+    # embedding oracle builder defaults == embedding_near_dups defaults
+    f = inspect.signature(embedding_near_dups).parameters
+    g = inspect.signature(dd_o._embedding_oracle).parameters
+    for name in ("num_planes", "dim", "seed", "extra_planes", "max_bucket"):
+        assert f[name].default == g[name].default, name
+    # the dd_embedding_pairs gate uses threshold=0.3 == oracle default
+    assert g["threshold"].default == 0.3
