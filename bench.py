@@ -214,6 +214,40 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Forensics / measurement-hygiene notes go to a SIDE FILE, not the
+    # metric line: round-5's ever-growing inline notes blob overflowed the
+    # driver's stdout tail capture and truncated the JSON mid-line
+    # (BENCH_r05.json parsed=null). The metric line stays compact and is
+    # printed LAST.
+    notes = {
+        "timing": "min of 3 back-to-back passes per query",
+        "loadavg_at_start": [round(x, 2) for x in loadavg_start],
+        "cpu_probe_sec": cpu_probe_s,
+        "cpu_probe_ref": (
+            "fixed 10M-iteration single-thread loop; r5 reference ~0.80s. "
+            "Host speed drifts 25-35% between rounds (measured r4->r5 on "
+            "identical code); scale per-query times by the probe ratio "
+            "before calling a cross-round delta a regression."
+        ),
+        "stream_events_replay": (
+            "state partitions sized to state (2) + tmpfs checkpoint so "
+            "per-batch wal/state commits don't charge ext4 fsync latency "
+            "to a ~0.6s replay"
+        ),
+        "sf1_scaling": sf1_summary,
+    }
+    try:
+        notes_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_NOTES.md"
+        )
+        with open(notes_path, "w") as f:
+            f.write(
+                "# bench.py measurement notes (latest run)\n\n```json\n"
+                + json.dumps(notes, indent=2)
+                + "\n```\n"
+            )
+    except OSError:
+        pass  # notes are best-effort; the metric line must still print
     print(
         json.dumps(
             {
@@ -223,36 +257,11 @@ def main() -> None:
                 "queries": timings,
                 "stream_replay_events_per_sec": round(rows / proc_s) if proc_s else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "notes": {
-                    "timing": "min of 3 back-to-back passes per query",
-                    "loadavg_at_start": [round(x, 2) for x in loadavg_start],
-                    "cpu_probe_sec": cpu_probe_s,
-                    "cpu_probe_ref": (
-                        "fixed 10M-iteration single-thread loop; r5 "
-                        "reference ~0.80s. r5 proved host-speed drift is "
-                        "real: the EXACT r4-commit code re-run in r5 "
-                        "measured 27.2-27.9s vs its recorded 22.2s artifact "
-                        "(+25%, uniform across untouched queries), while "
-                        "r5 HEAD vs r4-code back-to-back differed by only "
-                        "2%. Scale per-query times by the probe ratio "
-                        "before calling a cross-round delta a regression."
-                    ),
-                    "fn_json_ops_r4_regression": (
-                        "ambient: r5 re-measure of the unchanged plan gives "
-                        "0.25-0.30s (min of 6), faster than r3's 0.388s; a "
-                        "from_json variant benched no faster (0.26s), so the "
-                        "r4 0.537s was machine load, not a plan change"
-                    ),
-                    "stream_events_replay": (
-                        "r4 config change, same pipeline semantics: state "
-                        "partitions sized to state (8→2) and checkpoint on "
-                        "tmpfs so per-batch wal/offset/state commits stop "
-                        "charging ext4 fsync latency to a ~0.6s replay"
-                    ),
-                    "sf1_scaling": sf1_summary,
-                },
+                "cpu_probe_sec": cpu_probe_s,
+                "notes_file": "BENCH_NOTES.md",
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -8,11 +8,14 @@ n-gram also occurs in the benchmark set).
 
 Scale design: the benchmark side (eval sets — thousands of documents) is
 tiny next to the corpus, so its distinct-gram set is BROADCAST and the
-corpus side streams through a map-side hash semi-join — no shuffle of the
-100-TB corpus. Gram generation is pure Column math (split → sequence →
-slice → concat), fully codegen'd; the only aggregation is the per-doc hit
-count, which shuffles one small (doc_id, gram) pair per *distinct* matching
-gram, bounded by the benchmark gram count.
+corpus side streams through a map-side hash join — no shuffle (and no
+pre-join distinct) of the 100-TB corpus: the RAW gram stream probes the
+broadcast hash table, and only the matching (doc_id, gram) pairs — bounded
+by corpus-docs × benchmark-gram-count, in practice tiny — reach the one
+aggregation, a per-doc ``countDistinct`` that dedups a document's repeated
+matching grams AFTER the broadcast filter. Gram generation is pure Column
+math (split → sequence → slice → concat), fully codegen'd (or the
+Arrow-batched builder on numeric-id corpora).
 """
 
 from __future__ import annotations
@@ -64,12 +67,11 @@ def benchmark_ngram_overlap(
         corpus_grams = (
             _gram_sets(corpus, id_col, text_col, n, short_doc_whole_text=False)
             .select(F.col("_id").alias(id_col), F.explode("_g").alias("gram"))
-            .distinct()
         )
     else:
         corpus_grams = corpus.select(
             F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
-        ).distinct()
+        )
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(text_col, n)).alias("gram")
@@ -77,10 +79,13 @@ def benchmark_ngram_overlap(
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
+    # Map-side broadcast probe FIRST (raw gram stream, no corpus shuffle);
+    # the per-doc distinct moves into the aggregation, whose input is only
+    # the matching pairs.
     hits = (
         corpus_grams.join(bench_grams, "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("gram").alias("n_hits"))
     )
     return (
         corpus.select(id_col)

@@ -81,13 +81,17 @@ def _gram_sets(
     (``word_ngrams`` / contamination semantics)."""
     import re
 
-    ws = re.compile(r"\s+")
+    # Mirror engine semantics EXACTLY: Catalyst TRIM strips ASCII space
+    # only, and Java-regex \s is the ASCII class [ \t\n\x0B\f\r] — Python's
+    # default .strip()/\s are Unicode-aware and would produce different
+    # gram sets for docs with tab/newline/Unicode whitespace at the edges.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def build(batches):
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                t = text.strip().lower()
+                t = "" if text is None else text.strip(" ").lower()
                 toks = ws.split(t) if t else []
                 if len(toks) < n:
                     grams = [" ".join(toks)] if short_doc_whole_text else []
@@ -119,9 +123,16 @@ def _prefix_candidates(grams: DataFrame, threshold: float) -> DataFrame:
         "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
     )
     # Prefix length |G| − ⌈t·|G|⌉ + 1: a pair with J ≥ t must overlap
-    # inside both prefixes under the common (df, gram) order.
+    # inside both prefixes under the common (df, gram) order. The ε nudge
+    # keeps IEEE rounding from pushing t·n just past an exact integer
+    # (e.g. 0.07·100 = 7.000000000000001 → ceil 8 → prefix one short →
+    # silently missed pairs); erring low only lengthens the prefix, which
+    # stays exact (verification is exact) and merely admits a candidate.
     prefix = with_size.filter(
-        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_rank")
+        <= F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+        + 1
     ).select("_id", "_gram", "_n")
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "_gram", F.col("_n").alias("_pna"))
@@ -133,9 +144,11 @@ def _prefix_candidates(grams: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            # Length filter: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|).
+            # Length filter: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|); the ε
+            # slack keeps IEEE rounding of t·max from spuriously rejecting
+            # exact-boundary pairs (t·max mathematically == min).
             & (
-                F.lit(threshold) * F.greatest("_pna", "_pnb")
+                F.lit(threshold) * F.greatest("_pna", "_pnb") - F.lit(1e-9)
                 <= F.least("_pna", "_pnb")
             )
         )
@@ -270,6 +283,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     universe_cap: int = 4096,
     broadcast_doc_cap: int = 500_000,
+    broadcast_bytes_cap: int = 64 * 2**20,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >=
     threshold). Adaptive physical strategy (see module docstring): bitmap
@@ -304,8 +318,18 @@ def ngram_jaccard_pairs(
             .limit(universe_cap + 1)
             .collect()
         )
-        if len(probe) <= universe_cap and df.count() <= broadcast_doc_cap:
-            vocab = [r["_gram"] for r in probe]
+        if len(probe) <= universe_cap:
+            n_docs = df.count()
+            # The bitmap matrix costs docs × ⌈U/64⌉ × 8 bytes on the
+            # driver: gate on the actual BYTE footprint (default ≤ 64 MB),
+            # not just the row count, so a wide-universe corpus can't ask
+            # the driver for hundreds of MB.
+            words = (len(probe) + 63) // 64
+            if (
+                n_docs <= broadcast_doc_cap
+                and n_docs * words * 8 <= broadcast_bytes_cap
+            ):
+                vocab = [r["_gram"] for r in probe]
     if vocab is not None:
         scored = _bitmap_pairs(grams, threshold, vocab)
         grams.unpersist()  # _bitmap_pairs materialized them via toPandas

@@ -221,13 +221,17 @@ def repetition_stats(df, id_col: str, text_col: str):
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # Mirror engine semantics EXACTLY (see dedup/ngram.py:_gram_sets):
+        # Catalyst TRIM strips ASCII space only; Java-regex \s is the ASCII
+        # class [ \t\n\x0B\f\r]. Python's default .strip()/\s are
+        # Unicode-aware and would tokenize edge-whitespace docs differently.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def build(batches):
             for pdf in batches:
                 out = []
                 for text in pdf[text_col]:
-                    t = text.strip().lower()
+                    t = "" if text is None else text.strip(" ").lower()
                     tk = ws.split(t) if t else []
                     out.append(
                         [f"{tk[i]} {tk[i + 1]}" for i in range(len(tk) - 1)]
@@ -283,21 +287,33 @@ def unigram_rarity(df, id_col: str, text_col: str):
     are exact BIGINTs; the one double division + multiply is IEEE-determined,
     so any engine replays it bit-for-bit. The corpus total rides as a
     broadcast one-row cross join (the tfidf_top_terms pattern) — no collect.
+
+    Scale note: the frequency join runs on PRE-AGGREGATED ``(_id, term,
+    _c)`` doc-term counts, not the raw exploded token stream — the join
+    input shrinks from total-tokens to distinct doc-terms, and the
+    token-level skew on Zipfian hot terms (stopwords) collapses into one
+    row per (doc, term) before any shuffle on ``term``. Σ count(tok) over
+    tokens = Σ _c·count(term) over distinct doc-terms, exactly.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    doc_terms = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    freq = doc_terms.groupBy("term").agg(F.sum("_c").alias("_cnt"))
+    total = doc_terms.agg(F.sum("_c").alias("_total"))
     per_doc = (
-        toks.join(freq, "term")
+        doc_terms.join(freq, "term")
         .groupBy("_id")
         .agg(
-            F.sum("_cnt").alias("_s"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("_cnt")).alias("_s"),
+            F.sum("_c").alias("n_tokens"),
         )
     )
     return per_doc.crossJoin(F.broadcast(total)).select(

@@ -121,9 +121,14 @@ def pagerank(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         with_deg = state.join(out_deg, "id", "left")
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # Dangling mass rides as a broadcast ONE-ROW aggregate cross-joined
+        # into the superstep plan (the HITS pattern, graph/library.py) —
+        # no per-iteration driver collect/sync; the only action in the loop
+        # is iterate()'s localCheckpoint. `or 0.0` semantics (empty/NULL
+        # sum) via coalesce.
+        dangling_agg = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contrib = (
             edges.join(with_deg.filter(F.col("deg").isNotNull()), edges.src == F.col("id"))
@@ -133,10 +138,17 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        return verts.join(contrib, "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+        )
+        return (
+            verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling_agg))
+            .select(
+                "id",
+                (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
         )
 
     return iterate(init, step, iterations)

@@ -192,6 +192,32 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         4,
     ),
+    # r05 cohort (overrides earlier entries — CORRECTNESS_r05.json proved
+    # the then-stalest r02 names, the 12 round-5 additions, and q3–q6)
+    **dict.fromkeys(
+        [
+            "fn_array_ops", "fn_case_when", "fn_json_ops", "fn_math_ops",
+            "fn_native_extras", "fn_string_ops", "fn_temporal_ops",
+            "op_anti_join", "op_bloom_filter_join", "op_cogroup",
+            "op_cross_join", "op_cube", "op_distinct",
+            "op_first_n_per_group", "op_grouping_sets", "op_intersect",
+            "op_kmv_distinct", "op_max_by", "op_min_by", "op_minus",
+            "op_outer_join", "op_over_range_trailing",
+            "op_over_rows_moving_sum", "op_over_unbounded_running",
+            "op_ranking_functions", "op_rollup", "op_salted_aggregate",
+            "op_salted_join", "op_sampled_percentiles", "op_semi_join",
+            "op_top_k", "op_union_distinct", "op_zip_with_index",
+            "pipe_dataset_card", "pipe_lang_mixture", "pipe_near_dedup",
+            "q19_discounted_revenue", "q20_potential_part_promotion",
+            "q21_suppliers_kept_orders_waiting", "q2_min_cost_supplier",
+            "q3_shipping_priority", "q4_order_priority",
+            "q5_local_supplier_volume", "q6_forecast_revenue",
+            "q8_national_market_share", "q9_product_type_profit",
+            "sim_recall_eval", "text_decontaminate",
+            "text_repetition_stats", "text_unigram_rarity",
+        ],
+        5,
+    ),
 }
 
 

@@ -173,10 +173,13 @@ def test_mixture_sample_is_deterministic_and_rate_shaped(spark):
     )
     assert a == b  # portable draw: same salt -> same rows
     assert 250 <= len(a) <= 450  # ~0.35 of 1000
-    redraw = mixture_sample_hashed(
-        df, {"en": 0.35}, "lang", ["doc_id"], salt="other"
-    ).count()
-    assert redraw != len(a) or True  # different salt draws a different set
+    redraw = sorted(
+        r["doc_id"]
+        for r in mixture_sample_hashed(
+            df, {"en": 0.35}, "lang", ["doc_id"], salt="other"
+        ).collect()
+    )
+    assert redraw != a  # different salt draws a different row set
 
 
 def test_kmv_exact_below_k(spark):
@@ -273,6 +276,120 @@ def test_ngram_pairs_random_corpora_match_python_model(spark):
         )
         assert bitmap == expected, f"bitmap t={t}"
         assert prefix == expected, f"prefix t={t}"
+
+
+def test_ngram_prefix_bounds_survive_ieee_rounding(spark):
+    """Exact-boundary pair at J = 7/100 = t = 0.07 with |A| = 100,
+    |B| = 7 ⊂ A. IEEE gives 0.07·100 = 7.000000000000001, so without the
+    ε nudges BOTH AllPairs filters break: ceil → 8 shortens A's prefix to
+    93 while the 7 shared grams (df = 2, ranked last) start at rank 94,
+    and the length filter computes t·max = 7.000000000000001 > 7 = min —
+    either alone silently drops the pair. The fixed bounds must keep it,
+    on the prefix path and the bitmap path alike."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+
+    toks = [f"a{i:03d}" for i in range(101)]  # 100 distinct bigrams
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:8]))],  # B = 7 bigrams ⊂ A
+        ["doc_id", "text"],
+    )
+    for kwargs in ({"universe_cap": 0}, {}):  # prefix path, then bitmap
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.07, n=2, **kwargs
+            ).collect()
+        }
+        assert got == {(1, 2): 0.07}, f"path {kwargs or 'bitmap'}"
+
+
+def test_gram_builders_match_engine_on_edge_whitespace(spark):
+    """The Arrow-batched gram builder (numeric-id fast path) must tokenize
+    EXACTLY like the Catalyst expression path: ASCII-space-only strip
+    (TRIM), ASCII \\s class (Java regex), NULL → no grams. Docs with
+    tab/newline/NBSP edges and a NULL are the adversarial inputs."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import _gram_sets, token_ngrams
+
+    docs = [
+        (1, "\tleading tab and words here"),
+        (2, "trailing newline words here\n"),
+        (3, " nbsp separated words"),  # NBSP is NOT Java \s
+        (4, "inner\ttab and\nnewline splits"),
+        (5, None),
+        (6, "   only spaces   "),
+        (7, "plain old text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {
+        r["_id"]: list(r["_g"])
+        for r in _gram_sets(df, "doc_id", "text", 2).collect()
+    }
+    engine = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select(
+            "doc_id", token_ngrams("text", 2).alias("g")
+        ).collect()
+    }
+    assert fast == engine
+
+
+def test_word_ngrams_builder_matches_engine_on_edge_whitespace(spark):
+    """Same parity check for the contamination convention
+    (short_doc_whole_text=False ↔ word_ngrams): within one
+    benchmark_ngram_overlap call the corpus side (Python builder) and the
+    benchmark side (Catalyst) MUST tokenize identically."""
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import word_ngrams
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import _gram_sets
+
+    docs = [
+        (1, "\tone two three four five six\n"),
+        (2, "short\ttext"),
+        (3, None),
+        (4, "a b c d e f"),  # NBSP stays inside a token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {
+        r["_id"]: sorted(r["_g"])
+        for r in _gram_sets(
+            df, "doc_id", "text", 5, short_doc_whole_text=False
+        ).collect()
+    }
+    engine = {
+        r["doc_id"]: sorted(set(r["g"]))
+        for r in df.select(
+            "doc_id", word_ngrams("text", 5).alias("g")
+        ).collect()
+    }
+    assert fast == engine
+
+
+def test_ngram_bitmap_cap_is_byte_aware(spark):
+    """A wide-universe corpus must not take the bitmap path just because
+    the row count is small: the gate is docs × ⌈U/64⌉ × 8 bytes. With
+    broadcast_bytes_cap=0 the prefix path must serve (and stay exact)."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    capped = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, "doc_id", "text", 0.5, 2, broadcast_bytes_cap=0
+            ).collect(),
+        )
+    )
+    default = set(
+        map(tuple, ngram_jaccard_pairs(df, "doc_id", "text", 0.5, 2).collect())
+    )
+    assert capped == default
+    assert (1, 2, 0.6) in capped
 
 
 def test_decontaminate_random_matches_python_model(spark):

@@ -108,6 +108,33 @@ def test_hits_no_driver_collects_per_superstep(spark, monkeypatch):
     assert got[3] == 1.0
 
 
+def test_pagerank_no_driver_collects_per_superstep(spark, monkeypatch):
+    """Dangling mass rides as a broadcast one-row aggregate cross-joined
+    into the superstep plan (same fix as HITS) — the supersteps must not
+    run scalar collect() actions; the only driver sync in the loop is
+    iterate()'s localCheckpoint."""
+    from pyspark.sql import DataFrame
+
+    from flink_1_3_2_hopsworks_spark.graph.pregel import pagerank
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    # Graph with a dangling vertex (3 has no out-edges) so the dangling
+    # aggregate is genuinely non-zero every superstep.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    ranks = pagerank(e, iterations=5)
+    assert calls["n"] == 0  # no per-superstep driver sync
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    assert got[3] > got[2] > got[1]
+
+
 def test_summarize_graph(spark):
     verts = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, group string"

@@ -312,6 +312,24 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_decontaminate_no_exchange_before_broadcast_join(spark):
+    """The corpus gram stream must probe the broadcast benchmark set RAW —
+    no pre-join distinct/Exchange of the 100-TB corpus side. The per-doc
+    dedup (countDistinct) runs AFTER the broadcast filter, on matching
+    pairs only. Plan shape: the streamed (left) subtree of the first
+    BroadcastHashJoin — everything between the join node and its
+    BroadcastExchange child — contains no Exchange of any kind."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import text_decontaminate
+
+    plan = plan_of(text_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    streamed_side = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in streamed_side
+    assert "Scan parquet" in streamed_side  # it really is the corpus scan
+
+
 def test_lang_mixture_is_pure_filter(spark):
     """Mixture resampling is a narrow map over the scan: no Exchange, no
     Python — the md5 draw is a codegen'd expression."""
