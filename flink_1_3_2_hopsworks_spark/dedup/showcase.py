@@ -72,6 +72,70 @@ def dd_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.3)
 
 
+def dd_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the OR-AMPLIFIED embedding near-dup operator
+    (3 independent hyperplane sets, candidates deduped before the exact
+    verify) against the exact brute-force pair set at the same threshold —
+    the tuning metric for num_sets/num_planes, mirroring sim_recall_eval.
+    One row: (n_true, n_found, recall). Deterministic (seeded planes), so
+    the DuckDB oracle replays all three plane sets, the candidate union,
+    the verify, and the division exactly."""
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        embedding_near_dups_amplified,
+    )
+    from flink_1_3_2_hopsworks_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    found = embedding_near_dups_amplified(
+        emb, "vec_id", "embedding", threshold=0.3, num_sets=3
+    )
+    # Exact truth set: brute-force all pairs with per-vector precomputed
+    # norms — the same cosine arithmetic (dot/(|a|·|b|), round 4) as the
+    # operator's verify, so found ⊆ truth by construction. An EVALUATION
+    # query: quadratic on purpose, run at gate scale like sim_recall_eval.
+    vecs = emb.select(
+        F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v")
+    ).withColumn("_nrm", norm(F.col("_v")))
+    denom = F.col("n_a") * F.col("n_b")
+    truth = (
+        vecs.select(
+            F.col("_vid").alias("id_a"),
+            F.col("_v").alias("v_a"),
+            F.col("_nrm").alias("n_a"),
+        )
+        .crossJoin(
+            vecs.select(
+                F.col("_vid").alias("id_b"),
+                F.col("_v").alias("v_b"),
+                F.col("_nrm").alias("n_b"),
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    dot(F.col("v_a"), F.col("v_b")) / denom
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_found") / F.col("n_true")
+            ),
+            4,
+        ).alias("recall"),
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token/char counts, punctuation ratio,
     average token length — all JVM-side expressions."""

@@ -241,6 +241,84 @@ def _embedding_oracle(
     """
 
 
+def _embedding_recall_oracle(
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    num_sets: int = 3,
+    extra_planes: int = 16,
+    max_bucket: int = 256,
+) -> str:
+    """Replays embedding_near_dups_amplified + the brute-force truth set:
+    one sig/base/cnt/keyed CTE chain PER plane set (seeds seed…seed+sets-1,
+    planes inlined as literals), candidates unioned and deduped, exact
+    cosine verify, and the recall division — all with the same arithmetic
+    as the Spark plan."""
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        hyperplane_bit_terms_sql,
+        hyperplanes,
+    )
+
+    total = num_planes + extra_planes
+    set_ctes, set_sel = [], []
+    for s in range(num_sets):
+        bit_terms = hyperplane_bit_terms_sql(hyperplanes(dim, total, seed + s))
+        set_ctes.append(
+            f"""sig{s} AS (
+            SELECT id, v,
+                {bit_terms}
+                AS s
+            FROM vecs
+        ), based{s} AS (
+            SELECT id, s, s >> {extra_planes} AS b FROM sig{s}
+        ), cnt{s} AS (
+            SELECT b, COUNT(*) AS c FROM based{s} GROUP BY b
+        ), keyed{s} AS (
+            SELECT id,
+                CASE WHEN c > {max_bucket} THEN s
+                     ELSE b + {1 << total} END AS k
+            FROM based{s} JOIN cnt{s} USING (b)
+        )"""
+        )
+        set_sel.append(
+            f"SELECT a.id AS id_a, b.id AS id_b FROM keyed{s} a "
+            f"JOIN keyed{s} b ON a.k = b.k AND a.id < b.id"
+        )
+    cos = (
+        "ROUND(LIST_INNER_PRODUCT(a.v, b.v)"
+        " / (SQRT(LIST_INNER_PRODUCT(a.v, a.v))"
+        " * SQRT(LIST_INNER_PRODUCT(b.v, b.v))), 4)"
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ), {", ".join(set_ctes)}, cand AS (
+            SELECT DISTINCT id_a, id_b FROM (
+                {" UNION ALL ".join(set_sel)}
+            )
+        ), found AS (
+            SELECT c.id_a, c.id_b FROM cand c
+            JOIN vecs a ON a.id = c.id_a
+            JOIN vecs b ON b.id = c.id_b
+            WHERE {cos} >= {threshold}
+        ), truth AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM vecs a JOIN vecs b ON a.id < b.id
+            WHERE {cos} >= {threshold}
+        )
+        SELECT
+            (SELECT COUNT(*) FROM truth) AS n_true,
+            (SELECT COUNT(*) FROM found) AS n_found,
+            ROUND(
+                CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+                     ELSE (SELECT COUNT(*) FROM found)::DOUBLE
+                          / (SELECT COUNT(*) FROM truth)
+                END, 4
+            ) AS recall
+    """
+
+
 def _near_dedup_oracle() -> str:
     """pipe_near_dedup: the portable minhash pair oracle feeds a
     recursive-CTE transitive closure — MIN(reachable id) per vertex is
@@ -276,6 +354,7 @@ ORACLE: dict[str, str] = {
     "pipe_near_dedup": _near_dedup_oracle(),
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
+    "dd_embedding_recall": _embedding_recall_oracle(),
     "text_lang_id": _lang_id_oracle(),
     "dd_exact_dedup": """
         SELECT

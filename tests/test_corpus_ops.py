@@ -479,3 +479,76 @@ def test_oracle_constants_in_sync_with_gates():
         assert f[name].default == g[name].default, name
     # the dd_embedding_pairs gate uses threshold=0.3 == oracle default
     assert g["threshold"].default == 0.3
+    # amplified operator and its recall oracle share every default
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        embedding_near_dups_amplified,
+    )
+
+    h = inspect.signature(embedding_near_dups_amplified).parameters
+    r = inspect.signature(dd_o._embedding_recall_oracle).parameters
+    for name in ("num_planes", "dim", "seed", "num_sets", "extra_planes",
+                 "max_bucket"):
+        assert h[name].default == r[name].default, name
+
+
+def test_embedding_amplified_superset_and_single_set_equivalence(spark):
+    """OR-amplification invariants: (1) num_sets=1 reproduces the base
+    operator EXACTLY (set 0 uses the base seed, so buckets and verify are
+    identical); (2) more sets never lose a pair (candidates are unioned);
+    (3) every amplified pair is a true pair (verify is exact)."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        embedding_near_dups,
+        embedding_near_dups_amplified,
+    )
+    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+
+    rng = np.random.default_rng(7)
+    base_vecs = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base_vecs):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-dups: small perturbations of vectors 0..4
+    for j in range(5):
+        rows.append(
+            (100 + j, [float(x) for x in base_vecs[j] + 0.05 * rng.standard_normal(16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.8, num_planes=6, dim=16, extra_planes=8)
+    single = set(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(df, "vec_id", "embedding", **kw).collect()
+    )
+    amp1 = set(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups_amplified(
+            df, "vec_id", "embedding", num_sets=1, **kw
+        ).collect()
+    )
+    amp4 = set(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups_amplified(
+            df, "vec_id", "embedding", num_sets=4, **kw
+        ).collect()
+    )
+    assert amp1 == single  # set 0 == base plane set
+    assert amp1 <= amp4  # OR-amplification is monotone
+    truth = set(
+        (r["id_a"], r["id_b"])
+        for r in df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    )
+    assert {(a, b) for a, b, _ in amp4} <= truth  # exact verify: no FPs
+    # the planted perturbation pairs give amplification something to find
+    assert len(amp4) >= len(amp1)
