@@ -347,3 +347,39 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_ratio"),
     )
+
+
+def pipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (north-star training-pipeline op):
+    treat source='src0' documents as the EXISTING corpus and the rest as
+    the NEW crawl batch; drop new docs whose fingerprint the corpus
+    already holds, dedup the batch within itself, and emit the surviving
+    representatives with their within-batch duplicate counts. The corpus
+    side is only scanned (broadcast semi probe — no corpus shuffle,
+    plan-audited); full SQL oracle replays fingerprints, the NOT-IN store
+    check, and the group-min."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_ingest(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+
+
+def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-thresholded quality curation (north-star training-pipeline
+    op): keep documents whose quality score clears the corpus median,
+    where the median is estimated from a deterministic 20% salted-hash
+    sample and rides the plan as a broadcast one-row aggregate — the
+    "drop the worst half" step with an auditable, engine-replayable
+    threshold. Full SQL oracle replays the sample, the interpolated
+    percentile, and the verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_quantile_filter(
+        docs, "doc_id", "text", keep_quantile=0.5, sample_fraction=0.2
+    )

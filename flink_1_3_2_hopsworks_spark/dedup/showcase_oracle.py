@@ -364,6 +364,55 @@ ORACLE: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
+    "pipe_incremental_ingest": """
+        WITH newb AS (
+            SELECT doc_id,
+                MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents WHERE source <> 'src0'
+        ), store AS (
+            SELECT DISTINCT
+                MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents WHERE source = 'src0'
+        )
+        SELECT MIN(n.doc_id) AS doc_id, n.fp, COUNT(*) AS batch_dups
+        FROM newb n
+        WHERE n.fp NOT IN (SELECT fp FROM store)
+        GROUP BY n.fp
+    """,
+    "pipe_quality_filter": """
+        WITH stats AS (
+            SELECT
+                doc_id,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tok,
+                CASE WHEN LENGTH(text) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                          / LENGTH(text) END AS punct,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\\s+', '', 'g')) AS DOUBLE)
+                          / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS awl
+            FROM documents
+        ), scored AS (
+            SELECT
+                doc_id,
+                ROUND(
+                    0.4 * LEAST(n_tok / 50.0, 1.0)
+                    + 0.3 * (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END)
+                    + 0.3 * GREATEST(0.0, 1.0 - punct * 5.0),
+                4) AS quality
+            FROM stats
+        ), thr AS (
+            SELECT CAST(ROUND(QUANTILE_CONT(quality, 0.5), 4) AS DOUBLE)
+                AS threshold
+            FROM scored
+            WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                    CAST(doc_id AS VARCHAR), 'qq42')), 1, 8))::BIGINT
+                < 858993459
+        )
+        SELECT s.doc_id, s.quality, t.threshold
+        FROM scored s CROSS JOIN thr t
+        WHERE s.quality >= t.threshold
+    """,
     "dd_ngram_jaccard_pairs": """
         WITH toklists AS (
             SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS l

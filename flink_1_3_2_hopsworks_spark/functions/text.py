@@ -328,6 +328,46 @@ def unigram_rarity(df, id_col: str, text_col: str):
     )
 
 
+def quality_quantile_filter(
+    df,
+    id_col: str,
+    text_col: str,
+    keep_quantile: float = 0.5,
+    sample_fraction: float = 0.2,
+    salt: str = "qq42",
+):
+    """Keep documents whose ``quality_score`` clears the corpus's
+    ``keep_quantile`` threshold — the standard "drop the worst X%" curation
+    step, SKETCH-DRIVEN: the threshold is an exact interpolated percentile
+    over a deterministic salted-hash sample (``sample_fraction`` of docs,
+    the operators/sketches.py draw — auditable: any engine replays the
+    identical sample and threshold) and rides the plan as a broadcast
+    one-row aggregate. No driver collect, no global sort, no second pass
+    over the corpus: one scan scores, the sample filter is a codegen'd
+    expression on that scan, and the verdict filter is a broadcast
+    cross-join. Output: ``(id_col, quality, threshold)`` for kept docs.
+    """
+    from flink_1_3_2_hopsworks_spark.operators.sketches import FULL_32, _h32
+
+    scored = df.select(
+        F.col(id_col), quality_score(text_col).alias("quality")
+    )
+    cut = int(sample_fraction * FULL_32)
+    thr = (
+        scored.filter(_h32([id_col], salt) < cut)
+        .agg(
+            F.round(
+                F.expr(f"percentile(quality, {keep_quantile!r})"), 4
+            ).alias("threshold")
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select(id_col, "quality", "threshold")
+    )
+
+
 # PII patterns kept to syntax valid AND equivalent in both Java regex
 # (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround, fixed
 # quantifiers — Java's leftmost-first and RE2's leftmost-longest semantics

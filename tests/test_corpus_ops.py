@@ -470,6 +470,9 @@ def test_oracle_constants_in_sync_with_gates():
 
     # pipe_lang_mixture: en rate 0.35 -> int(0.35 * 2^32)
     assert str(int(0.35 * (1 << 32))) in dd_o.ORACLE["pipe_lang_mixture"]
+    # pipe_quality_filter: sample_fraction 0.2 -> int(0.2 * 2^32), salt qq42
+    assert str(int(0.2 * (1 << 32))) in dd_o.ORACLE["pipe_quality_filter"]
+    assert "qq42" in dd_o.ORACLE["pipe_quality_filter"]
     # op_sampled_percentiles: fraction 0.1 -> int(0.1 * 2^32)
     assert str(int(0.1 * (1 << 32))) in op_o.ORACLE["op_sampled_percentiles"]
     # embedding oracle builder defaults == embedding_near_dups defaults
@@ -489,6 +492,73 @@ def test_oracle_constants_in_sync_with_gates():
     for name in ("num_planes", "dim", "seed", "num_sets", "extra_planes",
                  "max_bucket"):
         assert h[name].default == r[name].default, name
+
+
+def test_incremental_ingest_semantics(spark):
+    """New batch vs store: already-seen fingerprints drop, within-batch
+    dups collapse to the min-id representative with a correct count, and
+    novel docs survive untouched."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seen text"), (2, "other seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen text"),       # exact dup of corpus -> dropped
+            (11, "SEEN   text"),     # normalizes to the same fp -> dropped
+            (12, "fresh content"),   # novel
+            (13, "fresh content"),   # within-batch dup of 12
+            (14, "unique doc"),      # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["batch_dups"]
+        for r in incremental_ingest(new, corpus, "doc_id", "text").collect()
+    }
+    assert got == {12: 2, 14: 1}
+    # pre-computed store (fp column) path gives the same answer
+    from flink_1_3_2_hopsworks_spark.functions.text import fingerprint
+
+    store = corpus.select(fingerprint("text").alias("fp"))
+    got2 = {
+        r["doc_id"]: r["batch_dups"]
+        for r in incremental_ingest(new, store, "doc_id", "text").collect()
+    }
+    assert got2 == got
+
+
+def test_quality_quantile_filter_keeps_above_threshold(spark):
+    """Kept set == docs scoring >= the sample-estimated quantile; the
+    threshold column is constant and reproducible."""
+    from flink_1_3_2_hopsworks_spark.functions.text import (
+        quality_quantile_filter,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("good words here " * (i % 7 + 1)).strip()) for i in range(60)]
+        + [(100 + i, "!!! ??? ,,, ...") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = quality_quantile_filter(
+        docs, "doc_id", "text", keep_quantile=0.5, sample_fraction=0.5
+    ).collect()
+    thrs = {r["threshold"] for r in out}
+    assert len(thrs) == 1
+    thr = thrs.pop()
+    scored = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score("text").alias("q")
+        ).collect()
+    }
+    kept = {r["doc_id"] for r in out}
+    assert kept == {d for d, q in scored.items() if q >= thr}
+    assert kept and len(kept) < len(scored)  # filter actually bites
 
 
 def test_embedding_amplified_superset_and_single_set_equivalence(spark):

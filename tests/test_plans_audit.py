@@ -330,6 +330,37 @@ def test_decontaminate_no_exchange_before_broadcast_join(spark):
     assert "Scan parquet" in streamed_side  # it really is the corpus scan
 
 
+def test_incremental_ingest_store_side_never_shuffles(spark):
+    """Incremental ingestion dedup: the EXISTING corpus (the 100-TB side)
+    must stream map-side through a broadcast semi probe — no Exchange
+    between the store scan and the LeftSemi broadcast join. (The new
+    batch's distinct/groupBy shuffles are fine: they're O(batch).)"""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import (
+        pipe_incremental_ingest,
+    )
+
+    plan = plan_of(pipe_incremental_ingest(spark, SF))
+    assert "LeftSemi" in plan
+    store_side = plan.split("LeftSemi", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in store_side
+    assert "Scan parquet" in store_side  # the store really is scan-shaped
+
+
+def test_quality_filter_threshold_is_broadcast_one_row(spark):
+    """The quantile threshold rides as a broadcast one-row aggregate — the
+    corpus side is a single scan with a codegen'd filter; no global sort,
+    no second corpus shuffle (the only Exchange feeds the one-row
+    percentile aggregate, i.e. the SAMPLE, not the corpus verdict)."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import pipe_quality_filter
+
+    plan = plan_of(pipe_quality_filter(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")  # no global sort
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan or (
+        "HashAggregate" in plan
+    )
+
+
 def test_lang_mixture_is_pure_filter(spark):
     """Mixture resampling is a narrow map over the scan: no Exchange, no
     Python — the md5 draw is a codegen'd expression."""
