@@ -126,8 +126,14 @@ def minhash_near_dups(
     path): normalize text once per row → explode shingle positions (Generate
     keeps the normalized string materialized — substr per shingle is O(k)) →
     project ``num_hashes`` xxhash64 columns → hash-aggregate per-doc minima →
-    band → bucket-join. Signature cost is linear in corpus size; the only
-    wide ops are the bucket groupBy/join and the final per-pair verify.
+    band → bucket-join. Signature cost is linear in corpus size. In the
+    default estimate mode the verify runs INSIDE the bucket join: both join
+    sides carry the 32 signature longs, the estimator is a codegen'd filter
+    on the pipelined join output, and the only pair-keyed shuffle is the
+    distinct over SURVIVING pairs (r6 — the previous
+    distinct-then-two-signature-joins shape shuffled the full candidate
+    stream three times, which a measured 198M-band-collision corpus at
+    sf10 turned into a timeout; 601 s → ~60 s).
     """
     rows = num_hashes // bands
     col = F.col(text_col)
@@ -209,60 +215,84 @@ def minhash_near_dups(
     )
     capped = buckets.join(oversized, ["_band", "_bucket"], "left_anti")
 
-    left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
-    right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))
+    if verify != "exact":
+        # ESTIMATE PATH — verify INSIDE the bucket join, dedup survivors.
+        # On a low-entropy corpus the under-cap candidate stream is
+        # quadratic-ish until the cap regime (measured at sf10: 198M
+        # band-collisions from 500k docs, none of them over the cap), so
+        # the old shape — distinct 198M pairs, then TWO signature joins
+        # against them, then filter — paid three shuffles of the full
+        # candidate stream before a single pair was rejected. Instead the
+        # 32 signature longs ride the (already shuffled-by-bucket) join
+        # sides, the estimator evaluates as a codegen'd filter directly on
+        # the pipelined join output (no materialization), and the only
+        # pair-keyed shuffle is the final distinct over SURVIVORS — the
+        # output, not the candidates. Same result set: the estimator is a
+        # pure function of the two signatures, so per-band duplicates agree
+        # and distinct-after-filter ≡ distinct-before-join.
+        sig_cols = [f"_h{i}" for i in range(num_hashes)]
+        wide = sig.select("_id", *sig_cols).join(capped, "_id")
+        left = wide.select(
+            "_band",
+            "_bucket",
+            F.col("_id").alias("id_a"),
+            *[F.col(c).alias(f"_a{i}") for i, c in enumerate(sig_cols)],
+        )
+        right = wide.select(
+            "_band",
+            "_bucket",
+            F.col("_id").alias("id_b"),
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
+        )
+        agree = sum(
+            F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        # k/num_hashes is exact (dyadic) for power-of-two num_hashes — the
+        # portable path skips rounding so the oracle matches bit-for-bit.
+        est = agree / F.lit(float(num_hashes))
+        jac = est if portable else F.round(est, 4)
+        return (
+            left.join(right, ["_band", "_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .distinct()
+        )
+
     candidates = (
-        left.join(right, ["_band", "_bucket"])
+        capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
+        .join(
+            capped.select("_band", "_bucket", F.col("_id").alias("id_b")),
+            ["_band", "_bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
 
-    if verify == "exact":
-        # Shingle sets are built ONLY for candidate-involved docs (left-semi
-        # prune before the collect_set shuffle) — candidate count, not corpus
-        # size, bounds the verify cost.
-        cand_ids = candidates.select(
-            F.explode(F.array("id_a", "id_b")).alias("_id")
-        ).distinct()
-        sets = (
-            shingles.join(cand_ids, "_id", "left_semi")
-            .groupBy("_id")
-            .agg(F.collect_set("_shingle").alias("_sh"))
-        )
-        return (
-            candidates.join(
-                sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
-                "id_a",
-            )
-            .join(
-                sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
-                "id_b",
-            )
-            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-
-    # MinHash estimator: E[fraction of agreeing components] = true Jaccard.
-    sig_a = sig.select(
-        F.col("_id").alias("id_a"), *[F.col(f"_h{i}").alias(f"_a{i}") for i in range(num_hashes)]
+    # EXACT PATH: shingle sets are built ONLY for candidate-involved docs
+    # (left-semi prune before the collect_set shuffle) — candidate count,
+    # not corpus size, bounds the verify cost.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).distinct()
+    sets = (
+        shingles.join(cand_ids, "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_shingle").alias("_sh"))
     )
-    sig_b = sig.select(
-        F.col("_id").alias("id_b"), *[F.col(f"_h{i}").alias(f"_b{i}") for i in range(num_hashes)]
-    )
-    agree = sum(
-        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    # k/num_hashes is exact (dyadic) for power-of-two num_hashes — the
-    # portable path skips rounding so the oracle matches bit-for-bit.
-    est = agree / F.lit(float(num_hashes))
-    jac = est if portable else F.round(est, 4)
     return (
-        candidates.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("jaccard", jac)
+        candidates.join(
+            sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
