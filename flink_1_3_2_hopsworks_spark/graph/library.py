@@ -23,14 +23,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from flink_1_3_2_hopsworks_spark.graph.pregel import vertices_from_edges
-from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+from flink_1_3_2_hopsworks_spark.operators.iterate import iterate, materialize
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetrized (undirected) edge list, self-loops dropped."""
+    """Symmetrized (undirected) edge list, self-loops dropped. Explode, not
+    self-union — a union's branches each re-execute the source plan."""
     return (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -55,7 +63,9 @@ def label_propagation(
     label among its neighbors (ties → smallest label), for a fixed number
     of supersteps. ``labels``: optional (id, label) seed — defaults to
     label = id."""
-    sym = _sym(edges)
+    # Pin the loop-invariant symmetrized edge list (see pregel.connected_
+    # components): unpinned, every superstep re-executes the upstream plan.
+    sym = materialize(_sym(edges))
     init = (
         labels.select("id", "label")
         if labels is not None
@@ -187,7 +197,8 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
     """HITS hubs & authorities (reference library/linkanalysis/HITS.java):
     auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each L1-normalized
     per half-step, on the DIRECTED graph."""
-    verts = vertices_from_edges(edges)
+    edges = materialize(edges.select("src", "dst"))
+    verts = materialize(vertices_from_edges(edges))
     init = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
 
     def _norm(raw: Column, total: Column) -> Column:

@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from flink_1_3_2_hopsworks_spark.graph.pregel import vertices_from_edges
-from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+from flink_1_3_2_hopsworks_spark.operators.iterate import iterate, materialize
 
 
 def _superstep_loop(
@@ -54,6 +54,8 @@ def _superstep_loop(
     produces the new value (aggregated_msg is NULL for vertices receiving
     no message).
     """
+    # Pin the loop-invariant edge list — joined every superstep.
+    edges = materialize(edges)
 
     def step(st: DataFrame, i: int) -> DataFrame:
         msgs = (
@@ -195,6 +197,7 @@ def community_detection(
             *([weight_col] if weight_col else []),
         )
     )
+    sym = materialize(sym)  # loop-invariant, joined every superstep
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     init = vertices_from_edges(edges).select(
         "id", F.col("id").alias("label"), F.lit(1.0).alias("score")

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+from flink_1_3_2_hopsworks_spark.operators.iterate import iterate, materialize
 
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:
@@ -70,11 +70,29 @@ def subgraph(
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Label-propagation CC (reference library/ConnectedComponents.java):
     every vertex adopts the min component id among itself and neighbors,
-    iterated to fixpoint. Undirected semantics via symmetrized edges."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    iterated to fixpoint. Undirected semantics via symmetrized edges.
+
+    The symmetrized edge list is pinned ONCE (``materialize``) before the
+    loop: ``edges`` may be an arbitrarily expensive upstream plan (the
+    near-dedup pipeline feeds MinHash-LSH pairs in here) and every
+    superstep joins it — without the pin each superstep re-ran the whole
+    pair generation."""
+    # Symmetrize via explode, not self-union: a union's branches each
+    # re-execute the source plan, doubling the (possibly expensive)
+    # upstream even inside the single pin job.
+    sym = materialize(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
     )
-    init = vertices_from_edges(edges).select(
+    # Vertex set from the pinned sym (every endpoint appears as src there),
+    # so init doesn't re-execute the upstream edge plan either.
+    init = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
 
@@ -111,11 +129,18 @@ def pagerank(
 ) -> DataFrame:
     """PageRank (reference library/PageRank.java): power iteration with
     uniform teleport; dangling mass redistributed uniformly so ranks sum
-    to 1."""
-    verts = vertices_from_edges(edges)
+    to 1.
+
+    Loop-invariant frames (edges, vertex set, out-degrees) are pinned once
+    — each superstep joins all three, and an unpinned upstream plan would
+    re-execute per superstep."""
+    edges = materialize(edges.select("src", "dst"))
+    verts = materialize(vertices_from_edges(edges))
     n = verts.count()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+    out_deg = materialize(
+        edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     init = verts.select("id", F.lit(1.0 / n).alias("rank"))
 
@@ -160,6 +185,8 @@ def sssp(edges: DataFrame, source, weight_col: str = "weight",
     SingleSourceShortestPaths.java — scatter-gather relaxation to fixpoint)."""
     if weight_col not in edges.columns:
         edges = edges.withColumn(weight_col, F.lit(1.0))
+    # Pin the loop-invariant edge list: every relaxation round joins it.
+    edges = materialize(edges.select("src", "dst", weight_col))
     init = vertices_from_edges(edges).select(
         "id",
         F.when(F.col("id") == source, 0.0).otherwise(float("inf")).alias("distance"),

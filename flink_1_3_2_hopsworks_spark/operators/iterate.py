@@ -37,6 +37,20 @@ def _materialize(df: DataFrame) -> DataFrame:
     return ckpt.select(*[F.col(c).alias(c) for c in ckpt.columns])
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Public pin for LOOP-INVARIANT inputs of an iteration.
+
+    Without this, any frame referenced inside a ``step`` closure re-executes
+    its full upstream plan every superstep — invisible when the input is a
+    parquet scan, catastrophic when it is an expensive derivation (e.g. the
+    MinHash pair generator feeding connected components re-ran LSH per
+    superstep: measured 2.1× on the whole near-dedup pipeline at sf1, a
+    timeout at sf10). Mirrors the reference runtime's loop-invariant caching
+    (flink-runtime iterative/task/IterationHeadTask back-channel cache).
+    """
+    return _materialize(df)
+
+
 def iterate(
     initial: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
