@@ -383,3 +383,28 @@ def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_quantile_filter(
         docs, "doc_id", "text", keep_quantile=0.5, sample_fraction=0.2
     )
+
+
+def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage (Lee et al. exact-substring dedup,
+    relational form): per-doc count of 8-token windows whose gram occurs
+    more than once corpus-wide, plus the interval-union token coverage of
+    those spans. Gram strings are hashed in the scan projection; duplicate
+    population bounds all post-scan work. Full SQL oracle replays windows,
+    global counts, and the ordered-running-max interval union."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", "text", window=8)
+
+
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-occurrence duplicated-span removal: the lowest doc_id
+    holding each duplicated 8-token gram keeps its text; every later doc
+    drops the covered positions and is rebuilt from per-doc drop-position
+    lists (the corpus token stream never explodes or shuffles). Full SQL
+    oracle replays owners, drop positions, and the rebuilt text."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text", window=8)

@@ -714,4 +714,89 @@ ORACLE: dict[str, str] = {
                   / COUNT(*), 6) AS dup_ratio
         FROM marked GROUP BY lang
     """,
+    # 8-token sliding windows; a window's span is [p, p+7]. Coverage is the
+    # classic ordered-running-max interval union. Spark keys by xxhash64 of
+    # the gram; the oracle groups by the gram string itself — identical
+    # results absent 64-bit collisions (~1e-10 expected rows at gate scale).
+    "text_dup_span_stats": """
+        WITH base AS (
+            SELECT doc_id,
+                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                            t -> t <> '') AS tk
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, tk, LEN(tk) AS n FROM base),
+        wins AS (
+            SELECT doc_id, i AS p,
+                ARRAY_TO_STRING(tk[i + 1 : i + 8], ' ') AS gram
+            FROM sized, UNNEST(RANGE(0, n - 7)) AS t(i)
+        ),
+        cnts AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+        flagged AS (SELECT w.doc_id, w.p FROM wins w JOIN cnts USING (gram)),
+        cov AS (
+            SELECT doc_id,
+                GREATEST(0, (p + 7) - GREATEST(p - 1,
+                    COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1))) AS cadd
+            FROM flagged
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS hits, SUM(cadd) AS covered
+            FROM cov GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+            CAST(s.n AS BIGINT) AS n_tokens,
+            CAST(COALESCE(a.hits, 0) AS BIGINT) AS dup_windows,
+            CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+            CASE WHEN s.n = 0 THEN 0.0
+                 ELSE ROUND(CAST(COALESCE(a.covered, 0) AS DOUBLE) / s.n, 4)
+            END AS covered_frac
+        FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+    "text_dup_span_removal": """
+        WITH base AS (
+            SELECT doc_id,
+                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                            t -> t <> '') AS tk
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, tk, LEN(tk) AS n FROM base),
+        wins AS (
+            SELECT doc_id, i AS p,
+                ARRAY_TO_STRING(tk[i + 1 : i + 8], ' ') AS gram
+            FROM sized, UNNEST(RANGE(0, n - 7)) AS t(i)
+        ),
+        owners AS (
+            SELECT gram, MIN(doc_id) AS owner FROM wins
+            GROUP BY gram HAVING COUNT(*) > 1
+        ),
+        losing AS (
+            SELECT w.doc_id, w.p FROM wins w JOIN owners o USING (gram)
+            WHERE w.doc_id > o.owner
+        ),
+        drop_pos AS (
+            SELECT DISTINCT doc_id, p + i AS pos
+            FROM losing, UNNEST(RANGE(0, 8)) AS t(i)
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+            FROM sized, UNNEST(RANGE(1, n + 1)) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tokpos t LEFT JOIN drop_pos d
+                ON t.doc_id = d.doc_id AND t.pos = d.pos
+            WHERE d.pos IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text,
+                COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+            COALESCE(r.clean_text, '') AS clean_text,
+            CAST(s.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """,
 }
