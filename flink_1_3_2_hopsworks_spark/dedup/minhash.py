@@ -133,7 +133,7 @@ def minhash_near_dups(
     distinct over SURVIVING pairs (r6 — the previous
     distinct-then-two-signature-joins shape shuffled the full candidate
     stream three times, which a measured 198M-band-collision corpus at
-    sf10 turned into a timeout; 601 s → ~60 s).
+    sf10 turned into a timeout; 601 s → 210 s, SCALE_SF10.json).
     """
     rows = num_hashes // bands
     col = F.col(text_col)

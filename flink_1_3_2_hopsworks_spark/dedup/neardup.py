@@ -37,12 +37,17 @@ def resolve_duplicate_clusters(
     it has no near-dups) and ``kept`` marks the cluster's one survivor.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges, max_iterations=max_iterations)
+    comp = connected_components(edges, max_iterations=max_iterations).select(
+        # Rename away from "id" so a caller whose id_col IS "id" doesn't
+        # hit an ambiguous-reference clash after the join.
+        F.col("id").alias("_nd_id"),
+        "component",
+    )
     out_id = F.col(id_col)
     canonical = F.coalesce(F.col("component"), out_id)
     return (
         docs.select(out_id)
-        .join(comp, docs[id_col] == comp.id, "left")
+        .join(comp, docs[id_col] == comp["_nd_id"], "left")
         .select(
             out_id,
             canonical.alias("canonical_id"),

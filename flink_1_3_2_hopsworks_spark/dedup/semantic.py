@@ -1,0 +1,78 @@
+"""Semantic deduplication — SemDeDup re-expressed relationally.
+
+Not in the reference (north-star extension, SURVEY.md §2.14): Abbas et
+al., "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication" (2023). The algorithm: k-means the embedding space, call
+two documents semantic duplicates when they land in the SAME cluster with
+cosine similarity above a threshold, and keep one representative per
+duplicate group.
+
+Spark-first composition of pieces this repo already audits:
+
+- Cell assignment reuses the IVF coarse quantizer (similarity/ivf.py):
+  frozen centroid literals ride the plan, the argmin is fused into the
+  scan projection — no shuffle, no Python, and the same literals make the
+  DuckDB oracle replay assignment exactly.
+- Candidate pairs are a within-cell self-join — the quadratic work SemDeDup
+  prescribes, but bounded per cell: cells ≈ N/k, and k grows with the
+  corpus (FAISS-style sqrt(N) cells keeps per-cell cost flat). The join
+  shuffles on the cell id only.
+- Survivor resolution reuses the near-dedup cluster pipeline
+  (neardup.resolve_duplicate_clusters): pairs → connected components
+  (loop-invariant-pinned Pregel) → min-id canonical per transitive group.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs: ``(id_a, id_b, cosine)``
+    with ``id_a < id_b``, both assigned to the same centroid cell and
+    cosine >= threshold. Deterministic given the centroid literals."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_cell", ivf_cells_expr(F.col("_v"), centroids, 1)[0])
+    a = c.select(
+        "_cell", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = c.select(
+        "_cell", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Per-document semantic-dedup verdicts: ``(id, canonical_id, kept)``
+    — one row per corpus document, ``kept`` marking the min-id survivor of
+    each transitive semantic-duplicate group (docs with no semantic dup
+    keep themselves)."""
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    pairs = semantic_dup_pairs(corpus, id_col, vec_col, centroids, threshold)
+    return resolve_duplicate_clusters(corpus, pairs, id_col)

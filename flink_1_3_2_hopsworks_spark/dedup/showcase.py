@@ -408,3 +408,21 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, "doc_id", "text", window=8)
+
+
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table: frozen-quantizer cell assignment (scan-fused, shuffle-free) →
+    within-cell cosine >= 0.40 pairs → connected components → min-id
+    survivor. Deterministic given the frozen centroids, so the DuckDB
+    oracle replays assignment, pairs, and a recursive-CTE transitive
+    closure for a full hash-match."""
+    from flink_1_3_2_hopsworks_spark.dedup.semantic import semantic_dedup
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", FROZEN_CENTROIDS, threshold=0.40
+    ).orderBy("vec_id")

@@ -349,12 +349,66 @@ def _near_dedup_oracle() -> str:
     """
 
 
+def _semantic_dedup_oracle(threshold: float = 0.40) -> str:
+    """SemDeDup oracle: frozen-centroid assignment (same literals as the
+    Spark expression) -> within-cell pairs -> recursive-CTE transitive
+    closure -> min-id canonical per group, one row per embedding."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+        WITH RECURSIVE cent(cell, cv) AS (
+            VALUES {values}
+        ), vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cell ASC
+                ) AS rn
+                FROM vecs CROSS JOIN cent
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= {threshold}
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), verts AS (
+            SELECT DISTINCT src AS id FROM sym
+        ), reach(root, node) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT reach.root, sym.dst
+            FROM reach JOIN sym ON sym.src = reach.node
+        ), comp AS (
+            SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+        )
+        SELECT e.vec_id,
+            CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS canonical_id,
+            COALESCE(c.component, e.vec_id) = e.vec_id AS kept
+        FROM embeddings e
+        LEFT JOIN comp c ON c.id = e.vec_id
+        ORDER BY e.vec_id
+    """
+
+
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
     "pipe_near_dedup": _near_dedup_oracle(),
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
     "dd_embedding_recall": _embedding_recall_oracle(),
+    "dd_semantic_dedup": _semantic_dedup_oracle(),
     "text_lang_id": _lang_id_oracle(),
     "dd_exact_dedup": """
         SELECT
@@ -721,7 +775,8 @@ ORACLE: dict[str, str] = {
     "text_dup_span_stats": """
         WITH base AS (
             SELECT doc_id,
-                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))),
+                                               '\\s+'),
                             t -> t <> '') AS tk
             FROM documents
         ),
@@ -757,7 +812,8 @@ ORACLE: dict[str, str] = {
     "text_dup_span_removal": """
         WITH base AS (
             SELECT doc_id,
-                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))),
+                                               '\\s+'),
                             t -> t <> '') AS tk
             FROM documents
         ),

@@ -36,10 +36,11 @@ def _windows(df: DataFrame, id_col: str, text_col: str, window: int):
     """(id, _toks, _n) plus exploded (id, _p, _g): 0-based window start +
     64-bit gram hash. Tokenization mirrors the repo's engine-wide
     convention (lower, trim, split on ASCII whitespace, drop empties)."""
+    # coalesce('') so NULL text degrades to zero tokens (size(NULL) is -1).
     toks = df.select(
         F.col(id_col),
         F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
             lambda t: t != F.lit(""),
         ).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))

@@ -18,11 +18,12 @@ DOCS = [
     (4, "x y z pad pad2 x y z pad3 pad4"),
     (5, "too short"),
     (6, "   "),
+    (7, None),
 ]
 
 
 def _stats(spark, window):
-    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
     return {
         r["doc_id"]: r.asDict()
         for r in duplicated_span_stats(df, "doc_id", "text", window).collect()
@@ -47,6 +48,11 @@ def test_stats_cross_doc_span(spark):
         "covered_tokens": 0, "covered_frac": 0.0,
     }
     assert got[6]["n_tokens"] == 0 and got[6]["covered_frac"] == 0.0
+    # NULL text degrades to zero tokens, not size(NULL) = -1.
+    assert got[7] == {
+        "doc_id": 7, "n_tokens": 0, "dup_windows": 0,
+        "covered_tokens": 0, "covered_frac": 0.0,
+    }
 
 
 def test_stats_within_doc_repeat_and_interval_union(spark):
@@ -62,7 +68,7 @@ def test_stats_within_doc_repeat_and_interval_union(spark):
 
 
 def test_removal_keeps_first_occurrence(spark):
-    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {
         r["doc_id"]: r.asDict()
         for r in remove_duplicated_spans(df, "doc_id", "text", 5).collect()
@@ -81,7 +87,8 @@ def test_removal_keeps_first_occurrence(spark):
     assert got3[4]["n_removed"] == 0
     # Blank doc survives with empty clean_text.
     assert got[6]["clean_text"] == "" and got[6]["n_removed"] == 0
-    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[7]["clean_text"] == "" and got[7]["n_removed"] == 0
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
 
 
 def test_stats_match_oracle_shape_on_gate_table(spark, sf_dir):
