@@ -426,3 +426,19 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", FROZEN_CENTROIDS, threshold=0.40
     ).orderBy("vec_id")
+
+
+def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (north-star training-pipeline
+    op): every doc gets a reproducible (shard, pos) training position from
+    the portable salted-md5 draw — shard is a narrow map, order is one
+    shard-keyed shuffle with independent per-shard sorts (no global sort).
+    Full SQL oracle replays hash → shard → within-shard row_number."""
+    from flink_1_3_2_hopsworks_spark.operators.sharding import (
+        corpus_shuffle_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_shuffle_shard(
+        docs.select("doc_id", "lang"), ["doc_id"], n_shards=8, salt="ep0"
+    )

@@ -855,4 +855,21 @@ ORACLE: dict[str, str] = {
             CAST(s.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
         FROM sized s LEFT JOIN rebuilt r USING (doc_id)
     """,
+    "pipe_shuffle_shard": """
+        WITH hashed AS (
+            SELECT doc_id, lang,
+                MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), 'ep0')) AS h
+            FROM documents
+        ), sharded AS (
+            SELECT doc_id, lang, h,
+                CAST(('0x' || SUBSTR(h, 1, 8))::BIGINT % 8 AS INTEGER)
+                    AS shard
+            FROM hashed
+        )
+        SELECT doc_id, lang, shard,
+            ROW_NUMBER() OVER (
+                PARTITION BY shard ORDER BY h, doc_id
+            ) AS pos
+        FROM sharded
+    """,
 }
