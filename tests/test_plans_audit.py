@@ -382,3 +382,53 @@ def test_repetition_stats_single_doc_keyed_shuffle(spark):
     plan = plan_of(text_repetition_stats(spark, SF))
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
     assert "WindowExec" not in plan.replace("WindowGroupLimit", "")
+
+
+def test_dup_spans_shuffle_keys_are_hashes_not_gram_strings(spark):
+    """dedup/spans.py contract: the gram STRING never leaves the scan
+    projection — every Exchange carries the 64-bit hash (_g), so the
+    corpus-sized shuffle rows are 8-byte keys, not L-word strings."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import duplicated_span_stats
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(duplicated_span_stats(docs, "doc_id", "text", 8))
+    for exchange_line in [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]:
+        assert "_gram" not in exchange_line
+    # xxhash64 happens before the first Exchange (in the projection).
+    assert "xxhash64" in plan
+
+
+def test_shuffle_shard_no_global_sort(spark):
+    """pipe_shuffle_shard contract: the epoch layout is hash sharding plus
+    per-shard window order — no RangePartitioning (global sort) anywhere."""
+    from flink_1_3_2_hopsworks_spark.operators.sharding import (
+        corpus_shuffle_shard,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    plan = plan_of(corpus_shuffle_shard(docs, ["doc_id"], 8))
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 1  # the shard shuffle
+
+
+def test_semantic_dedup_assignment_fused_into_scan(spark):
+    """dedup/semantic.py contract: cell assignment is part of the scan
+    projection (frozen centroid literals) — no Exchange between the scan
+    and the within-cell self-join's own shuffle, no Python."""
+    from flink_1_3_2_hopsworks_spark.dedup.semantic import semantic_dup_pairs
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(
+        semantic_dup_pairs(emb, "vec_id", "embedding", FROZEN_CENTROIDS, 0.4)
+    )
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    # The only shuffles allowed are the cell join's own two sides (at tiny
+    # SF the optimizer broadcasts one side instead: zero hash Exchanges).
+    # Nothing upstream of the join may shuffle — assignment is scan-fused.
+    assert plan.count("Exchange hashpartitioning") in (0, 2)
+    assert "rangepartitioning" not in plan.lower()
