@@ -89,6 +89,49 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(_id, _shingle) — character k-shingles of the normalized text.
+
+    Generate (explode) materializes the normalized string per doc; substr
+    per position is then O(k) — the direct HOF formulation would
+    re-evaluate the whole normalization per element (interpreted, O(len²)).
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = df.select(F.col(id_col).alias("_id"), normalized.alias("_norm"))
+    n = F.length("_norm")
+    positions = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    return norm.select(
+        "_id", F.explode(positions).alias("_pos"), F.col("_norm")
+    ).select(
+        "_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_shingle")
+    )
+
+
+def _signatures(shingles: DataFrame, num_hashes: int, portable: bool) -> DataFrame:
+    """(_id, _h0.._h{k-1}) — the minhash signature table.
+
+    Min is duplicate-insensitive, so no distinct needed — one hash-aggregate
+    over the exploded shingle stream, ``num_hashes`` codegen'd mins. Each
+    shingle is string-hashed ONCE; the per-function minhashes are affine
+    permutations of that base hash (two long ops each).
+    """
+    if portable:
+        from flink_1_3_2_hopsworks_spark.dedup.simhash import portable_hash60
+
+        base_hash = F.pmod(portable_hash60(F.col("_shingle")), F.lit(_MERSENNE))
+    else:
+        base_hash = F.pmod(F.xxhash64("_shingle"), F.lit(_MERSENNE))
+    based = shingles.select("_id", base_hash.alias("_base"))
+    return based.groupBy("_id").agg(
+        *[
+            F.min(_perm(F.col("_base"), *ab)).alias(f"_h{i}")
+            for i, ab in enumerate(_coeffs(num_hashes))
+        ]
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -136,40 +179,8 @@ def minhash_near_dups(
     sf10 turned into a timeout; 601 s → 210 s, SCALE_SF10.json).
     """
     rows = num_hashes // bands
-    col = F.col(text_col)
-    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    norm = df.select(F.col(id_col).alias("_id"), normalized.alias("_norm"))
-    n = F.length("_norm")
-    positions = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
-    # Generate (explode) materializes _norm per doc; substr per position is
-    # then O(k) — the direct HOF formulation would re-evaluate the whole
-    # normalization per element (interpreted, O(len²)).
-    shingles = norm.select(
-        "_id", F.explode(positions).alias("_pos"), F.col("_norm")
-    ).select(
-        "_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_shingle")
-    )
-
-    # Signature: min is duplicate-insensitive, so no distinct needed — one
-    # hash-aggregate over the exploded stream, 32 codegen'd mins. Each
-    # shingle is string-hashed ONCE; the per-function minhashes are affine
-    # permutations of that base hash (two long ops each). Persisted: the
-    # signature table (num_hashes longs per doc — tiny next to the corpus)
-    # feeds banding AND both verify sides; recomputing it means re-scanning
-    # the corpus three times.
-    if portable:
-        from flink_1_3_2_hopsworks_spark.dedup.simhash import portable_hash60
-
-        base_hash = F.pmod(portable_hash60(F.col("_shingle")), F.lit(_MERSENNE))
-    else:
-        base_hash = F.pmod(F.xxhash64("_shingle"), F.lit(_MERSENNE))
-    based = shingles.select("_id", base_hash.alias("_base"))
-    sig = based.groupBy("_id").agg(
-        *[
-            F.min(_perm(F.col("_base"), *ab)).alias(f"_h{i}")
-            for i, ab in enumerate(_coeffs(num_hashes))
-        ]
-    )
+    shingles = _shingles(df, id_col, text_col, shingle_k)
+    sig = _signatures(shingles, num_hashes, portable)
     # Lifecycle: callers looping over corpora pass persist=False and accept
     # the recompute, or clearCache between runs — the returned plan executes
     # after this function, so no unpersist hook can fire here.
@@ -295,4 +306,109 @@ def minhash_near_dups(
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_star_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    portable: bool = False,
+    persist: bool = True,
+) -> DataFrame:
+    """LINEAR near-dup edge generation for cluster resolution (the 100 TB
+    shape of fuzzy dedup): per LSH bucket, emit only the star edges
+    (bucket-min id ↔ member), verified by the MinHash estimator — O(size)
+    edges per bucket instead of the O(size²) pair expansion.
+
+    This is the anchor/star reduction used when the goal is CLUSTERS (feed
+    :func:`resolve_duplicate_clusters`), not the full pair listing: for
+    connected components, the star edges of a bucket connect exactly the
+    members the estimator accepts against the bucket's min doc — a strict
+    subset of the pair graph, so precision is identical (every emitted edge
+    passed the same ``>= threshold`` check) and connectivity can only split
+    where a bucket's min is NOT a near-dup of two members that ARE near-dups
+    of each other; each of the ``bands`` independent band buckets gives such
+    a pair another chance to meet through a shared anchor. True duplicate
+    clusters (estimator 1.0, identical signatures) co-locate in ALL bands.
+    Recall vs the pair mode is corpus-dependent — measured at the gate in
+    tests/test_dedup.py; choose pairs mode when exact pair semantics matter.
+
+    Why it scales where pairs cannot: a low-entropy corpus measured 198M
+    band collisions from 500k docs at sf10 (SCALE_SF10.json) — every one a
+    joined-and-filtered row in pairs mode. Star mode's work per bucket is
+    one hash-aggregate row (min of a struct — the anchor id plus its
+    signature, no second pass) plus one bucket-keyed join, so total work is
+    Θ(docs × bands) regardless of bucket sizes. Same capping as pairs mode.
+    """
+    rows = num_hashes // bands
+    sig = _signatures(
+        _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
+    )
+    if persist:
+        sig = sig.persist()
+
+    def _bucket_key(b: int) -> Column:
+        cols = [F.col(f"_h{b * rows + r}") for r in range(rows)]
+        if portable:
+            return F.concat_ws("|", *cols).cast("string")
+        return F.xxhash64(*cols).cast("string")
+
+    sig_cols = [f"_h{i}" for i in range(num_hashes)]
+    # Signatures ride the bucket rows from the start (one explode over the
+    # persisted signature table) — the anchor aggregate below needs them and
+    # a separate sig⋈bucket join would just re-shuffle the same longs.
+    wide = sig.select(
+        "_id",
+        *sig_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket_key(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "_id", *sig_cols,
+        F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"),
+    )
+    oversized = (
+        wide.groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bsize"))
+        .filter(F.col("_bsize") > max_bucket)
+        .select("_band", "_bucket")
+    )
+    capped = wide.join(oversized, ["_band", "_bucket"], "left_anti")
+
+    # The anchor row per bucket in ONE hash-aggregate: min of a struct whose
+    # first field is the id picks the min-id row WITH its signature — no
+    # second join against a min-id list.
+    anchors = capped.groupBy("_band", "_bucket").agg(
+        F.min(F.struct(F.col("_id"), *[F.col(c) for c in sig_cols])).alias("_m")
+    )
+    agree = sum(
+        F.when(F.col(f"_m._h{i}") == F.col(f"_h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = agree / F.lit(float(num_hashes))
+    jac = est if portable else F.round(est, 4)
+    return (
+        capped.join(anchors, ["_band", "_bucket"])
+        .filter(F.col("_id") > F.col("_m._id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_m._id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            "jaccard",
+        )
+        .distinct()
     )

@@ -9,7 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_3_2_hopsworks_spark.catalog import load_table
 from flink_1_3_2_hopsworks_spark.dedup.embedding import embedding_near_dups
 from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
-from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_near_dups
+from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+    minhash_near_dups,
+    minhash_star_edges,
+)
 from flink_1_3_2_hopsworks_spark.dedup.neardup import resolve_duplicate_clusters
 from flink_1_3_2_hopsworks_spark.dedup.ngram import ngram_jaccard_pairs
 from flink_1_3_2_hopsworks_spark.dedup.simhash import (
@@ -229,6 +232,20 @@ def pipe_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
     return resolve_duplicate_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def pipe_near_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR fuzzy-dedup pipeline (the 100 TB shape): per LSH bucket
+    only the verified (bucket-min anchor, member) STAR edges — Θ(docs ×
+    bands) work regardless of bucket sizes, where the pair pipeline's
+    candidate stream measured quadratic on a low-entropy corpus
+    (198M band collisions at sf10, SCALE_SF10.json) — then the same
+    connected-components resolution. Same verdict schema as
+    pipe_near_dedup; the oracle replays the star edges and the transitive
+    closure exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_star_edges(docs, "doc_id", "text", threshold=0.8, portable=True)
+    return resolve_duplicate_clusters(docs, edges, "doc_id").orderBy("doc_id")
 
 
 def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,17 +119,14 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _minhash_oracle(
-    threshold: float = 0.8,
-    shingle_k: int = 5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    max_bucket: int = 1000,
+def _minhash_cte_prefix(
+    shingle_k: int, num_hashes: int, bands: int, max_bucket: int
 ) -> str:
-    """Replays dedup/minhash.py with portable=True in DuckDB SQL: the
-    affine-permutation coefficients come from the SAME seeded generator the
-    Spark side uses, band buckets are the same '|'-joined value strings,
-    and the estimator's k/num_hashes division is exact (dyadic)."""
+    """The shared CTE chain of the minhash oracles (norm → shingles → base
+    hash → signature → band buckets → capped), replaying dedup/minhash.py
+    with portable=True: the affine-permutation coefficients come from the
+    SAME seeded generator the Spark side uses and band buckets are the same
+    '|'-joined value strings."""
     from flink_1_3_2_hopsworks_spark.dedup.minhash import _MERSENNE, _coeffs
 
     rows = num_hashes // bands
@@ -144,12 +141,7 @@ def _minhash_oracle(
         )
         for b in range(bands)
     )
-    agree = "\n                + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
-    return f"""
-        WITH norm AS (
+    return f"""norm AS (
             SELECT doc_id AS id,
                 REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS nrm
             FROM documents
@@ -174,11 +166,64 @@ def _minhash_oracle(
                 SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bs
                 FROM buckets
             ) WHERE bs <= {max_bucket}
-        ), cand AS (
+        )"""
+
+
+def _minhash_agree(num_hashes: int) -> str:
+    return "\n                + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+
+
+def _minhash_oracle(
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays dedup/minhash.py minhash_near_dups (portable estimate path):
+    all same-bucket pairs, estimator verify; the estimator's k/num_hashes
+    division is exact (dyadic)."""
+    agree = _minhash_agree(num_hashes)
+    return f"""
+        WITH {_minhash_cte_prefix(shingle_k, num_hashes, bands, max_bucket)},
+        cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM capped a
             JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
                          AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+            ({agree}) / {float(num_hashes)} AS jaccard
+        FROM cand
+        JOIN sig sa ON sa.id = id_a
+        JOIN sig sb ON sb.id = id_b
+        WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _minhash_star_oracle(
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays dedup/minhash.py minhash_star_edges (portable): per capped
+    band bucket only the (min-id anchor, member) edges, estimator verify."""
+    agree = _minhash_agree(num_hashes)
+    return f"""
+        WITH {_minhash_cte_prefix(shingle_k, num_hashes, bands, max_bucket)},
+        anch AS (
+            SELECT band, bucket, MIN(id) AS aid
+            FROM capped GROUP BY band, bucket
+        ), cand AS (
+            SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+            FROM anch a
+            JOIN capped c ON a.band = c.band AND a.bucket = c.bucket
+                         AND c.id > a.aid
         )
         SELECT id_a, id_b,
             ({agree}) / {float(num_hashes)} AS jaccard
@@ -319,13 +364,14 @@ def _embedding_recall_oracle(
     """
 
 
-def _near_dedup_oracle() -> str:
-    """pipe_near_dedup: the portable minhash pair oracle feeds a
-    recursive-CTE transitive closure — MIN(reachable id) per vertex is
+def _near_dedup_oracle(edge_sql: str | None = None) -> str:
+    """pipe_near_dedup[_star]: a portable minhash edge oracle (the pair
+    oracle by default, the star-edge oracle for the linear pipeline) feeds
+    a recursive-CTE transitive closure — MIN(reachable id) per vertex is
     exactly the label-propagation fixpoint the Spark side iterates to."""
     return f"""
         WITH RECURSIVE pairs AS (
-            {_minhash_oracle()}
+            {edge_sql or _minhash_oracle()}
         ), sym AS (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION ALL
@@ -405,6 +451,7 @@ def _semantic_dedup_oracle(threshold: float = 0.40) -> str:
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
     "pipe_near_dedup": _near_dedup_oracle(),
+    "pipe_near_dedup_star": _near_dedup_oracle(_minhash_star_oracle()),
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
     "dd_embedding_recall": _embedding_recall_oracle(),

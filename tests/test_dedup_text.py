@@ -408,3 +408,48 @@ def test_pack_sequences_warns_on_global_window(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any warning would fail the test
         pack_sequences(df, "doc_id", "text", 4, shard_cols=["lang"])
+
+
+def test_star_edges_subset_and_same_clusters(spark):
+    """Star edges are a verified subset of the pair graph (identical
+    precision), and on the gate corpus the cluster verdicts match the full
+    pair pipeline exactly."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_near_dups(corpus, "doc_id", "text", threshold=0.8)
+    star = minhash_star_edges(corpus, "doc_id", "text", threshold=0.8)
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    star_set = {(r["id_a"], r["id_b"]) for r in star.collect()}
+    assert star_set <= pair_set
+
+    verdict = lambda edges: {  # noqa: E731
+        r["doc_id"]: (r["canonical_id"], r["kept"])
+        for r in resolve_duplicate_clusters(corpus, edges, "doc_id").collect()
+    }
+    assert verdict(star) == verdict(pairs)
+
+
+def test_star_edges_connect_exact_duplicate_clusters(spark):
+    """Exact duplicates share ALL band buckets (identical signatures), so a
+    star anchor always reaches every member of its own duplicate cluster —
+    an exact-dup cluster can never be split by the star reduction, even
+    with unrelated smaller-id docs colliding into some buckets."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    rows = [(i, f"unique filler document number {i} with its own words") for i in range(20)]
+    dup_text = "the exact same duplicated payload text appears here verbatim"
+    rows += [(100 + j, dup_text) for j in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = minhash_star_edges(docs, "doc_id", "text", threshold=0.8)
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters(docs, edges, "doc_id").collect()
+    }
+    assert {got[100 + j] for j in range(5)} == {100}

@@ -432,3 +432,18 @@ def test_semantic_dedup_assignment_fused_into_scan(spark):
     # Nothing upstream of the join may shuffle — assignment is scan-fused.
     assert plan.count("Exchange hashpartitioning") in (0, 2)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_minhash_star_single_pass_anchor(spark):
+    """minhash_star_edges contract: the per-bucket anchor (min-id row WITH
+    its signature) is ONE aggregate — min of a struct — not a min-id list
+    joined back against the signature table; no window, no Python, no
+    cartesian pair expansion anywhere in the plan."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(minhash_star_edges(docs, "doc_id", "text", 0.8))
+    assert "min(struct" in plan  # the single-pass anchor aggregate
+    assert "WindowExec" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
