@@ -255,3 +255,16 @@ def gr_customer_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(500)
     )
+
+
+def gr_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the sparse high-quantity purchase graph (native extra —
+    Matula–Beck peeling, graph/library.py k_core): iteratively delete
+    degree-<2 vertices until fixpoint; return surviving vertices with
+    their within-core degree. The oracle replays the peeling as an
+    unrolled CTE chain (40 rounds — far past the gate graph's fixpoint;
+    extra rounds are no-ops on a converged edge set)."""
+    from flink_1_3_2_hopsworks_spark.graph.library import k_core
+
+    out = k_core(_sparse_bipartite_edges(spark, sf_dir), k=2)
+    return out.select("id", "degree").orderBy("id")

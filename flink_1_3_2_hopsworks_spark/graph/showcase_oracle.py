@@ -355,3 +355,42 @@ ORACLE: dict[str, str] = {
         LIMIT 500
     """,
 }
+
+
+def _k_core_oracle(k: int = 2, rounds: int = 40) -> str:
+    """gr_k_core: the Matula–Beck peeling unrolled as a generated CTE chain
+    (standard recursive CTEs cannot aggregate in the recursive term).
+    ``rounds`` is far past the gate graph's fixpoint; once converged each
+    extra round keeps the edge set unchanged, so over-unrolling is exact.
+    Each round's CTEs are MATERIALIZED — every round references the
+    previous ~3×, so default inlining would expand the tree 3^rounds."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200 AND l_quantity >= 49.5
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT id FROM (
+                SELECT src AS id FROM e{i - 1}
+                UNION ALL SELECT dst AS id FROM e{i - 1}
+            ) GROUP BY id HAVING COUNT(*) >= {k}
+        ), e{i} AS MATERIALIZED (
+            SELECT src, dst FROM e{i - 1}
+            WHERE src IN (SELECT id FROM d{i})
+              AND dst IN (SELECT id FROM d{i})
+        )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT src AS id FROM e{rounds}
+            UNION ALL SELECT dst AS id FROM e{rounds}
+        ) GROUP BY id ORDER BY id
+    """
+
+
+ORACLE["gr_k_core"] = _k_core_oracle()

@@ -149,3 +149,29 @@ def test_summarize_graph(spark):
     }
     got = {(r["src_group"], r["dst_group"]): r["edge_count"] for r in se.collect()}
     assert got == {("a", "a"): 1, ("a", "b"): 2, ("b", "b"): 1}
+
+
+def test_k_core_cascading_peel(spark):
+    """A tail path hanging off a triangle must peel away one hop per round
+    (removing the leaf makes its neighbor a leaf) — the 2-core is exactly
+    the triangle; a single-pass degree filter would keep tail vertices."""
+    from flink_1_3_2_hopsworks_spark.graph.library import k_core
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3 with a path 3-4-5-6 hanging off
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {(r["id"], r["degree"]) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_empty_when_no_core(spark):
+    """A tree has no 2-core — peeling must terminate with an empty result,
+    not loop or error."""
+    from flink_1_3_2_hopsworks_spark.graph.library import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    assert k_core(edges, k=2).count() == 0
