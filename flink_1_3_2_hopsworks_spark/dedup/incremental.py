@@ -63,3 +63,144 @@ def incremental_ingest(
         )
         .select(id_col, "fp", "batch_dups")
     )
+
+
+def incremental_near_ingest(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate ingestion dedup: drop new docs that are fuzzy dups of
+    the existing corpus, then fuzzy-dedup the batch within itself.
+
+    One verdict row per new document: ``(id_col, kept, reason)`` with
+    ``reason`` ∈ {'kept', 'corpus_near_dup', 'batch_near_dup'} — a new doc
+    is dropped when the MinHash estimator puts it within ``threshold`` of
+    any corpus doc sharing an LSH band bucket, else clustered within the
+    batch (star edges → connected components, min id survives).
+
+    Scale shape (the whole point — the corpus NEVER self-joins): corpus
+    signatures/bucket keys stream straight out of the scan projection into
+    ONE probe join against the batch's bucket keys, which are BROADCAST
+    (bounded by the batch); the estimator verifies inline on the join
+    output, so corpus-side work is a scan plus a map-side hash probe —
+    on a real store the banded keys are precomputed at append time and
+    this reads them back instead of re-shingling. Oversized corpus buckets
+    (> ``max_bucket``) are excluded exactly like minhash_near_dups caps
+    its pair expansion; the within-batch step is the linear star
+    reduction. Only the batch ever shuffles.
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        _shingles,
+        _signatures,
+        minhash_star_edges,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    rows = num_hashes // bands
+    sig_cols = [f"_h{i}" for i in range(num_hashes)]
+
+    def _sig(docs: DataFrame) -> DataFrame:
+        return _signatures(
+            _shingles(docs, id_col, text_col, shingle_k), num_hashes, portable
+        )
+
+    def _bucketed(sig: DataFrame) -> DataFrame:
+        if portable:
+            keys = [
+                F.concat_ws(
+                    "|", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                ).cast("string").alias(f"_k{b}")
+                for b in range(bands)
+            ]
+        else:
+            keys = [
+                F.xxhash64(
+                    *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                ).cast("string").alias(f"_k{b}")
+                for b in range(bands)
+            ]
+        wide = sig.select("_id", *sig_cols, *[k for k in keys])
+        return wide.select(
+            "_id",
+            *sig_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("_band"),
+                            F.col(f"_k{b}").alias("_bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select("_id", *sig_cols, "_bb._band", "_bb._bucket")
+
+    corpus_b = _bucketed(_sig(corpus))
+    batch_b = _bucketed(_sig(new_docs))
+
+    # Cap degenerate corpus buckets (a store would drop these keys at
+    # append time) — hash-aggregate + anti-join, same rationale as
+    # minhash_near_dups.
+    oversized = (
+        corpus_b.groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("_band", "_bucket")
+    )
+    corpus_capped = corpus_b.join(oversized, ["_band", "_bucket"], "left_anti")
+
+    agree = sum(
+        F.when(F.col(f"_c{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = agree / F.lit(float(num_hashes))
+    jac = est if portable else F.round(est, 4)
+    corpus_side = corpus_capped.select(
+        "_band", "_bucket",
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(sig_cols)],
+    )
+    batch_side = batch_b.select(
+        "_band", "_bucket", F.col("_id").alias("_bid"),
+        *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
+    )
+    corpus_dup_ids = (
+        corpus_side.join(F.broadcast(batch_side), ["_band", "_bucket"])
+        .filter(jac >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+
+    survivors = new_docs.join(
+        corpus_dup_ids.withColumnRenamed(id_col, "_drop"),
+        F.col(id_col) == F.col("_drop"),
+        "left_anti",
+    )
+    edges = minhash_star_edges(
+        survivors, id_col, text_col, threshold=threshold,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket, portable=portable,
+    )
+    clustered = resolve_duplicate_clusters(survivors, edges, id_col)
+
+    verdict = new_docs.select(id_col).join(
+        clustered.select(id_col, "kept"), id_col, "left"
+    )
+    return verdict.select(
+        id_col,
+        F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+        F.when(F.col("kept").isNull(), F.lit("corpus_near_dup"))
+        .when(F.col("kept"), F.lit("kept"))
+        .otherwise(F.lit("batch_near_dup"))
+        .alias("reason"),
+    )

@@ -459,3 +459,28 @@ def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle_shard(
         docs.select("doc_id", "lang"), ["doc_id"], n_shards=8, salt="ep0"
     )
+
+
+def pipe_incremental_near_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (north-star training-pipeline op):
+    source='src7' documents are the NEW crawl batch (~5%), everything else
+    the EXISTING corpus (~95%) — src7 is the slice whose near-dup pairs
+    span both sides, so all three verdicts appear. Batch docs within MinHash-estimator 0.8 of
+    any corpus doc sharing an LSH band bucket are dropped
+    ('corpus_near_dup'); the rest fuzzy-dedup within the batch via the
+    linear star reduction ('batch_near_dup' / 'kept'). The corpus is only
+    scanned + probed by the BROADCAST batch bucket keys — never self-
+    joined, never shuffled. Full SQL oracle replays caps, probe,
+    star edges, and the transitive closure."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_ingest(
+        docs.filter(F.col("source") == "src7"),
+        docs.filter(F.col("source") != "src7"),
+        "doc_id",
+        "text",
+        portable=True,
+    ).orderBy("doc_id")

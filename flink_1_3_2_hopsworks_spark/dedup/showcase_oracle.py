@@ -169,6 +169,86 @@ def _minhash_cte_prefix(
         )"""
 
 
+def _incremental_near_oracle(
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays dedup/incremental.py incremental_near_ingest (portable):
+    corpus = source<>'src7', batch = source='src7'; corpus-bucket cap →
+    corpus⋈batch estimator probe → batch star edges (survivor-side cap) →
+    recursive-CTE closure → per-batch-doc verdicts."""
+    agree = _minhash_agree(num_hashes)
+    return f"""
+        WITH RECURSIVE {_minhash_cte_prefix(shingle_k, num_hashes, bands, max_bucket)},
+        corpus_ids AS (
+            SELECT doc_id AS id FROM documents WHERE source <> 'src7'
+        ), batch_ids AS (
+            SELECT doc_id AS id FROM documents WHERE source = 'src7'
+        ), corpus_b AS (
+            SELECT b.* FROM buckets b JOIN corpus_ids USING (id)
+        ), batch_b AS (
+            SELECT b.* FROM buckets b JOIN batch_ids USING (id)
+        ), corpus_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS cbs
+                FROM corpus_b
+            ) WHERE cbs <= {max_bucket}
+        ), corpus_dups AS (
+            SELECT DISTINCT bb.id
+            FROM corpus_capped cb
+            JOIN batch_b bb ON cb.band = bb.band AND cb.bucket = bb.bucket
+            JOIN sig sa ON sa.id = cb.id
+            JOIN sig sb ON sb.id = bb.id
+            WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+        ), surv_b AS (
+            SELECT * FROM batch_b
+            WHERE id NOT IN (SELECT id FROM corpus_dups)
+        ), surv_capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS sbs
+                FROM surv_b
+            ) WHERE sbs <= {max_bucket}
+        ), anch AS (
+            SELECT band, bucket, MIN(id) AS aid
+            FROM surv_capped GROUP BY band, bucket
+        ), edges AS (
+            SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+            FROM anch a
+            JOIN surv_capped c ON a.band = c.band AND a.bucket = c.bucket
+                              AND c.id > a.aid
+            JOIN sig sa ON sa.id = a.aid
+            JOIN sig sb ON sb.id = c.id
+            WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ), verts AS (
+            SELECT DISTINCT src AS id FROM sym
+        ), reach(root, node) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT reach.root, sym.dst
+            FROM reach JOIN sym ON sym.src = reach.node
+        ), comp AS (
+            SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+        )
+        SELECT b.id AS doc_id,
+            CASE WHEN cd.id IS NOT NULL THEN FALSE
+                 ELSE COALESCE(c.component, b.id) = b.id END AS kept,
+            CASE WHEN cd.id IS NOT NULL THEN 'corpus_near_dup'
+                 WHEN COALESCE(c.component, b.id) = b.id THEN 'kept'
+                 ELSE 'batch_near_dup' END AS reason
+        FROM batch_ids b
+        LEFT JOIN corpus_dups cd ON cd.id = b.id
+        LEFT JOIN comp c ON c.id = b.id
+        ORDER BY b.id
+    """
+
+
 def _minhash_agree(num_hashes: int) -> str:
     return "\n                + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
@@ -452,6 +532,7 @@ ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
     "pipe_near_dedup": _near_dedup_oracle(),
     "pipe_near_dedup_star": _near_dedup_oracle(_minhash_star_oracle()),
+    "pipe_incremental_near_ingest": _incremental_near_oracle(),
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
     "dd_embedding_recall": _embedding_recall_oracle(),

@@ -453,3 +453,39 @@ def test_star_edges_connect_exact_duplicate_clusters(spark):
         for r in resolve_duplicate_clusters(docs, edges, "doc_id").collect()
     }
     assert {got[100 + j] for j in range(5)} == {100}
+
+
+def test_incremental_near_ingest_verdicts(spark):
+    """Batch docs near-dup to the corpus drop as corpus_near_dup; batch-
+    internal near-dups cluster with one survivor; corpus docs emit no
+    verdict rows."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text about engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),                      # exact dup of corpus 100
+            (2, "fresh unseen content one two three four five six"),
+            (3, "fresh unseen content one two three four five six"),  # dup of 2
+            (4, "a lone novel document unlike anything else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in incremental_near_ingest(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {
+        1: (False, "corpus_near_dup"),
+        2: (True, "kept"),
+        3: (False, "batch_near_dup"),
+        4: (True, "kept"),
+    }

@@ -447,3 +447,26 @@ def test_minhash_star_single_pass_anchor(spark):
     assert "WindowExec" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_near_ingest_no_python_no_window(spark):
+    """incremental_near_ingest contract: the corpus side is scan + probe —
+    the whole verdict plan stays in codegen (no Python, no WindowExec, no
+    cartesian); the batch bucket keys broadcast (BroadcastExchange feeds
+    the corpus probe join)."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = incremental_near_ingest(
+        docs.filter(F.col("source") == "src7"),
+        docs.filter(F.col("source") != "src7"),
+        "doc_id",
+        "text",
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
