@@ -484,3 +484,22 @@ def pipe_incremental_near_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         portable=True,
     ).orderBy("doc_id")
+
+
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (north-star training-pipeline op — the
+    canonical composition applied before fingerprinting/dedup). The gate
+    corpus is pure ASCII, so the query appends a DECOMPOSED suffix
+    ('cafe'+U+0301, 'A'+U+030A) to every row to force real composition
+    work through both engines; ``chars_composed`` (always 2) pins that
+    the combining marks actually composed. DuckDB's nfc_normalize is the
+    same UAX#15 NFC, so the oracle hash-matches; cross-engine equivalence
+    on richer Unicode is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    decomposed = F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a"))
+    nfc = T.normalize_unicode(decomposed)
+    return docs.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        (F.length(decomposed) - F.length(nfc)).cast("long").alias("chars_composed"),
+    )

@@ -533,6 +533,17 @@ ORACLE: dict[str, str] = {
     "pipe_near_dedup": _near_dedup_oracle(),
     "pipe_near_dedup_star": _near_dedup_oracle(_minhash_star_oracle()),
     "pipe_incremental_near_ingest": _incremental_near_oracle(),
+    "text_normalize_unicode": """
+        WITH aug AS (
+            SELECT doc_id,
+                text || ' cafe' || chr(769) || ' A' || chr(778) AS t
+            FROM documents
+        )
+        SELECT doc_id,
+            nfc_normalize(t) AS text_nfc,
+            LENGTH(t) - LENGTH(nfc_normalize(t)) AS chars_composed
+        FROM aug
+    """,
     "dd_minhash_pairs": _minhash_oracle(),
     "dd_embedding_pairs": _embedding_oracle(),
     "dd_embedding_recall": _embedding_recall_oracle(),

@@ -438,3 +438,29 @@ def pack_sequences(
         n_tok.alias("n_tokens"),
         F.floor((running_after - n_tok) / budget_tokens).alias("bin_id"),
     )
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (default NFC — the canonical
+    composition every serious text pipeline applies before hashing or
+    deduplication, since 'café' spelled e+◌́ and é are different byte
+    strings for the same text).
+
+    Catalyst has no normalization expression, so this is the documented
+    Arrow-batched slow path: a vectorized pandas_udf over
+    ``unicodedata.normalize`` — one Python crossing per batch, scan-shaped
+    (no shuffle), NULL-safe. DuckDB's ``nfc_normalize`` implements the
+    same UAX#15 NFC, verified equivalent in tests, so gates over this
+    column still hash-match a pure-SQL oracle.
+    """
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _norm(s):  # pandas Series[str] -> Series[str]
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return _norm(F.col(col) if isinstance(col, str) else col)

@@ -489,3 +489,39 @@ def test_incremental_near_ingest_verdicts(spark):
         3: (False, "batch_near_dup"),
         4: (True, "kept"),
     }
+
+
+def test_normalize_unicode_matches_duckdb_nfc(spark):
+    """normalize_unicode (pandas_udf over unicodedata NFC) must agree with
+    DuckDB's nfc_normalize byte-for-byte — the equivalence every oracle
+    over the column depends on — including combining marks, already-
+    composed text, ligatures (NFC preserves them), and NULLs."""
+    import duckdb
+
+    from flink_1_3_2_hopsworks_spark.functions.text import normalize_unicode
+
+    cases = [
+        "cafe\u0301",            # combining acute -> composes to \u00e9
+        "caf\u00e9",             # already composed -> unchanged
+        "\ufb01le",              # fi ligature -> NFC keeps it
+        "A\u030a ring",          # combining ring -> \u00c5
+        "\uff46\uff55\uff4c\uff4cwidth",  # fullwidth -> NFC keeps it
+        "a\u0308\u0301bc",      # double combining stack
+        "",                      # empty
+        None,                    # NULL-safe
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_unicode("s").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = (
+            None
+            if c is None
+            else con.sql("SELECT nfc_normalize(?)", params=[c]).fetchone()[0]
+        )
+        assert got[i] == want, (i, c, got[i], want)
