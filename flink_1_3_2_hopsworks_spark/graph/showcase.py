@@ -268,3 +268,28 @@ def gr_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = k_core(_sparse_bipartite_edges(spark, sf_dir), k=2)
     return out.select("id", "degree").orderBy("id")
+
+
+def gr_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (reference library/
+    SingleSourceShortestPaths.java is weighted Bellman-Ford relaxation;
+    gr_sssp_hops covers the unit-weight case) over the undirected purchase
+    graph. Weight = 1 + (supplier id mod 5) — integer-valued doubles, so
+    every path sum is exact in both engines. Oracle: Bellman-Ford unrolled
+    as a generated MATERIALIZED-CTE chain (25 rounds, past the gate
+    graph's diameter; converged rounds are no-ops). Reachable only."""
+    from flink_1_3_2_hopsworks_spark.graph.pregel import sssp
+
+    e = _bipartite_edges(spark, sf_dir).withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("dst") - _SUPP_OFFSET, F.lit(5))).cast("double")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    source = e.agg(F.min("src")).collect()[0][0]
+    out = sssp(sym, source, "weight", max_iterations=30)
+    return (
+        out.filter(~F.isnan("distance") & (F.col("distance") != float("inf")))
+        .select("id", F.col("distance").alias("distance"))
+        .orderBy("id")
+    )

@@ -394,3 +394,43 @@ def _k_core_oracle(k: int = 2, rounds: int = 40) -> str:
 
 
 ORACLE["gr_k_core"] = _k_core_oracle()
+
+
+def _sssp_weighted_oracle(rounds: int = 25) -> str:
+    """gr_sssp_weighted: Bellman-Ford unrolled as a MATERIALIZED CTE chain
+    (recursive CTEs cannot take the per-vertex MIN in the recursive term
+    without tracking every path; weights are integer-valued doubles so
+    path sums are exact). Over-unrolling past the diameter is exact —
+    converged rounds leave the distance table unchanged."""
+    ctes = [
+        """base AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s,
+                CAST(1 + (l_suppkey % 5) AS DOUBLE) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey < 200
+        ), sym AS MATERIALIZED (
+            SELECT c AS src, s AS dst, w FROM base
+            UNION ALL
+            SELECT s AS src, c AS dst, w FROM base
+        ), d0 AS MATERIALIZED (
+            SELECT (SELECT MIN(c) FROM base) AS id, 0.0 AS dist
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT id, MIN(dist) AS dist FROM (
+                SELECT id, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS id, d.dist + e.w AS dist
+                FROM d{i - 1} d JOIN sym e ON e.src = d.id
+            ) GROUP BY id
+        )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT id, dist AS distance FROM d{rounds} ORDER BY id
+    """
+
+
+ORACLE["gr_sssp_weighted"] = _sssp_weighted_oracle()
