@@ -209,3 +209,56 @@ def test_asof_join_equals_naive_oracle(spark, seed):
         else:
             _, best = max(cand)
             assert got[lid] == (best, float(best % 7))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_star_clusters_refine_pair_clusters(spark, seed):
+    """Star edges are a subset of the pair graph, so star components must
+    REFINE pair components: two docs the star pipeline puts in one cluster
+    are always in one pair-pipeline cluster (precision is never worse),
+    and any doc the star pipeline drops is also dropped by the pair
+    pipeline's cluster containing it. Randomized corpora with planted
+    exact-dup groups and shuffled filler."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        minhash_near_dups,
+        minhash_star_edges,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        words = rng.choice(vocab, size=rng.integers(6, 30))
+        rows.append((i, " ".join(words)))
+    # plant duplicate groups of varying size
+    gid = 1000
+    for size in (2, 3, 5):
+        text = " ".join(rng.choice(vocab, size=20))
+        for j in range(size):
+            rows.append((gid + j, text))
+        gid += 100
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8)
+    star = minhash_star_edges(docs, "doc_id", "text", threshold=0.8)
+    pv = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+    sv = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters(docs, star, "doc_id").collect()
+    }
+    # refinement: same star canonical => same pair canonical
+    for a in sv:
+        for b in sv:
+            if a < b and sv[a] == sv[b]:
+                assert pv[a] == pv[b], (a, b, sv[a], pv[a], pv[b])
+    # planted exact-dup groups must be fully clustered by BOTH pipelines
+    for base in (1000, 1100, 1200):
+        group = [d for d in sv if d >= base and d < base + 100]
+        assert len({sv[d] for d in group}) == 1
+        assert len({pv[d] for d in group}) == 1
