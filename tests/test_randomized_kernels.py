@@ -262,3 +262,79 @@ def test_star_clusters_refine_pair_clusters(spark, seed):
         group = [d for d in sv if d >= base and d < base + 100]
         assert len({sv[d] for d in group}) == 1
         assert len({pv[d] for d in group}) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_k_core_matches_python_peeling(spark, seed):
+    """k_core vs a direct python Matula–Beck peel on random graphs —
+    same surviving vertex set and within-core degrees."""
+    from flink_1_3_2_hopsworks_spark.graph.library import k_core
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    edges = {
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in rng.integers(0, n, (150, 2))
+        if a != b
+    }
+    k = 3
+    # python reference peel
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = {v: len(nb) for v, nb in adj.items()}
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["id"]: r["degree"] for r in k_core(df, k=k).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sssp_weighted_matches_dijkstra(spark, seed):
+    """Weighted sssp vs a python Dijkstra on random weighted digraphs."""
+    import heapq
+
+    from flink_1_3_2_hopsworks_spark.graph.pregel import sssp
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    rows = [
+        (int(a), int(b), float(w))
+        for (a, b), w in zip(
+            rng.integers(0, n, (120, 2)), rng.integers(1, 9, 120)
+        )
+        if a != b
+    ]
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, []).append((b, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for u, w in adj.get(v, []):
+            nd = d + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    out = sssp(df, source=0, max_iterations=50)
+    got = {
+        r["id"]: r["distance"]
+        for r in out.collect()
+        if r["distance"] != float("inf")
+    }
+    assert got == dist
