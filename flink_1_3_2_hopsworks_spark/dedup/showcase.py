@@ -503,3 +503,15 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         nfc.alias("text_nfc"),
         (F.length(decomposed) - F.length(nfc)).cast("long").alias("chars_composed"),
     )
+
+
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal (CCNet/RefinedWeb shared-line policy on
+    token windows): 8-token grams occurring in >= 3 DISTINCT docs are
+    template text and are dropped from EVERY doc, owner included (the
+    keep-first policy is text_dup_span_removal). Full SQL oracle replays
+    the distinct-doc threshold, drop positions, and the rebuilt text."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_boilerplate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_spans(docs, "doc_id", "text", window=8, min_docs=3)

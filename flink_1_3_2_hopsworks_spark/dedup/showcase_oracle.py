@@ -994,6 +994,51 @@ ORACLE: dict[str, str] = {
             CAST(s.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
         FROM sized s LEFT JOIN rebuilt r USING (doc_id)
     """,
+    "text_boilerplate_removal": """
+        WITH base AS (
+            SELECT doc_id,
+                LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))),
+                                               '\\s+'),
+                            t -> t <> '') AS tk
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, tk, LEN(tk) AS n FROM base),
+        wins AS (
+            SELECT doc_id, i AS p,
+                ARRAY_TO_STRING(tk[i + 1 : i + 8], ' ') AS gram
+            FROM sized, UNNEST(RANGE(0, n - 7)) AS t(i)
+        ),
+        boiler AS (
+            SELECT gram FROM wins
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+        ),
+        losing AS (
+            SELECT w.doc_id, w.p FROM wins w JOIN boiler USING (gram)
+        ),
+        drop_pos AS (
+            SELECT DISTINCT doc_id, p + i AS pos
+            FROM losing, UNNEST(RANGE(0, 8)) AS t(i)
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+            FROM sized, UNNEST(RANGE(1, n + 1)) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tokpos t LEFT JOIN drop_pos d
+                ON t.doc_id = d.doc_id AND t.pos = d.pos
+            WHERE d.pos IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text,
+                COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+            COALESCE(r.clean_text, '') AS clean_text,
+            CAST(s.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """,
     "pipe_shuffle_shard": """
         WITH hashed AS (
             SELECT doc_id, lang,

@@ -141,9 +141,16 @@ def remove_duplicated_spans(
         .filter(F.col("_c") > 1)
     )
     losing = wins.join(owners, "_g").filter(F.col(id_col) > F.col("_owner"))
+    return _rebuild_without(base_full, losing, id_col, window)
 
-    # Per-doc sorted drop-position list — rows ∝ duplicated windows, list
-    # entries ∝ covered positions; the corpus token stream never explodes.
+
+def _rebuild_without(
+    base_full: DataFrame, losing: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Rebuild each doc's text without the token positions covered by the
+    ``losing`` (id, _p) window rows: per-doc sorted drop-position list —
+    rows ∝ duplicated windows, list entries ∝ covered positions; the
+    corpus token stream never explodes or shuffles."""
     drops = (
         losing.select(
             id_col, F.explode(F.sequence("_p", F.col("_p") + (window - 1))).alias("_pos")
@@ -167,3 +174,33 @@ def remove_duplicated_spans(
             (F.col("_n") - F.size(kept)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate removal (the CCNet/RefinedWeb shared-line policy applied
+    to token windows): a window gram occurring in >= ``min_docs`` DISTINCT
+    documents is template text — headers, footers, navigation chrome — and
+    is dropped from EVERY document, owner included (contrast
+    :func:`remove_duplicated_spans`, whose keep-first policy is for
+    genuine content that happens to be duplicated).
+
+    Same scale contract as the other span ops: 8-byte gram hashes are the
+    only corpus-sized shuffle key, the countDistinct per gram is one
+    hash-aggregate, and everything downstream scales with the BOILERPLATE
+    population, not the corpus. Returns ``(id, clean_text, n_removed)``.
+    """
+    base_full, wins = _windows(df, id_col, text_col, window)
+    boiler = (
+        wins.groupBy("_g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_g")
+    )
+    losing = wins.join(boiler, "_g")
+    return _rebuild_without(base_full, losing, id_col, window)

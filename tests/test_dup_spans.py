@@ -104,3 +104,35 @@ def test_stats_match_oracle_shape_on_gate_table(spark, sf_dir):
     assert len(joined) == docs.count()
     for r in joined:
         assert 0 <= r["n_removed"] <= r["covered_tokens"]
+
+
+def test_boilerplate_removal_drops_from_every_doc(spark):
+    """A gram in >= min_docs distinct docs is removed EVERYWHERE — owner
+    included — while a 2-doc duplicate is untouched at min_docs=3; a doc
+    made entirely of boilerplate collapses to empty."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared header one two three body alpha"),
+            (2, "shared header one two three body beta"),
+            (3, "shared header one two three"),     # pure boilerplate
+            (4, "pairwise dup span here only twice tail"),
+            (5, "pairwise dup span here only twice coda"),
+            (6, "clean独 unrelated text entirely its own"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_boilerplate_spans(
+            docs, "doc_id", "text", window=5, min_docs=3
+        ).collect()
+    }
+    # "shared header one two three" occurs in docs 1,2,3 -> removed from ALL
+    assert got[1]["clean_text"] == "body alpha" and got[1]["n_removed"] == 5
+    assert got[2]["clean_text"] == "body beta" and got[2]["n_removed"] == 5
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 5
+    # 2-doc duplicate stays below the min_docs=3 threshold
+    assert got[4]["n_removed"] == 0 and got[5]["n_removed"] == 0
+    assert got[6]["n_removed"] == 0
