@@ -470,3 +470,20 @@ def test_incremental_near_ingest_no_python_no_window(spark):
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_boilerplate_spans_shuffle_keys_are_hashes(spark):
+    """remove_boilerplate_spans inherits the spans contract: every
+    corpus-sized Exchange carries the 64-bit gram hash, never the L-word
+    gram string; no Python, no window exec."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_boilerplate_spans
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(remove_boilerplate_spans(docs, "doc_id", "text", 8, 3))
+    for exchange_line in [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]:
+        assert "_gram" not in exchange_line
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowExec" not in plan
