@@ -76,6 +76,7 @@ def incremental_near_ingest(
     bands: int = 8,
     max_bucket: int = 1000,
     portable: bool = False,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """NEAR-duplicate ingestion dedup: drop new docs that are fuzzy dups of
     the existing corpus, then fuzzy-dedup the batch within itself.
@@ -96,6 +97,13 @@ def incremental_near_ingest(
     (> ``max_bucket``) are excluded exactly like minhash_near_dups caps
     its pair expansion; the within-batch step is the linear star
     reduction. Only the batch ever shuffles.
+
+    The broadcast side costs ~``batch_rows × bands × (num_hashes+2) × 8``
+    bytes on every executor — right for the intended small crawl
+    increment. For an unusually large batch (beyond a few hundred MB of
+    signatures), pass ``broadcast_batch=False``: the probe becomes a
+    shuffled hash join, correctness unchanged, the corpus pays its one
+    bucket-keyed shuffle.
     """
     from flink_1_3_2_hopsworks_spark.dedup.minhash import (
         _shingles,
@@ -175,7 +183,10 @@ def incremental_near_ingest(
         *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
     )
     corpus_dup_ids = (
-        corpus_side.join(F.broadcast(batch_side), ["_band", "_bucket"])
+        corpus_side.join(
+            F.broadcast(batch_side) if broadcast_batch else batch_side,
+            ["_band", "_bucket"],
+        )
         .filter(jac >= threshold)
         .select(F.col("_bid").alias(id_col))
         .distinct()
