@@ -128,3 +128,49 @@ def stratified_sample_hashed(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_h", "_rn")
     )
+
+
+def weighted_sample_fixed_size(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    salt: str = "w42",
+) -> DataFrame:
+    """Weighted fixed-size sample WITHOUT replacement (Efraimidis–Spirakis
+    A-Res), portable: each row draws u ∈ (0,1] from the salted-md5 scheme
+    shared by the other samplers and gets sort key ln(u)/w — ordering-
+    equivalent to the classic u^(1/w) — and the top-n keys survive, which
+    selects each row with probability proportional to its weight (the
+    quality-weighted corpus draw every curation pipeline needs). Any
+    engine replays the exact row set from (key, salt); change ``salt`` to
+    redraw. Rows with weight <= 0 or NULL are never sampled.
+
+    Scale shape: one narrow map for the key then orderBy+limit, which
+    Spark plans as TakeOrderedAndProject — each partition emits at most n
+    rows, no full-sort shuffle.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h32 + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    k = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_k", k)
+        .orderBy(F.desc("_k"), *[F.col(c) for c in key_cols])
+        .limit(n)
+        .drop("_k")
+    )

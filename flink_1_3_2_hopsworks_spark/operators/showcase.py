@@ -831,3 +831,19 @@ def op_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-size sample (north-star training-pipeline op — the
+    quality-weighted corpus draw): 50 documents selected with probability
+    proportional to n_chars via portable A-Res (Efraimidis–Spirakis) keys
+    ln(u)/w over the salted-md5 draw. The oracle replays the exact row
+    set; ordered by doc_id for comparison."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        weighted_sample_fixed_size,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_fixed_size(
+        docs, 50, "n_chars", ["doc_id"], salt="wq0"
+    ).orderBy("doc_id")

@@ -341,6 +341,22 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "op_weighted_sample": """
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                LN(
+                    (('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                        CAST(doc_id AS VARCHAR), 'wq0')), 1, 8))::BIGINT + 1)
+                    / 4294967296.0
+                ) / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars FROM keyed
+            ORDER BY k DESC, doc_id LIMIT 50
+        ) ORDER BY doc_id
+    """,
     "op_stratified_sample": """
         SELECT event_id, user_id, event_type
         FROM (

@@ -622,3 +622,52 @@ def test_embedding_amplified_superset_and_single_set_equivalence(spark):
     assert {(a, b) for a, b, _ in amp4} <= truth  # exact verify: no FPs
     # the planted perturbation pairs give amplification something to find
     assert len(amp4) >= len(amp1)
+
+
+def test_weighted_sample_matches_python_replay_and_distribution(spark):
+    """weighted_sample_fixed_size: (1) the Spark row set equals a pure-
+    python replay of the A-Res formula (portability is the contract);
+    (2) across many salts, single-draw selection frequencies track the
+    weights (the E-S property: P(selected) = w_i/Σw for n=1)."""
+    import hashlib
+    import math
+
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        weighted_sample_fixed_size,
+    )
+
+    rows = [(1, 10.0), (2, 30.0), (3, 60.0), (4, 0.0), (5, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def py_keys(salt):
+        out = {}
+        for i, w in rows:
+            if w is None or w <= 0:
+                continue
+            h = hashlib.md5(f"{i}|{salt}".encode()).hexdigest()
+            u = (int(h[:8], 16) + 1) / 2**32
+            out[i] = math.log(u) / w
+        return out
+
+    # (1) exact replay on a handful of salts, n=2
+    for salt in ("a", "b", "c"):
+        want = sorted(py_keys(salt), key=lambda i: (-py_keys(salt)[i], i))[:2]
+        got = sorted(
+            r["id"]
+            for r in weighted_sample_fixed_size(
+                df, 2, "w", ["id"], salt=salt
+            ).collect()
+        )
+        assert got == sorted(want), (salt, got, want)
+
+    # (2) distribution: 400 python single-draws; doc 3 (60% of weight)
+    # must win roughly 60% of the time, doc 1 (10%) roughly 10%.
+    wins = {1: 0, 2: 0, 3: 0}
+    trials = 400
+    for t in range(trials):
+        ks = py_keys(f"s{t}")
+        wins[max(ks, key=ks.get)] += 1
+    assert 0.5 < wins[3] / trials < 0.7
+    assert 0.03 < wins[1] / trials < 0.2
+    # zero/NULL-weight rows can never be drawn (checked via python replay
+    # domain and the Spark filter above: ids 4 and 5 never appear).
