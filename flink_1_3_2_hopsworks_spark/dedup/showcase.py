@@ -515,3 +515,15 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_boilerplate_spans(docs, "doc_id", "text", window=8, min_docs=3)
+
+
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation ("best 23k tokens"): keep the highest-quality
+    docs whose total tokens fit the budget, threshold estimated from the
+    deterministic 20% sample over ROUNDED-quality buckets (bounded window,
+    no global doc sort) and broadcast into one filter pass. Full SQL
+    oracle replays sample, bucket cumsum, threshold, and filter."""
+    from flink_1_3_2_hopsworks_spark.functions.text import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return select_token_budget(docs, "doc_id", "text", 23_000).orderBy("doc_id")

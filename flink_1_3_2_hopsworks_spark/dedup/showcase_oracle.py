@@ -606,6 +606,49 @@ ORACLE: dict[str, str] = {
         FROM scored s CROSS JOIN thr t
         WHERE s.quality >= t.threshold
     """,
+    "pipe_token_budget": """
+        WITH stats AS (
+            SELECT
+                doc_id,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tok,
+                CASE WHEN LENGTH(text) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                          / LENGTH(text) END AS punct,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\\s+', '', 'g')) AS DOUBLE)
+                          / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS awl
+            FROM documents
+        ), scored AS (
+            SELECT
+                doc_id,
+                ROUND(
+                    0.4 * LEAST(n_tok / 50.0, 1.0)
+                    + 0.3 * (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END)
+                    + 0.3 * GREATEST(0.0, 1.0 - punct * 5.0),
+                4) AS quality,
+                CAST(n_tok AS BIGINT) AS n_tokens
+            FROM stats
+        ), buckets AS (
+            SELECT quality, SUM(n_tokens) AS btok
+            FROM scored
+            WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                    CAST(doc_id AS VARCHAR), 'tb42')), 1, 8))::BIGINT
+                < 858993459
+            GROUP BY quality
+        ), runs AS (
+            SELECT quality,
+                SUM(btok) OVER (ORDER BY quality DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM buckets
+        ), thr AS (
+            SELECT MIN(quality) AS threshold FROM runs WHERE cum <= 4600.0
+        )
+        SELECT s.doc_id, s.quality, s.n_tokens, t.threshold
+        FROM scored s CROSS JOIN thr t
+        WHERE s.quality >= t.threshold
+        ORDER BY s.doc_id
+    """,
     "dd_ngram_jaccard_pairs": """
         WITH toklists AS (
             SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS l

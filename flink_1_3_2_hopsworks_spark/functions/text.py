@@ -464,3 +464,59 @@ def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
         )
 
     return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+def select_token_budget(
+    df,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    sample_fraction: float = 0.2,
+    salt: str = "tb42",
+):
+    """"Best N tokens" curation: keep the highest-quality documents whose
+    total token count fits a budget — the other axis of corpus curation
+    from :func:`quality_quantile_filter` (that one keeps a doc FRACTION;
+    training runs are sized in TOKENS).
+
+    Scale shape — no global per-doc sort anywhere: quality scores are
+    ROUNDED (4 decimals), so the deterministic salted-hash sample
+    aggregates into at most ~10⁴ quality buckets (one hash-aggregate);
+    the running token total over buckets is a window over that BOUNDED
+    bucket table, and the resulting threshold (the lowest quality whose
+    bucket still fits the sample-scaled budget — whole buckets, so the
+    budget is met at quality granularity) rides as a broadcast one-row
+    aggregate into a single filter pass over the corpus. Any engine
+    replays sample, buckets, and threshold exactly. If even the best
+    bucket overflows the scaled budget the threshold is NULL and nothing
+    is kept (a budget smaller than the best bucket is a caller error).
+    Output: ``(id_col, quality, n_tokens, threshold)`` for kept docs.
+    """
+    from pyspark.sql import Window
+
+    from flink_1_3_2_hopsworks_spark.operators.sketches import FULL_32, _h32
+
+    scored = df.select(
+        F.col(id_col),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    cut = int(sample_fraction * FULL_32)
+    buckets = (
+        scored.filter(_h32([id_col], salt) < cut)
+        .groupBy("quality")
+        .agg(F.sum("n_tokens").alias("_btok"))
+    )
+    w = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        buckets.withColumn("_cum", F.sum("_btok").over(w))
+        .filter(F.col("_cum") <= F.lit(float(budget_tokens) * sample_fraction))
+        .agg(F.min("quality").alias("threshold"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select(id_col, "quality", "n_tokens", "threshold")
+    )

@@ -671,3 +671,37 @@ def test_weighted_sample_matches_python_replay_and_distribution(spark):
     assert 0.03 < wins[1] / trials < 0.2
     # zero/NULL-weight rows can never be drawn (checked via python replay
     # domain and the Spark filter above: ids 4 and 5 never appear).
+
+
+def test_select_token_budget_threshold_and_degenerate(spark):
+    """Bucket-granular budget: whole quality buckets are admitted best-
+    first until the sample-scaled budget would overflow; a budget smaller
+    than the best bucket keeps nothing (NULL threshold)."""
+    from flink_1_3_2_hopsworks_spark.functions.text import select_token_budget
+
+    # Three quality tiers via doc length (quality_score saturates at 50
+    # tokens): long docs score highest, tiny docs lowest.
+    rows = (
+        [(i, " ".join(["alpha"] * 60)) for i in range(10)]       # tier A
+        + [(100 + i, " ".join(["beta"] * 25)) for i in range(10)]  # tier B
+        + [(200 + i, "x y") for i in range(10)]                    # tier C
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # sample_fraction=1.0 -> the sample IS the corpus; tier A holds 600
+    # tokens, A+B 850, A+B+C 870.
+    out = select_token_budget(
+        df, "doc_id", "text", 700, sample_fraction=1.0
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {i for i in range(10)}  # budget 700 fits A, not A+B
+    out2 = select_token_budget(
+        df, "doc_id", "text", 860, sample_fraction=1.0
+    ).collect()
+    assert {r["doc_id"] for r in out2} == {i for i in range(10)} | {
+        100 + i for i in range(10)
+    }
+    # degenerate: budget below the best bucket -> empty
+    assert (
+        select_token_budget(df, "doc_id", "text", 50, sample_fraction=1.0).count()
+        == 0
+    )
