@@ -527,3 +527,25 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return select_token_budget(docs, "doc_id", "text", 23_000).orderBy("doc_id")
+
+
+def pipe_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share mixture resampling (Pile/ROOTS-style rebalance): keep-
+    rates DERIVED from target token shares (en 40 / de 20 / es 20 / fr 20,
+    zh dropped) — the binding stratum keeps rate 1, others scale to hit
+    the ratios; rates are a broadcast per-stratum table from one corpus
+    aggregate, each row survives the portable salted draw iff u < rate.
+    Full SQL oracle replays token totals, the rate derivation, and the
+    draw."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        token_mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_mixture_resample(
+        docs.select("doc_id", "lang", T.token_count("text").alias("_tc")),
+        "doc_id",
+        "lang",
+        "_tc",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+    ).orderBy("doc_id")

@@ -606,6 +606,37 @@ ORACLE: dict[str, str] = {
         FROM scored s CROSS JOIN thr t
         WHERE s.quality >= t.threshold
     """,
+    "pipe_token_mixture": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                END AS n_tok
+            FROM documents
+        ), tgt AS (
+            SELECT * FROM (VALUES
+                ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.2)
+            ) t(lang, target)
+        ), totals AS (
+            SELECT k.lang, SUM(CAST(k.n_tok AS DOUBLE)) AS tt,
+                ANY_VALUE(g.target) AS target
+            FROM toks k JOIN tgt g ON k.lang = g.lang
+            GROUP BY k.lang
+        ), ratios AS (
+            SELECT lang,
+                target / (tt / SUM(tt) OVER ()) AS ratio
+            FROM totals
+        ), rates AS (
+            SELECT lang, ROUND(ratio / MAX(ratio) OVER (), 6) AS rate
+            FROM ratios
+        )
+        SELECT d.doc_id, d.lang, CAST(d.n_tok AS BIGINT) AS n_tokens, r.rate
+        FROM toks d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                CAST(d.doc_id AS VARCHAR), 'tm42')), 1, 8))::BIGINT
+            < r.rate * 4294967296.0
+        ORDER BY d.doc_id
+    """,
     "pipe_token_budget": """
         WITH stats AS (
             SELECT

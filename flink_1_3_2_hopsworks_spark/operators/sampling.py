@@ -174,3 +174,85 @@ def weighted_sample_fixed_size(
         .limit(n)
         .drop("_k")
     )
+
+
+def token_mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    token_count_col,
+    targets: dict[str, float],
+    salt: str = "tm42",
+) -> DataFrame:
+    """Resample a corpus so the TOKEN shares of the listed strata hit a
+    target mixture (the Pile/ROOTS-style language/domain rebalance —
+    training mixtures are specified in tokens, not documents).
+
+    Keep-rates are DERIVED, not hand-picked: with ``share_s`` the
+    stratum's current token share and ``t_s`` its target, the binding
+    stratum (largest ``t_s / share_s``) keeps rate 1 and every other
+    stratum keeps ``(t_s / share_s) / max_r(t_r / share_r)`` — the unique
+    scaling that hits the target ratios without upsampling anything.
+    Strata not in ``targets`` are dropped. The whole derivation is
+    DECLARATIVE: one hash-aggregate over the corpus → a per-stratum rate
+    table (bounded by the stratum count) whose windows cost nothing →
+    broadcast-joined back, and each row survives the shared portable
+    salted-md5 draw iff ``u < rate`` — one corpus pass, no driver collect,
+    replayable in any engine. Output: kept rows
+    ``(id_col, stratum_col, n_tokens, rate)``.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("double")
+    rows = df.select(F.col(id_col), F.col(stratum_col), tok.alias("_tok"))
+
+    target = F.lit(None).cast("double")
+    for stratum, share in targets.items():
+        target = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(share))
+        ).otherwise(target)
+    totals = (
+        rows.groupBy(stratum_col)
+        .agg(F.sum("_tok").alias("_t"))
+        .withColumn("_target", target)
+        .filter(F.col("_target").isNotNull())
+    )
+    everything = Window.partitionBy()
+    share = F.col("_t") / F.sum("_t").over(everything)
+    ratio = F.col("_target") / share
+    rates = (
+        totals.withColumn("_ratio", ratio)
+        .withColumn(
+            "rate",
+            F.round(F.col("_ratio") / F.max("_ratio").over(everything), 6),
+        )
+        .select(stratum_col, "rate")
+    )
+
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rows.join(F.broadcast(rates), stratum_col)
+        .filter(h32 < F.col("rate") * F.lit(float(1 << 32)))
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col("_tok").cast("long").alias("n_tokens"),
+            "rate",
+        )
+    )

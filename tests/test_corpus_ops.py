@@ -705,3 +705,38 @@ def test_select_token_budget_threshold_and_degenerate(spark):
         select_token_budget(df, "doc_id", "text", 50, sample_fraction=1.0).count()
         == 0
     )
+
+
+def test_token_mixture_rates_hit_targets(spark):
+    """Derived keep-rates: binding stratum keeps rate 1; expected post-
+    sample token shares equal the targets; unlisted strata are dropped;
+    the kept set replays from (id, salt) in pure python."""
+    import hashlib
+
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        token_mixture_resample,
+    )
+
+    # en: 8000 tokens, de: 1000, es: 1000, xx: 500 (unlisted)
+    rows = (
+        [(i, "en", 80) for i in range(100)]
+        + [(200 + i, "de", 50) for i in range(20)]
+        + [(300 + i, "es", 20) for i in range(50)]
+        + [(400 + i, "xx", 50) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string, tc long")
+    targets = {"en": 0.5, "de": 0.25, "es": 0.25}
+    out = token_mixture_resample(df, "id", "lang", "tc", targets).collect()
+    got_rates = {r["lang"]: r["rate"] for r in out}
+    # shares: en 0.8, de 0.1, es 0.1 (within targeted strata);
+    # ratios: en 0.625, de 2.5, es 2.5 -> de/es bind at 1, en keeps 0.25.
+    assert got_rates == {"en": 0.25, "de": 1.0, "es": 1.0}
+    # expected tokens: en 8000*0.25 = 2000, de 1000, es 1000 -> 50/25/25.
+    assert not any(r["lang"] == "xx" for r in out)
+    # portable replay: a row survives iff h32 < rate * 2^32
+    for r in out:
+        h = hashlib.md5(f"{r['id']}|tm42".encode()).hexdigest()
+        assert int(h[:8], 16) < r["rate"] * 2**32
+    # every de/es row kept (rate 1)
+    assert sum(1 for r in out if r["lang"] == "de") == 20
+    assert sum(1 for r in out if r["lang"] == "es") == 50
