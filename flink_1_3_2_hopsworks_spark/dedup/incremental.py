@@ -118,6 +118,11 @@ def incremental_near_ingest(
     sig_cols = [f"_h{i}" for i in range(num_hashes)]
 
     def _sig(docs: DataFrame) -> DataFrame:
+        # A frame that already carries the signature columns (a persisted
+        # store written by minhash_signature_store) skips re-shingling —
+        # the production append-time contract.
+        if set(sig_cols) <= set(docs.columns):
+            return docs.select(F.col(id_col).alias("_id"), *sig_cols)
         return _signatures(
             _shingles(docs, id_col, text_col, shingle_k), num_hashes, portable
         )
@@ -215,3 +220,36 @@ def incremental_near_ingest(
         .otherwise(F.lit("batch_near_dup"))
         .alias("reason"),
     )
+
+
+def minhash_signature_store(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """The append-time half of fuzzy ingestion dedup: compute each doc's
+    MinHash signature ONCE and persist it alongside the corpus
+    (``df.write.parquet(store_path)``), so every later
+    :func:`incremental_near_ingest` call reads ``(id, _h0.._h{k-1})``
+    back instead of re-shingling 100 TB of text — pass the store frame as
+    ``corpus`` and it is detected by its signature columns. Columns:
+    ``(id_col, _h0.._h{num_hashes-1})`` — num_hashes longs per doc, tiny
+    next to the text. Band bucket keys are derived from the signature at
+    read time (pure projection), so one store serves any banding.
+
+    The store and every ingest against it MUST share ``shingle_k``,
+    ``num_hashes``, and ``portable`` — signatures from different hash
+    families never agree, which silently reads as "no duplicates".
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        _shingles,
+        _signatures,
+    )
+
+    sig = _signatures(
+        _shingles(docs, id_col, text_col, shingle_k), num_hashes, portable
+    )
+    return sig.withColumnRenamed("_id", id_col)

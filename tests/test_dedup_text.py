@@ -525,3 +525,38 @@ def test_normalize_unicode_matches_duckdb_nfc(spark):
             else con.sql("SELECT nfc_normalize(?)", params=[c]).fetchone()[0]
         )
         assert got[i] == want, (i, c, got[i], want)
+
+
+def test_incremental_near_ingest_from_signature_store(spark, tmp_path):
+    """The persisted signature store round-trips: ingest verdicts computed
+    against the store parquet equal verdicts computed against the raw
+    corpus text — and the store path never touches the text column."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+        minhash_signature_store,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("source") != "src1"
+    )
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("source") == "src1"
+    )
+    path = str(tmp_path / "sig_store")
+    minhash_signature_store(corpus, "doc_id", "text").write.parquet(path)
+    store = spark.read.parquet(path)
+    assert "text" not in store.columns
+
+    direct = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in incremental_near_ingest(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    stored = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in incremental_near_ingest(
+            batch, store, "doc_id", "text"
+        ).collect()
+    }
+    assert direct == stored and len(direct) > 0
