@@ -740,3 +740,49 @@ def test_token_mixture_rates_hit_targets(spark):
     # every de/es row kept (rate 1)
     assert sum(1 for r in out if r["lang"] == "de") == 20
     assert sum(1 for r in out if r["lang"] == "es") == 50
+
+
+def test_round6_oracle_constants_in_sync_with_gates():
+    """Same import-time pin for the round-6 oracles: inlined budgets,
+    salts, targets, and hash-family defaults must track the gate
+    parameters (drift reads as an opaque driver hash mismatch)."""
+    import inspect
+
+    from flink_1_3_2_hopsworks_spark.dedup import showcase_oracle as dd_o
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        minhash_near_dups,
+        minhash_star_edges,
+    )
+    from flink_1_3_2_hopsworks_spark.operators import showcase_oracle as op_o
+
+    # pipe_token_budget: budget 23000 * fraction 0.2 -> 4600.0, salt tb42
+    assert "4600.0" in dd_o.ORACLE["pipe_token_budget"]
+    assert "tb42" in dd_o.ORACLE["pipe_token_budget"]
+    # pipe_token_mixture: targets + salt tm42
+    for frag in ("('en', 0.4)", "('de', 0.2)", "('es', 0.2)", "('fr', 0.2)", "tm42"):
+        assert frag in dd_o.ORACLE["pipe_token_mixture"], frag
+    # op_weighted_sample: n=50, salt wq0, 2^32 divisor
+    assert "LIMIT 50" in op_o.ORACLE["op_weighted_sample"]
+    assert "wq0" in op_o.ORACLE["op_weighted_sample"]
+    assert "4294967296.0" in op_o.ORACLE["op_weighted_sample"]
+    # star oracle builder defaults == minhash_star_edges defaults
+    f = inspect.signature(minhash_star_edges).parameters
+    g = inspect.signature(dd_o._minhash_star_oracle).parameters
+    for name in ("threshold", "shingle_k", "num_hashes", "bands", "max_bucket"):
+        assert f[name].default == g[name].default, name
+    # incremental-near oracle builder defaults == gate operator defaults
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+    )
+
+    h = inspect.signature(incremental_near_ingest).parameters
+    k = inspect.signature(dd_o._incremental_near_oracle).parameters
+    for name in ("threshold", "shingle_k", "num_hashes", "bands", "max_bucket"):
+        assert h[name].default == k[name].default, name
+    # pair-mode oracle builder still tracks minhash_near_dups too
+    m = inspect.signature(minhash_near_dups).parameters
+    n = inspect.signature(dd_o._minhash_oracle).parameters
+    for name in ("threshold", "shingle_k", "num_hashes", "bands", "max_bucket"):
+        assert m[name].default == n[name].default, name
+    # src7 batch split is stated identically in gate and oracle
+    assert "src7" in dd_o.ORACLE["pipe_incremental_near_ingest"]
