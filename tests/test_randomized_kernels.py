@@ -338,3 +338,44 @@ def test_sssp_weighted_matches_dijkstra(spark, seed):
         if r["distance"] != float("inf")
     }
     assert got == dist
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dup_span_removal_matches_python_reference(spark, seed):
+    """remove_duplicated_spans vs a direct python replay (gram strings
+    instead of hashes — equivalent modulo 64-bit collisions) on random
+    low-entropy corpora that force window collisions."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_duplicated_spans
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    window = 4
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(2, 14))))
+        for i in range(40)
+    ]
+
+    # python reference: keep-first-occurrence removal
+    toks = {i: t.lower().split() for i, t in rows}
+    owners, counts = {}, {}
+    for i, tk in toks.items():
+        for p in range(max(len(tk) - window + 1, 0)):
+            g = " ".join(tk[p : p + window])
+            counts[g] = counts.get(g, 0) + 1
+            owners[g] = min(owners.get(g, i), i)
+    want = {}
+    for i, tk in toks.items():
+        drop = set()
+        for p in range(max(len(tk) - window + 1, 0)):
+            g = " ".join(tk[p : p + window])
+            if counts[g] > 1 and i > owners[g]:
+                drop.update(range(p, p + window))
+        kept = [t for j, t in enumerate(tk) if j not in drop]
+        want[i] = (" ".join(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(df, "doc_id", "text", window).collect()
+    }
+    assert got == want
