@@ -379,3 +379,43 @@ def test_dup_span_removal_matches_python_reference(spark, seed):
         for r in remove_duplicated_spans(df, "doc_id", "text", window).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_boilerplate_removal_matches_python_reference(spark, seed):
+    """remove_boilerplate_spans vs a direct python replay: grams in
+    >= min_docs DISTINCT docs are dropped everywhere."""
+    from flink_1_3_2_hopsworks_spark.dedup.spans import remove_boilerplate_spans
+
+    rng = np.random.default_rng(seed + 100)
+    vocab = [f"w{i}" for i in range(6)]
+    window, min_docs = 4, 3
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(2, 14))))
+        for i in range(40)
+    ]
+
+    toks = {i: t.lower().split() for i, t in rows}
+    gram_docs = {}
+    for i, tk in toks.items():
+        for p in range(max(len(tk) - window + 1, 0)):
+            g = " ".join(tk[p : p + window])
+            gram_docs.setdefault(g, set()).add(i)
+    boiler = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    want = {}
+    for i, tk in toks.items():
+        drop = set()
+        for p in range(max(len(tk) - window + 1, 0)):
+            if " ".join(tk[p : p + window]) in boiler:
+                drop.update(range(p, p + window))
+        kept = [t for j, t in enumerate(tk) if j not in drop]
+        want[i] = (" ".join(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_spans(
+            df, "doc_id", "text", window, min_docs
+        ).collect()
+    }
+    assert got == want
