@@ -419,3 +419,75 @@ def test_boilerplate_removal_matches_python_reference(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_minhash_star_edges_match_python_replay(spark, seed):
+    """The PORTABLE star-edge pipeline end-to-end vs a pure-python replay
+    of every stage (normalize -> shingles -> md5 base hash -> affine
+    minima -> band keys -> cap -> anchors -> estimator) on random corpora
+    — the same determinism contract the SQL oracles rely on, checked
+    across corpus shapes instead of one gate dataset."""
+    import hashlib
+    import re
+
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        _MERSENNE,
+        _coeffs,
+        minhash_star_edges,
+    )
+
+    k, num_hashes, bands, max_bucket, thr = 5, 32, 8, 4, 0.8
+    rows_per = num_hashes // bands
+    rng = np.random.default_rng(seed + 7)
+    vocab = [f"w{i}" for i in range(8)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+        for i in range(30)
+    ]
+    # plant one exact-dup pair
+    corpus.append((100, corpus[0][1]))
+
+    coeffs = _coeffs(num_hashes)
+
+    def sig_of(text):
+        norm = re.sub(r"\s+", " ", text.lower().strip())
+        n = len(norm)
+        shingles = {
+            norm[p : p + k] for p in range(max(n - (k - 1), 1))
+        }
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE
+            for s in shingles
+        ]
+        return [min((a * b + c) % _MERSENNE for b in bases) for a, c in coeffs]
+
+    sigs = {i: sig_of(t) for i, t in corpus}
+    buckets = {}
+    for i, s in sigs.items():
+        for b in range(bands):
+            key = (b, "|".join(str(v) for v in s[b * rows_per : (b + 1) * rows_per]))
+            buckets.setdefault(key, []).append(i)
+    want = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        m = min(members)
+        for x in members:
+            if x > m:
+                est = sum(
+                    1 for j in range(num_hashes) if sigs[m][j] == sigs[x][j]
+                ) / num_hashes
+                if est >= thr:
+                    want.add((m, x, est))
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_star_edges(
+            df, "doc_id", "text", threshold=thr, shingle_k=k,
+            num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
+            portable=True,
+        ).collect()
+    }
+    assert got == want and (0, 100, 1.0) in got
