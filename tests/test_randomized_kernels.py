@@ -491,3 +491,47 @@ def test_minhash_star_edges_match_python_replay(spark, seed):
         ).collect()
     }
     assert got == want and (0, 100, 1.0) in got
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_connected_components_match_union_find(spark, seed):
+    """Pregel min-label connected components vs python union-find on
+    random sparse graphs (long chains force many supersteps)."""
+    from flink_1_3_2_hopsworks_spark.graph.pregel import connected_components
+
+    rng = np.random.default_rng(seed + 11)
+    n = 80
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, (70, 2))
+        if a != b
+    }
+    # add a long chain to force iteration depth
+    edges |= {(1000 + i, 1000 + i + 1) for i in range(25)}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # canonical label = min vertex in component
+    comp_min = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iterations=60).collect()
+    }
+    assert got == want
