@@ -549,3 +549,16 @@ def pipe_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tc",
         {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
     ).orderBy("doc_id")
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (pre-tokenization splitter): 32-token chunks with
+    8-token overlap (stride 24), final partial chunk kept, one row per
+    chunk. Pure Catalyst explode+slice; the oracle replays the start grid
+    and list slicing exactly."""
+    from flink_1_3_2_hopsworks_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )

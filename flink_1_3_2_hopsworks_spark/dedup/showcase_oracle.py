@@ -606,6 +606,26 @@ ORACLE: dict[str, str] = {
         FROM scored s CROSS JOIN thr t
         WHERE s.quality >= t.threshold
     """,
+    "text_chunk_documents": """
+        WITH base AS (
+            SELECT doc_id,
+                LIST_FILTER(STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')),
+                                               '\\s+'),
+                            t -> t <> '') AS tk
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, tk, LEN(tk) AS n FROM base
+        ), chunks AS (
+            SELECT doc_id, s // 24 AS chunk_id, tk[s + 1 : s + 32] AS ck
+            FROM sized,
+                UNNEST(RANGE(0, GREATEST(n - 8 - 1, 0) + 1, 24)) AS t(s)
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            ARRAY_TO_STRING(ck, ' ') AS chunk_text,
+            CAST(LEN(ck) AS BIGINT) AS n_tokens
+        FROM chunks
+        ORDER BY doc_id, chunk_id
+    """,
     "pipe_token_mixture": """
         WITH toks AS (
             SELECT doc_id, lang,

@@ -520,3 +520,54 @@ def select_token_budget(
         .filter(F.col("quality") >= F.col("threshold"))
         .select(id_col, "quality", "n_tokens", "threshold")
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+):
+    """Split long documents into overlapping token chunks — the standard
+    pre-tokenization chunker (``pack_sequences`` handles the dual problem
+    of packing SHORT docs into budget bins). Chunk starts step by
+    ``max_tokens - overlap``; the final chunk is whatever remains (never
+    empty, possibly shorter). Output one row per chunk:
+    ``(id_col, chunk_id, chunk_text, n_tokens)``.
+
+    Pure Catalyst: tokenize once, explode the chunk-start sequence, slice
+    the token array per chunk — a narrow map over the scan (the explode
+    multiplies rows by ~len/stride, never shuffles). NULL/empty docs yield
+    one empty chunk row so no document is silently dropped.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    # starts: 0, stride, 2*stride, ... while start < n - overlap (so a
+    # trailing chunk fully contained in its predecessor never appears);
+    # at least one chunk even for empty docs.
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return (
+        base.select(
+            F.col(id_col), "_toks", "_n", F.posexplode(starts).alias("chunk_id", "_start")
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )

@@ -786,3 +786,37 @@ def test_round6_oracle_constants_in_sync_with_gates():
         assert m[name].default == n[name].default, name
     # src7 batch split is stated identically in gate and oracle
     assert "src7" in dd_o.ORACLE["pipe_incremental_near_ingest"]
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunk grid: stride = max - overlap; final partial chunk kept; no
+    trailing chunk fully contained in its predecessor; empty/NULL docs
+    yield one empty chunk; overlap >= max rejected."""
+    import pytest as _pytest
+
+    from flink_1_3_2_hopsworks_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # shorter than max
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, "doc_id", "text", 4, overlap=2).collect()
+    }
+    # doc 1: starts 0,2,4,6 (start<n-overlap=8) -> last covers t6..t9
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert got[(1, 2)] == ("t4 t5 t6 t7", 4)
+    assert got[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert (1, 4) not in got  # start 8 would be contained in chunk 3
+    assert got[(2, 0)] == ("a b c", 3) and (2, 1) not in got
+    assert got[(3, 0)] == ("", 0)
+    assert got[(4, 0)] == ("", 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 4, overlap=4)
