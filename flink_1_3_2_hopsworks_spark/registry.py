@@ -207,7 +207,7 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
             "op_ranking_functions", "op_rollup", "op_salted_aggregate",
             "op_salted_join", "op_sampled_percentiles", "op_semi_join",
             "op_top_k", "op_union_distinct", "op_zip_with_index",
-            "pipe_dataset_card", "pipe_lang_mixture", "pipe_near_dedup",
+            "pipe_dataset_card", "pipe_lang_mixture",
             "q19_discounted_revenue", "q20_potential_part_promotion",
             "q21_suppliers_kept_orders_waiting", "q2_min_cost_supplier",
             "q3_shipping_priority", "q4_order_priority",
@@ -217,6 +217,39 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
             "text_repetition_stats", "text_unigram_rarity",
         ],
         5,
+    ),
+    # r06 cohort (overrides earlier entries — CORRECTNESS_r06.json proved
+    # the 16 round-6 additions plus the then-stalest r03-era names).
+    # Deliberately absent, so they sort first for round-7 re-proving:
+    #   pipe_near_dedup_star  — renamed: the star pipeline IS pipe_near_dedup
+    #                           now (pairs mode moved to pipe_near_dedup_pairs)
+    #   dd_minhash_pairs, pipe_incremental_near_ingest — r7 default band
+    #                           geometry change (rows-per-band 4 → 8)
+    **dict.fromkeys(
+        [
+            "cep_error_spike", "cep_signup_purchase", "cep_signup_timeout",
+            "dd_embedding_pairs", "dd_embedding_recall", "dd_exact_dedup",
+            "dd_ngram_jaccard_pairs", "dd_semantic_dedup", "dd_simhash_pairs",
+            "ev_async_enrich", "ev_first_event_per_key",
+            "ev_running_user_total", "ev_session_5m",
+            "fn_udaf_grouped", "fn_udf_scalar", "fn_udtf_lateral",
+            "gr_customer_jaccard", "gr_degrees", "gr_k_core", "gr_sssp_hops",
+            "gr_sssp_weighted",
+            "op_weighted_sample",
+            "pipe_incremental_ingest", "pipe_quality_filter",
+            "pipe_shuffle_shard", "pipe_token_budget", "pipe_token_mixture",
+            "q11_important_stock", "q12_shipping_delay",
+            "q13_customer_distribution", "q14_promo_revenue",
+            "q15_top_supplier", "q16_supplier_cnt",
+            "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+            "q7_volume_shipping",
+            "sim_bruteforce_topk", "sim_lsh_topk",
+            "text_boilerplate_removal", "text_chunk_documents",
+            "text_dup_span_removal", "text_dup_span_stats",
+            "text_fingerprint", "text_lang_id", "text_normalize_unicode",
+            "text_quality", "text_stats",
+        ],
+        6,
     ),
 }
 
