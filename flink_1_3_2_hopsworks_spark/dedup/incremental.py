@@ -72,7 +72,7 @@ def incremental_near_ingest(
     text_col: str,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
     portable: bool = False,
@@ -227,7 +227,7 @@ def minhash_signature_store(
     id_col: str,
     text_col: str,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     portable: bool = False,
 ) -> DataFrame:
     """The append-time half of fuzzy ingestion dedup: compute each doc's

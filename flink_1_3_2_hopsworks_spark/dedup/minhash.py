@@ -19,6 +19,7 @@ at 100 TB this cap is what keeps a degenerate band from exploding a task.
 from __future__ import annotations
 
 import random
+import warnings
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -138,14 +139,22 @@ def minhash_near_dups(
     text_col: str,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
     verify: str = "estimate",
     portable: bool = False,
     persist: bool = True,
+    candidate_budget: int | None = None,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    This is the PAIR-LISTING (audit) form of fuzzy dedup: output size is the
+    candidate pair count, inherently super-linear on low-entropy corpora.
+    When the goal is duplicate CLUSTERS, use :func:`minhash_star_edges`
+    (Θ(docs × bands) regardless of bucket sizes) — the default composition
+    in ``pipe_near_dedup``.
 
     ``portable=True`` swaps the two xxhash64 uses for DuckDB-reproducible
     forms — the base hash becomes the md5-prefix portable hash (see
@@ -161,9 +170,26 @@ def minhash_near_dups(
     docs' shingle sets and computes true Jaccard (unbiased, costs a
     collect_set + array intersection per pair — fine when candidates are few).
 
-    LSH recall: with b bands of r rows, P(candidate) = 1-(1-j^r)^b — at the
-    default 8×4, a 0.8-Jaccard pair is caught with p≈0.93; raise
-    ``num_hashes``/``bands`` for higher recall.
+    LSH recall: with b bands of r rows, P(candidate) = 1-(1-j^r)^b. The
+    default geometry is 8 bands × 8 rows (num_hashes=64, r=8): a j=0.8 pair
+    is caught with p≈0.77, j=0.85 → 0.91, j=0.9 → 0.98, j=0.95 → 0.9998.
+    r=8 is the measured scale default — on a low-entropy corpus it halved
+    the decade-scale wall vs r=4 with identical results, because the
+    band-collision candidate stream (the pairs-mode cost driver) shrinks
+    roughly as j^r per colliding pair (SCALE_MINHASH_PARAMS.json: r=4
+    10.6× on 10× data, r=8 5.1×). For maximum recall near the 0.8
+    operating point pass ``num_hashes=32, bands=8`` (r=4, p≈0.93 at j=0.8)
+    and accept the quadratic-leaning candidate stream, or keep r=8 and add
+    bands (``num_hashes=96, bands=12`` → p≈0.89 at j=0.8).
+
+    ``candidate_budget`` (optional guard): before enumerating pairs, the
+    under-cap candidate count Σ size·(size-1)/2 is estimated from the
+    bucket-size aggregate (one extra job over the persisted signatures —
+    this makes the call partially EAGER). If it exceeds the budget the
+    call raises (``on_over_budget="raise"``, default) or warns and
+    proceeds (``"warn"``), pointing at the scale-safe alternatives:
+    star-edge mode for cluster goals, more rows per band, or a lower
+    ``max_bucket``. ``None`` (default) keeps the call fully lazy.
 
     Plan shape (everything whole-stage-codegen'd, no interpreted HOF hot
     path): normalize text once per row → explode shingle positions (Generate
@@ -218,13 +244,41 @@ def minhash_near_dups(
     # can yield up to rows/max_bucket oversized entries, so let AQE
     # broadcast the list when it is actually small and degrade to a
     # shuffled anti-join when it is not.
-    oversized = (
-        buckets.groupBy("_band", "_bucket")
-        .agg(F.count(F.lit(1)).alias("_bsize"))
-        .filter(F.col("_bsize") > max_bucket)
-        .select("_band", "_bucket")
+    bucket_sizes = buckets.groupBy("_band", "_bucket").agg(
+        F.count(F.lit(1)).alias("_bsize")
+    )
+    oversized = bucket_sizes.filter(F.col("_bsize") > max_bucket).select(
+        "_band", "_bucket"
     )
     capped = buckets.join(oversized, ["_band", "_bucket"], "left_anti")
+
+    if candidate_budget is not None:
+        if on_over_budget not in ("raise", "warn"):
+            raise ValueError(
+                f"on_over_budget must be 'raise' or 'warn', got {on_over_budget!r}"
+            )
+        est = (
+            bucket_sizes.filter(F.col("_bsize") <= max_bucket)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_bsize") * (F.col("_bsize") - 1) / 2),
+                    F.lit(0.0),
+                ).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        if est > candidate_budget:
+            msg = (
+                f"minhash_near_dups: estimated {est:.0f} under-cap candidate "
+                f"pairs exceeds candidate_budget={candidate_budget}. Pair "
+                "listing is inherently quadratic in bucket co-membership; "
+                "use minhash_star_edges for cluster resolution, raise "
+                "rows-per-band (lower bands for the same num_hashes, or a "
+                "larger num_hashes), or lower max_bucket."
+            )
+            if on_over_budget == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     if verify != "exact":
         # ESTIMATE PATH — verify INSIDE the bucket join, dedup survivors.
@@ -315,7 +369,7 @@ def minhash_star_edges(
     text_col: str,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
     portable: bool = False,

@@ -222,30 +222,35 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pipe_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate REMOVAL pipeline (the standard LLM-corpus fuzzy-dedup
-    composition): MinHash-LSH near-dup pairs → connected components over
-    the pair graph → keep the min-doc_id canonical per transitive cluster.
-    One row per document: (doc_id, canonical_id, kept).
+    composition), on the LINEAR star-edge geometry — the 100 TB default
+    since r7: per LSH bucket only the verified (bucket-min anchor, member)
+    STAR edges — Θ(docs × bands) work regardless of bucket sizes, where
+    the pair mode's candidate stream measured quadratic on a low-entropy
+    corpus (198M band collisions at sf10, SCALE_SF10.json) — then
+    connected components over the edge graph → keep the min-doc_id
+    canonical per transitive cluster. One row per document:
+    (doc_id, canonical_id, kept). Pair-level audit lives in
+    :func:`pipe_near_dedup_pairs`.
 
-    Full DuckDB hash-match: the portable minhash pairs replay in SQL and
-    the cluster resolution replays as a recursive-CTE transitive closure
+    Full DuckDB hash-match: the portable star edges replay in SQL and the
+    cluster resolution replays as a recursive-CTE transitive closure
     (min reachable id ≡ the label-propagation fixpoint)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
-    return resolve_duplicate_clusters(docs, pairs, "doc_id").orderBy("doc_id")
-
-
-def pipe_near_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LINEAR fuzzy-dedup pipeline (the 100 TB shape): per LSH bucket
-    only the verified (bucket-min anchor, member) STAR edges — Θ(docs ×
-    bands) work regardless of bucket sizes, where the pair pipeline's
-    candidate stream measured quadratic on a low-entropy corpus
-    (198M band collisions at sf10, SCALE_SF10.json) — then the same
-    connected-components resolution. Same verdict schema as
-    pipe_near_dedup; the oracle replays the star edges and the transitive
-    closure exactly."""
     docs = load_table(spark, sf_dir, "documents")
     edges = minhash_star_edges(docs, "doc_id", "text", threshold=0.8, portable=True)
     return resolve_duplicate_clusters(docs, edges, "doc_id").orderBy("doc_id")
+
+
+def pipe_near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAIR-AUDIT fuzzy-dedup pipeline: full MinHash-LSH near-dup pair
+    listing → connected components → min-doc_id canonical. Same verdict
+    schema as pipe_near_dedup; use when pair-level evidence (which doc
+    matched which) must be auditable — the pair listing is inherently
+    super-linear on low-entropy corpora, which is why the cluster-goal
+    default composes star edges instead. The oracle replays the portable
+    pairs and the transitive closure exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
+    return resolve_duplicate_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
 def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,7 +172,7 @@ def _minhash_cte_prefix(
 def _incremental_near_oracle(
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
 ) -> str:
@@ -259,7 +259,7 @@ def _minhash_agree(num_hashes: int) -> str:
 def _minhash_oracle(
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
 ) -> str:
@@ -287,7 +287,7 @@ def _minhash_oracle(
 def _minhash_star_oracle(
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     max_bucket: int = 1000,
 ) -> str:
@@ -445,10 +445,11 @@ def _embedding_recall_oracle(
 
 
 def _near_dedup_oracle(edge_sql: str | None = None) -> str:
-    """pipe_near_dedup[_star]: a portable minhash edge oracle (the pair
-    oracle by default, the star-edge oracle for the linear pipeline) feeds
-    a recursive-CTE transitive closure — MIN(reachable id) per vertex is
-    exactly the label-propagation fixpoint the Spark side iterates to."""
+    """pipe_near_dedup[_pairs]: a portable minhash edge oracle (the pair
+    oracle by default — the audit gate; the star-edge oracle for the
+    default linear pipeline) feeds a recursive-CTE transitive closure —
+    MIN(reachable id) per vertex is exactly the label-propagation fixpoint
+    the Spark side iterates to."""
     return f"""
         WITH RECURSIVE pairs AS (
             {edge_sql or _minhash_oracle()}
@@ -530,8 +531,8 @@ def _semantic_dedup_oracle(threshold: float = 0.40) -> str:
 
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
-    "pipe_near_dedup": _near_dedup_oracle(),
-    "pipe_near_dedup_star": _near_dedup_oracle(_minhash_star_oracle()),
+    "pipe_near_dedup": _near_dedup_oracle(_minhash_star_oracle()),
+    "pipe_near_dedup_pairs": _near_dedup_oracle(),
     "pipe_incremental_near_ingest": _incremental_near_oracle(),
     "text_normalize_unicode": """
         WITH aug AS (

@@ -410,6 +410,47 @@ def test_pack_sequences_warns_on_global_window(spark):
         pack_sequences(df, "doc_id", "text", 4, shard_cols=["lang"])
 
 
+def test_minhash_candidate_budget_guard(spark):
+    """candidate_budget estimates under-cap pairs from the bucket-size
+    aggregate BEFORE enumerating them: over budget raises (default) or
+    warns-and-proceeds; under budget is silent; the estimate counts only
+    under-cap buckets (the capped blowup never enumerates anyway)."""
+    rows = [
+        (i, "the exact same duplicated payload text appears here verbatim")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 30 identical docs co-bucket in EVERY band: 8 bands x C(30,2) = 3480
+    # under-cap candidates, far over a budget of 100.
+    with pytest.raises(ValueError, match="candidate_budget"):
+        minhash_near_dups(docs, "doc_id", "text", candidate_budget=100)
+
+    with pytest.warns(RuntimeWarning, match="candidate_budget"):
+        out = minhash_near_dups(
+            docs, "doc_id", "text", candidate_budget=100, on_over_budget="warn"
+        )
+    assert out.count() == 30 * 29 // 2  # proceeds; all pairs found
+
+    # comfortably under budget: no raise, no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        minhash_near_dups(docs, "doc_id", "text", candidate_budget=10_000)
+
+    # capped buckets are excluded from the estimate: with max_bucket=10 the
+    # single 30-doc bucket per band is dropped, so 0 candidates survive and
+    # even a budget of 0 passes.
+    minhash_near_dups(
+        docs, "doc_id", "text", max_bucket=10, candidate_budget=0
+    )
+
+    with pytest.raises(ValueError, match="on_over_budget"):
+        minhash_near_dups(
+            docs, "doc_id", "text", candidate_budget=1, on_over_budget="bogus"
+        )
+
+
 def test_star_edges_subset_and_same_clusters(spark):
     """Star edges are a verified subset of the pair graph (identical
     precision), and on the gate corpus the cluster verdicts match the full
