@@ -115,6 +115,8 @@ def embedding_near_dups_amplified(
     once, after the candidate distinct. Each set keeps the same adaptive
     hot-bucket split as the base operator. Work is ``num_sets`` × the base
     candidate cost plus one verify of the deduped union."""
+    if num_sets < 1:
+        raise ValueError(f"num_sets must be >= 1, got {num_sets}")
     cands = None
     for s in range(num_sets):
         keys = _bucket_keys(

@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame
 
 from flink_1_3_2_hopsworks_spark.functions.text import fingerprint
 
+# Signature stores stamp their hash-family parameters into a marker column
+# name (schema-only check — no data read): _mh_params_k{shingle_k}_n{num_
+# hashes}_p{0|1}. incremental_near_ingest refuses a store whose stamp
+# disagrees with the call's parameters.
+_STAMP_PREFIX = "_mh_params_"
+
+
+def _store_stamp(shingle_k: int, num_hashes: int, portable: bool) -> str:
+    return f"{_STAMP_PREFIX}k{shingle_k}_n{num_hashes}_p{int(portable)}"
+
 
 def incremental_ingest(
     new_docs: DataFrame,
@@ -116,11 +126,24 @@ def incremental_near_ingest(
 
     rows = num_hashes // bands
     sig_cols = [f"_h{i}" for i in range(num_hashes)]
+    expected_stamp = _store_stamp(shingle_k, num_hashes, portable)
 
     def _sig(docs: DataFrame) -> DataFrame:
         # A frame that already carries the signature columns (a persisted
         # store written by minhash_signature_store) skips re-shingling —
-        # the production append-time contract.
+        # the production append-time contract. Stores written since r7
+        # carry a parameter-stamp column; a stamp that disagrees with this
+        # call's hash family raises instead of silently reading as "no
+        # duplicates" (signatures from different families never agree).
+        stamps = [c for c in docs.columns if c.startswith(_STAMP_PREFIX)]
+        if stamps and stamps != [expected_stamp]:
+            raise ValueError(
+                "signature store was built with a different hash family: "
+                f"store stamp(s) {stamps}, this ingest expects "
+                f"{expected_stamp!r} (shingle_k={shingle_k}, "
+                f"num_hashes={num_hashes}, portable={portable}) — "
+                "mismatched families silently read as 'no duplicates'."
+            )
         if set(sig_cols) <= set(docs.columns):
             return docs.select(F.col(id_col).alias("_id"), *sig_cols)
         return _signatures(
@@ -236,13 +259,18 @@ def minhash_signature_store(
     :func:`incremental_near_ingest` call reads ``(id, _h0.._h{k-1})``
     back instead of re-shingling 100 TB of text — pass the store frame as
     ``corpus`` and it is detected by its signature columns. Columns:
-    ``(id_col, _h0.._h{num_hashes-1})`` — num_hashes longs per doc, tiny
-    next to the text. Band bucket keys are derived from the signature at
-    read time (pure projection), so one store serves any banding.
+    ``(id_col, _h0.._h{num_hashes-1}, _mh_params_k{k}_n{n}_p{0|1})`` —
+    num_hashes longs per doc, tiny next to the text, plus one constant
+    boolean whose NAME stamps the hash-family parameters (parquet RLE
+    makes it free; the check is schema-only). Band bucket keys are derived
+    from the signature at read time (pure projection), so one store
+    serves any banding.
 
     The store and every ingest against it MUST share ``shingle_k``,
     ``num_hashes``, and ``portable`` — signatures from different hash
     families never agree, which silently reads as "no duplicates".
+    :func:`incremental_near_ingest` enforces this via the stamp column
+    and raises on mismatch (pre-stamp stores are accepted unchecked).
     """
     from flink_1_3_2_hopsworks_spark.dedup.minhash import (
         _shingles,
@@ -252,4 +280,6 @@ def minhash_signature_store(
     sig = _signatures(
         _shingles(docs, id_col, text_col, shingle_k), num_hashes, portable
     )
-    return sig.withColumnRenamed("_id", id_col)
+    return sig.withColumnRenamed("_id", id_col).withColumn(
+        _store_stamp(shingle_k, num_hashes, portable), F.lit(True)
+    )

@@ -596,7 +596,9 @@ ORACLE: dict[str, str] = {
                 4) AS quality
             FROM stats
         ), thr AS (
-            SELECT CAST(ROUND(QUANTILE_CONT(quality, 0.5), 4) AS DOUBLE)
+            SELECT COALESCE(
+                CAST(ROUND(QUANTILE_CONT(quality, 0.5), 4) AS DOUBLE),
+                '-infinity'::DOUBLE)
                 AS threshold
             FROM scored
             WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',

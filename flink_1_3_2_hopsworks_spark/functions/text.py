@@ -346,6 +346,12 @@ def quality_quantile_filter(
     over the corpus: one scan scores, the sample filter is a codegen'd
     expression on that scan, and the verdict filter is a broadcast
     cross-join. Output: ``(id_col, quality, threshold)`` for kept docs.
+
+    Empty-sample semantics (tiny corpus × small ``sample_fraction``): the
+    percentile of zero rows is NULL, which is coalesced to -infinity —
+    i.e. NO evidence means KEEP EVERYTHING (threshold column reads -inf),
+    never the silent drop-all a NULL comparison would produce. Callers
+    wanting an error instead should assert on the threshold column.
     """
     from flink_1_3_2_hopsworks_spark.operators.sketches import FULL_32, _h32
 
@@ -356,8 +362,11 @@ def quality_quantile_filter(
     thr = (
         scored.filter(_h32([id_col], salt) < cut)
         .agg(
-            F.round(
-                F.expr(f"percentile(quality, {keep_quantile!r})"), 4
+            F.coalesce(
+                F.round(
+                    F.expr(f"percentile(quality, {keep_quantile!r})"), 4
+                ),
+                F.lit(float("-inf")),
             ).alias("threshold")
         )
     )

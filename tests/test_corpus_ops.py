@@ -4,6 +4,7 @@ metrics, unigram-LM rarity, and mixture resampling."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from flink_1_3_2_hopsworks_spark.dedup.contamination import (
     benchmark_ngram_overlap,
@@ -559,6 +560,39 @@ def test_quality_quantile_filter_keeps_above_threshold(spark):
     kept = {r["doc_id"] for r in out}
     assert kept == {d for d, q in scored.items() if q >= thr}
     assert kept and len(kept) < len(scored)  # filter actually bites
+
+
+def test_quality_quantile_filter_empty_sample_keeps_everything(spark):
+    """A sample_fraction so small the salted draw selects zero docs must
+    coalesce the NULL percentile to -inf and KEEP every document (no
+    evidence != drop everything); threshold column reads -inf."""
+    import math
+
+    from flink_1_3_2_hopsworks_spark.functions.text import (
+        quality_quantile_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "some ordinary words right here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = quality_quantile_filter(
+        docs, "doc_id", "text", keep_quantile=0.5, sample_fraction=0.0
+    ).collect()
+    assert {r["doc_id"] for r in out} == set(range(5))
+    assert all(math.isinf(r["threshold"]) and r["threshold"] < 0 for r in out)
+
+
+def test_embedding_amplified_rejects_bad_num_sets(spark):
+    from flink_1_3_2_hopsworks_spark.dedup.embedding import (
+        embedding_near_dups_amplified,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="num_sets"):
+        embedding_near_dups_amplified(df, "vec_id", "embedding", num_sets=0)
 
 
 def test_embedding_amplified_superset_and_single_set_equivalence(spark):

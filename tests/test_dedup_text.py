@@ -601,3 +601,39 @@ def test_incremental_near_ingest_from_signature_store(spark, tmp_path):
         ).collect()
     }
     assert direct == stored and len(direct) > 0
+
+
+def test_incremental_near_ingest_rejects_mismatched_store(spark, tmp_path):
+    """A store stamped with a different hash family (shingle_k/num_hashes/
+    portable) must raise, not silently read as 'no duplicates'. The stamp
+    lives in a column NAME, so the check is schema-only."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+        minhash_signature_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text right here for the store")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "a new batch document arriving later")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sig_store_k7")
+    minhash_signature_store(corpus, "doc_id", "text", shingle_k=7).write.parquet(
+        path
+    )
+    store = spark.read.parquet(path)
+    assert any(c.startswith("_mh_params_") for c in store.columns)
+
+    # same shingle_k: accepted
+    incremental_near_ingest(batch, store, "doc_id", "text", shingle_k=7)
+    # default shingle_k=5 disagrees with the k7 stamp: refused
+    with pytest.raises(ValueError, match="different hash family"):
+        incremental_near_ingest(batch, store, "doc_id", "text")
+    # portable mismatch likewise
+    with pytest.raises(ValueError, match="different hash family"):
+        incremental_near_ingest(
+            batch, store, "doc_id", "text", shingle_k=7, portable=True
+        )

@@ -21,6 +21,42 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def streamed_side_of_broadcast_join(plan: str, join_marker: str) -> str:
+    """The STREAMED child subtree of the first join node matching
+    ``join_marker`` — extracted by tree-art indentation, not token order
+    (Spark may print the build/BroadcastExchange child first, which would
+    make a naive 'between join and exchange' slice vacuous). The join's
+    two direct children sit 3 art-chars deeper (':- ' / '+- '); the one
+    whose root line is the BroadcastExchange is the build side, the other
+    subtree is returned."""
+    import re
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[:\s+\-]*", line).group(0))
+
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    ji = next(i for i, ln in enumerate(lines) if join_marker in ln)
+    jd = depth(lines[ji])
+    sub: list[str] = []
+    for ln in lines[ji + 1:]:
+        if depth(ln) <= jd:
+            break
+        sub.append(ln)
+    child_idx = [i for i, ln in enumerate(sub) if depth(ln) == jd + 3]
+    assert len(child_idx) == 2, f"expected 2 join children:\n{plan}"
+    blocks = []
+    for n, ci in enumerate(child_idx):
+        end = child_idx[n + 1] if n + 1 < len(child_idx) else len(sub)
+        blocks.append("\n".join(sub[ci:end]))
+    build = [
+        b for b in blocks
+        if "BroadcastExchange" in b.splitlines()[0]
+        or "ReusedExchange" in b.splitlines()[0]
+    ]
+    assert len(build) == 1, f"expected exactly 1 broadcast child:\n{plan}"
+    return next(b for b in blocks if b is not build[0])
+
+
 def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -323,9 +359,7 @@ def test_decontaminate_no_exchange_before_broadcast_join(spark):
 
     plan = plan_of(text_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in plan
-    streamed_side = plan.split("BroadcastHashJoin", 1)[1].split(
-        "BroadcastExchange", 1
-    )[0]
+    streamed_side = streamed_side_of_broadcast_join(plan, "BroadcastHashJoin")
     assert "Exchange" not in streamed_side
     assert "Scan parquet" in streamed_side  # it really is the corpus scan
 
@@ -341,7 +375,7 @@ def test_incremental_ingest_store_side_never_shuffles(spark):
 
     plan = plan_of(pipe_incremental_ingest(spark, SF))
     assert "LeftSemi" in plan
-    store_side = plan.split("LeftSemi", 1)[1].split("BroadcastExchange", 1)[0]
+    store_side = streamed_side_of_broadcast_join(plan, "LeftSemi")
     assert "Exchange" not in store_side
     assert "Scan parquet" in store_side  # the store really is scan-shaped
 
