@@ -37,13 +37,31 @@ def semantic_dup_pairs(
     vec_col: str,
     centroids: list[list[float]],
     threshold: float = 0.9,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs: ``(id_a, id_b, cosine)``
     with ``id_a < id_b``, both assigned to the same centroid cell and
-    cosine >= threshold. Deterministic given the centroid literals."""
+    cosine >= threshold. Deterministic given the centroid literals.
+
+    Within-cell pairs are quadratic PER CELL by design (SemDeDup); the
+    production contract is cells ∝ √N so per-cell cost stays flat. When
+    the quantizer is under-provisioned for the corpus, ``max_cell``
+    degrades gracefully instead of quadratically: cells larger than the
+    cap are EXCLUDED from pair generation (their members keep themselves),
+    mirroring minhash's ``max_bucket`` — the cap is an explicit recall
+    trade, never an OOM. ``None`` (default) keeps full SemDeDup semantics.
+    """
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_v")
     ).withColumn("_cell", ivf_cells_expr(F.col("_v"), centroids, 1)[0])
+    if max_cell is not None:
+        oversized = (
+            c.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_csize"))
+            .filter(F.col("_csize") > max_cell)
+            .select("_cell")
+        )
+        c = c.join(oversized, "_cell", "left_anti")
     a = c.select(
         "_cell", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
     )
@@ -65,14 +83,17 @@ def semantic_dedup(
     vec_col: str,
     centroids: list[list[float]],
     threshold: float = 0.9,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Per-document semantic-dedup verdicts: ``(id, canonical_id, kept)``
     — one row per corpus document, ``kept`` marking the min-id survivor of
     each transitive semantic-duplicate group (docs with no semantic dup
-    keep themselves)."""
+    keep themselves). ``max_cell``: see :func:`semantic_dup_pairs`."""
     from flink_1_3_2_hopsworks_spark.dedup.neardup import (
         resolve_duplicate_clusters,
     )
 
-    pairs = semantic_dup_pairs(corpus, id_col, vec_col, centroids, threshold)
+    pairs = semantic_dup_pairs(
+        corpus, id_col, vec_col, centroids, threshold, max_cell=max_cell
+    )
     return resolve_duplicate_clusters(corpus, pairs, id_col)

@@ -31,6 +31,7 @@ def corpus_shuffle_shard(
     key_cols: Sequence[str],
     n_shards: int,
     salt: str = "sh42",
+    min_shard_parallelism: int = 1,
 ) -> DataFrame:
     """Assign every row a reproducible ``(shard, pos)`` training position.
 
@@ -38,7 +39,25 @@ def corpus_shuffle_shard(
     within the shard, ordered by the salted md5 of the key — ties, which
     need an md5 collision, fall back to the key itself). Deterministic in
     (key, salt): the draw is the same portable salted-md5 scheme as the
-    samplers in ``operators.sampling``."""
+    samplers in ``operators.sampling``.
+
+    Parallelism contract: the per-shard ``row_number`` means within-shard
+    parallelism IS ``n_shards`` — each shard is one (spillable) sorted
+    task. Size ``n_shards`` to the cluster, not the data: thousands at
+    100 TB, never a handful. The sort spills rather than OOMs, but a tiny
+    ``n_shards`` on a huge corpus serializes the epoch behind a few tasks
+    — ``min_shard_parallelism`` (default 1, i.e. off) raises when
+    ``n_shards`` falls below it, as a deploy-time guard for pipelines
+    that template this call."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if n_shards < min_shard_parallelism:
+        raise ValueError(
+            f"n_shards={n_shards} is below min_shard_parallelism="
+            f"{min_shard_parallelism}: within-shard parallelism equals "
+            "n_shards (one sorted task per shard) — size n_shards to the "
+            "cluster (thousands at 100 TB)."
+        )
     keys = [F.col(c).cast("string") for c in key_cols]
     h = F.md5(F.concat_ws("|", *keys, F.lit(salt)))
     h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")

@@ -53,3 +53,44 @@ def test_dedup_transitive_survivors(spark):
     assert got[2] == (1, False) and got[3] == (1, False)
     assert got[4] == (4, True) and got[5] == (4, False)
     assert got[6] == (6, True)
+
+
+def test_max_cell_cap_excludes_oversized_cells(spark):
+    """An under-provisioned quantizer degrades to capped work: cells over
+    max_cell emit no pairs (members keep themselves), smaller cells are
+    untouched — mirroring minhash's max_bucket."""
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            _df(spark), "id", "v", CENTROIDS, threshold=0.9, max_cell=2
+        ).collect()
+    }
+    # cell 0 holds {1,2,3} (+ possibly 6) > 2 -> excluded; cell 1 {4,5}
+    # survives the cap.
+    assert (4, 5) in capped
+    assert not any(p[0] in (1, 2, 3) and p[1] in (1, 2, 3) for p in capped)
+
+    verd = {
+        r["id"]: (r["canonical_id"], r["kept"])
+        for r in semantic_dedup(
+            _df(spark), "id", "v", CENTROIDS, threshold=0.9, max_cell=2
+        ).collect()
+    }
+    # capped-cell members keep themselves; the small cell still dedups
+    assert verd[1] == (1, True) and verd[2] == (2, True) and verd[3] == (3, True)
+    assert verd[4] == (4, True) and verd[5] == (4, False)
+
+    # a cap no cell exceeds is a no-op
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            _df(spark), "id", "v", CENTROIDS, threshold=0.9
+        ).collect()
+    }
+    roomy = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            _df(spark), "id", "v", CENTROIDS, threshold=0.9, max_cell=100
+        ).collect()
+    }
+    assert roomy == uncapped

@@ -54,3 +54,20 @@ def test_order_is_shuffled_not_input_order(spark):
     out = corpus_shuffle_shard(_docs(spark), ["doc_id"], 1).collect()
     ordered_ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])]
     assert ordered_ids != sorted(ordered_ids)
+
+
+def test_shard_parallelism_guard(spark):
+    import pytest
+
+    from flink_1_3_2_hopsworks_spark.operators.sharding import (
+        corpus_shuffle_shard,
+    )
+
+    with pytest.raises(ValueError, match="n_shards must be >= 1"):
+        corpus_shuffle_shard(_docs(spark), ["doc_id"], 0)
+    with pytest.raises(ValueError, match="min_shard_parallelism"):
+        corpus_shuffle_shard(
+            _docs(spark), ["doc_id"], 4, min_shard_parallelism=32
+        )
+    # meeting the floor is fine
+    corpus_shuffle_shard(_docs(spark), ["doc_id"], 32, min_shard_parallelism=32)
