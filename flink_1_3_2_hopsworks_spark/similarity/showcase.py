@@ -77,3 +77,23 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_from_corpus(emb), FROZEN_CENTROIDS,
         "vec_id", "embedding", k=10, nprobe=6,
     )
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 — the memory-side scale path of ANN
+    (codes are 8 small ints per vector; queries score via lookup-table
+    sums, never reconstruction). Served from FROZEN per-subspace codebooks
+    (gate_model.FROZEN_PQ_CODEBOOKS, trained once at gate scale), so
+    encode → LUT → rank is deterministic and the DuckDB oracle replays it
+    for a full hash-match; recall vs brute force is pytest-covered
+    (tests/test_similarity_pq.py)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _queries_from_corpus(emb), FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10,
+    )

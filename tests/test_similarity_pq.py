@@ -1,0 +1,123 @@
+"""Product-quantization ANN — similarity/pq.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+    FROZEN_PQ_CODEBOOKS,
+)
+from flink_1_3_2_hopsworks_spark.similarity.knn import brute_force_topk
+from flink_1_3_2_hopsworks_spark.similarity.pq import pq_encode, pq_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_encode_codes_in_range_and_deterministic(spark):
+    got = pq_encode(_emb(spark), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS)
+    rows = {r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8)) for r in got.collect()}
+    again = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for r2 in [r] for s in range(8))
+        for r in pq_encode(
+            _emb(spark), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS
+        ).collect()
+    }
+    assert rows == again
+    assert all(0 <= c < 16 for codes in rows.values() for c in codes)
+
+
+def test_encode_matches_numpy_argmin(spark):
+    """Spark codes == numpy argmin over the same codebooks (ties to the
+    lower code — none expected on real data, but the contract is pinned)."""
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _emb(spark).limit(20).collect()
+    }
+    got = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(8)]
+        for r in pq_encode(
+            _emb(spark).limit(20), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS
+        ).collect()
+    }
+    for vid, v in vecs.items():
+        for s, book in enumerate(FROZEN_PQ_CODEBOOKS):
+            sub = v[s * 8 : (s + 1) * 8]
+            dists = [((sub - np.array(c)) ** 2).sum() for c in book]
+            assert got[vid][s] == int(np.argmin(dists)), (vid, s)
+
+
+def test_adc_score_is_reconstruction_cosine(spark):
+    """The ADC cosine equals cos(query, reconstruction-from-codes) — the
+    LUT decomposition is exact, not an approximation of the approximation."""
+    out = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in pq_topk(
+            _emb(spark),
+            _emb(spark)
+            .filter(F.col("vec_id") < 2)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            FROZEN_PQ_CODEBOOKS,
+            "vec_id",
+            "embedding",
+            k=5,
+        ).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _emb(spark).collect()
+    }
+    codes = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(8)]
+        for r in pq_encode(
+            _emb(spark), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS
+        ).collect()
+    }
+    for (qid, vid), got in out.items():
+        recon = np.concatenate(
+            [np.array(FROZEN_PQ_CODEBOOKS[s][codes[vid][s]]) for s in range(8)]
+        )
+        q = vecs[qid]
+        want = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+        assert abs(got - round(want, 4)) <= 1e-4, (qid, vid, got, want)
+
+
+def test_pq_recall_beats_random(spark):
+    """Top-10 by ADC overlaps the exact top-10 far above the random
+    baseline (10/(N-1) ~= 2% at gate scale)."""
+    q = (
+        _emb(spark)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            _emb(spark), q, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(
+            _emb(spark), q, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.2, recall
+
+
+def test_pq_encode_is_scan_shaped(spark):
+    """Encode fuses into the scan projection: no Exchange, no Python."""
+    plan = (
+        pq_encode(_emb(spark), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
