@@ -567,3 +567,112 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", 32, overlap=8).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+def _linified_docs(docs: DataFrame, punctuate: bool = False) -> DataFrame:
+    """The gate corpus has no newlines, so line-granularity gates build a
+    DETERMINISTIC multi-line twin: 12-token lines; with ``punctuate`` every
+    line starting on the 24-token grid gains a terminal '.' (forcing a real
+    kept/dropped mix through the C4 rules). Same force-real-work precedent
+    as text_normalize_unicode's decomposed suffix; the oracle replays the
+    linification exactly."""
+    punct = (
+        "case when s % 24 = 0 then '.' else '' end" if punctuate else "''"
+    )
+    lin = F.expr(
+        "array_join(transform(sequence(0, greatest(size(_tk) - 1, 0), 12), "
+        f"s -> concat(array_join(slice(_tk, s + 1, 12), ' '), {punct})), "
+        "'\n')"
+    )
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_tk"),
+    ).select("doc_id", lin.alias("text"))
+
+
+def pipe_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filtering (Rae et al. 2021): the published
+    heuristics — word-count bounds, mean-word-length bounds, symbol ratio,
+    alphabetic-word fraction, required-stopword count — each as an
+    audit-friendly boolean column plus the conjunction verdict. One row
+    per doc; scan-shaped pure expressions. The gate uses the engine's
+    en-stopword list (the corpus vocabulary contains no Gopher stopwords
+    beyond 'the'); the published GOPHER_STOPWORDS set is the library
+    default, pytest-pinned. Full SQL oracle replays every rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_quality_rules(
+        docs, "doc_id", "text", stop_words=T.STOPWORDS["en"]
+    )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty: the fraction of a doc's distinct token
+    8-grams whose corpus-wide first owner (min doc_id) is the doc itself —
+    the crawl-increment contribution score (duplicates score ~0). Gram
+    hashes ride the scan projection; the only corpus-sized shuffle key is
+    the 64-bit hash. The oracle replays grams as strings (hash equality ≡
+    string equality at gate scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.ngram_novelty(docs, "doc_id", "text", n=8)
+
+
+def pipe_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020): terminal-punctuation +
+    min-words + no-'javascript' line rules, whole-doc drop on
+    'lorem ipsum'/braces — over the deterministic multi-line twin of the
+    gate corpus (see _linified_docs; alternate lines are punctuated so
+    both verdicts occur). clean_text is fingerprinted so the gate hashes
+    content, not multi-KB strings. Full SQL oracle replays linification
+    and every rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.clean_lines_c4(_linified_docs(docs, punctuate=True), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "doc_kept",
+        "n_lines",
+        "n_lines_kept",
+        F.md5(F.coalesce("clean_text", F.lit("<dropped>"))).alias("clean_fp"),
+    )
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line deduplication (CCNet/RefinedWeb shared-line
+    policy at line granularity): normalized lines occurring in >= 2
+    distinct docs drop from every doc — over the deterministic multi-line
+    twin (duplicate docs share all their lines, so the planted exact-dup
+    structure surfaces as shared lines). Line hashes are the only
+    corpus-sized shuffle key; rebuild is per-doc drop-index lists. Full
+    SQL oracle replays linification, the distinct-doc threshold, and the
+    rebuilt text."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.remove_duplicate_lines(_linified_docs(docs), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-LM
+    rebalance, q_s ∝ p_s^(1/T)): T=2 over the language strata by token
+    share — keep-rates derived from one corpus aggregate (the smallest
+    stratum binds at rate 1), broadcast, portable salted draw. Full SQL
+    oracle replays token totals, the (p_min/p_s)^(1-1/T) rate derivation,
+    and the draw."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs.select("doc_id", "lang", T.token_count("text").alias("_tc")),
+        "doc_id",
+        "lang",
+        "_tc",
+        temperature=2.0,
+    ).orderBy("doc_id")

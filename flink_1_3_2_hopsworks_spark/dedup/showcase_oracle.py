@@ -1154,3 +1154,220 @@ ORACLE: dict[str, str] = {
         FROM sharded
     """,
 }
+
+
+def _gopher_oracle(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_sym: float = 0.1,
+    min_alpha: float = 0.8,
+    min_hits: int = 2,
+) -> str:
+    """Replays functions/text.py gopher_quality_rules (gate parameterization:
+    the engine's en stopword list) — every rule column and the conjunction."""
+    from flink_1_3_2_hopsworks_spark.functions.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    kept = (
+        f"(n >= {min_words} AND n <= {max_words}) "
+        f"AND (mwl >= {min_mwl} AND mwl <= {max_mwl}) "
+        f"AND symr <= {max_sym} AND alphaf >= {min_alpha} "
+        f"AND hits >= {min_hits}"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                CASE WHEN LENGTH(TRIM(LOWER(text))) = 0 THEN []
+                     ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                END AS tk
+            FROM documents
+        ), m AS (
+            SELECT doc_id, LEN(tk) AS n,
+                CASE WHEN LEN(tk) = 0 THEN 0.0
+                     ELSE LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) * 1.0
+                          / LEN(tk) END AS mwl,
+                CASE WHEN LEN(tk) = 0 THEN 0.0
+                     ELSE LENGTH(REGEXP_REPLACE(text, '[^#…]', '', 'g')) * 1.0
+                          / LEN(tk) END AS symr,
+                CASE WHEN LEN(tk) = 0 THEN 0.0
+                     ELSE LEN(LIST_FILTER(tk, x -> REGEXP_MATCHES(x, '[a-z]')))
+                          * 1.0 / LEN(tk) END AS alphaf,
+                LEN(LIST_FILTER([{words}], w -> LIST_CONTAINS(tk, w))) AS hits
+            FROM t
+        )
+        SELECT doc_id,
+            CAST(n AS BIGINT) AS n_words,
+            ROUND(mwl, 4) AS mean_word_len,
+            ROUND(symr, 4) AS symbol_ratio,
+            ROUND(alphaf, 4) AS alpha_word_frac,
+            CAST(hits AS BIGINT) AS n_stop_hits,
+            n >= {min_words} AND n <= {max_words} AS ok_words,
+            mwl >= {min_mwl} AND mwl <= {max_mwl} AS ok_word_len,
+            symr <= {max_sym} AS ok_symbols,
+            alphaf >= {min_alpha} AS ok_alpha,
+            hits >= {min_hits} AS ok_stopwords,
+            {kept} AS kept
+        FROM m
+    """
+
+
+def _ngram_novelty_oracle(n: int = 8) -> str:
+    """Replays functions/text.py ngram_novelty with grams as STRINGS (the
+    engine keys on xxhash64 of the gram; hash equality ≡ string equality
+    at gate scale, same argument as the dup-span oracles)."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\\s+'),
+                    x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                ARRAY_TO_STRING(tk[i + 1 : i + {n}], ' ') AS gram
+            FROM t, UNNEST(RANGE(0, LEN(tk) - {n} + 1)) AS u(i)
+            WHERE LEN(tk) >= {n}
+        ), own AS (
+            SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY gram
+        ), per AS (
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+            FROM g JOIN own o USING (gram) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+            CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+            CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+            ROUND(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 1.0
+                  ELSE p.n_novel * 1.0 / p.n_grams END, 4) AS novelty
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+def _linified_sql(punctuate: bool) -> str:
+    """The deterministic multi-line twin used by the line-granularity gates
+    (mirrors showcase._linified_docs): 12-token lines, optional terminal
+    '.' on the 24-token grid."""
+    punct = (
+        "|| CASE WHEN s % 24 = 0 THEN '.' ELSE '' END" if punctuate else ""
+    )
+    return f"""lin AS (
+            SELECT doc_id,
+                ARRAY_TO_STRING(
+                    LIST_TRANSFORM(
+                        RANGE(0, GREATEST(LEN(tk) - 1, 0) + 1, 12),
+                        s -> ARRAY_TO_STRING(tk[s + 1 : s + 12], ' ') {punct}
+                    ), chr(10)) AS text
+            FROM (
+                SELECT doc_id,
+                    LIST_FILTER(
+                        STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')), '\\s+'),
+                        t -> t <> '') AS tk
+                FROM documents
+            )
+        )"""
+
+
+def _c4_clean_oracle(min_words: int = 5) -> str:
+    """Replays functions/text.py clean_lines_c4 over the linified twin."""
+    return f"""
+        WITH {_linified_sql(punctuate=True)},
+        ln AS (
+            SELECT doc_id, text, STRING_SPLIT(text, chr(10)) AS lines FROM lin
+        ), rules AS (
+            SELECT doc_id, lines,
+                LIST_FILTER(lines, l ->
+                    REGEXP_MATCHES(TRIM(l), '[.!?"]$')
+                    AND LEN(LIST_FILTER(
+                        STRING_SPLIT_REGEX(TRIM(l), '\\s+'), w -> w <> ''
+                    )) >= {min_words}
+                    AND NOT CONTAINS(LOWER(l), 'javascript')
+                ) AS keptl,
+                NOT (CONTAINS(LOWER(text), 'lorem ipsum')
+                     OR CONTAINS(text, '{{')) AS doc_kept
+            FROM ln
+        )
+        SELECT doc_id, doc_kept,
+            CAST(LEN(lines) AS BIGINT) AS n_lines,
+            CAST(CASE WHEN doc_kept THEN LEN(keptl) ELSE 0 END AS BIGINT)
+                AS n_lines_kept,
+            MD5(CASE WHEN doc_kept
+                THEN COALESCE(ARRAY_TO_STRING(keptl, chr(10)), '')
+                ELSE '<dropped>' END) AS clean_fp
+        FROM rules
+    """
+
+
+def _line_dedup_oracle(min_docs: int = 2) -> str:
+    """Replays functions/text.py remove_duplicate_lines over the linified
+    twin, with normalized line STRINGS as keys (engine keys on xxhash64)."""
+    return f"""
+        WITH {_linified_sql(punctuate=False)},
+        ln AS (
+            SELECT doc_id, STRING_SPLIT(text, chr(10)) AS lines FROM lin
+        ), ex AS (
+            SELECT doc_id, i, LOWER(TRIM(lines[i + 1])) AS key
+            FROM ln, UNNEST(RANGE(0, LEN(lines))) u(i)
+        ), shared AS (
+            SELECT key FROM (
+                SELECT key, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY key
+            ) WHERE nd >= {min_docs}
+        ), drops AS (
+            SELECT e.doc_id, LIST(e.i ORDER BY e.i) AS dr
+            FROM ex e JOIN shared s USING (key) GROUP BY e.doc_id
+        ), fin AS (
+            SELECT l.doc_id, l.lines, COALESCE(d.dr, []) AS dr
+            FROM ln l LEFT JOIN drops d USING (doc_id)
+        )
+        SELECT doc_id,
+            CAST(LEN(lines) AS BIGINT) AS n_lines,
+            CAST(LEN(dr) AS BIGINT) AS n_removed,
+            MD5(COALESCE(ARRAY_TO_STRING(
+                LIST_FILTER(lines, (x, i) -> NOT LIST_CONTAINS(dr, i - 1)),
+                chr(10)), '')) AS clean_fp
+        FROM fin
+    """
+
+
+def _temperature_mixture_oracle(
+    temperature: float = 2.0, salt: str = "tt42"
+) -> str:
+    """Replays operators/sampling.py temperature_resample at the gate's
+    T=2 over lang: token totals -> (t_min/t_s)^(1-1/T) rates rounded to
+    6 dp -> portable salted draw."""
+    exponent = repr(1.0 - 1.0 / float(temperature))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                END AS n_tok
+            FROM documents
+        ), totals AS (
+            SELECT lang, SUM(n_tok * 1.0) AS t
+            FROM toks GROUP BY lang HAVING SUM(n_tok * 1.0) > 0
+        ), rates AS (
+            SELECT lang,
+                ROUND(POWER((SELECT MIN(t) FROM totals) / t, {exponent}), 6)
+                    AS rate
+            FROM totals
+        )
+        SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tokens, r.rate
+        FROM toks t JOIN rates r USING (lang)
+        WHERE ('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                CAST(t.doc_id AS VARCHAR), '{salt}')), 1, 8))::BIGINT
+            < r.rate * 4294967296.0
+        ORDER BY t.doc_id
+    """
+
+
+ORACLE.update(
+    {
+        "pipe_gopher_filter": _gopher_oracle(),
+        "text_ngram_novelty": _ngram_novelty_oracle(),
+        "pipe_c4_clean": _c4_clean_oracle(),
+        "text_line_dedup": _line_dedup_oracle(),
+        "pipe_temperature_mixture": _temperature_mixture_oracle(),
+    }
+)

@@ -580,3 +580,246 @@ def chunk_documents(
             F.size(chunk).cast("long").alias("n_tokens"),
         )
     )
+
+
+# The Gopher rule stopword set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1 quality
+# filtering): a document must contain at least two of these.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stop_words: list[str] | None = None,
+) -> "DataFrame":
+    """The Gopher quality-rule filter (Rae et al. 2021): per document the
+    published heuristics — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#'/'…') cap, minimum fraction of words with an
+    alphabetic character, and a minimum count of DISTINCT required
+    stopwords present — each emitted as its own boolean column plus the
+    conjunction ``kept``. One row per input doc (audit-friendly: the
+    verdicts explain themselves; compose ``.filter("kept")`` to curate).
+
+    Pure column expressions over one whitespace tokenization — scan-shaped,
+    no shuffle, no Python; every signal replays in SQL.
+    """
+    words = stop_words if stop_words is not None else GOPHER_STOPWORDS
+
+    def _hit_pred(ws):
+        return lambda t: t.isin(*ws)
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(n == 0, F.lit(0.0)).otherwise(total_len / n)
+    n_symbols = F.length(
+        F.regexp_replace(F.col(text_col), r"[^#…]", "")
+    )
+    symbol_ratio = F.when(n == 0, F.lit(0.0)).otherwise(n_symbols / n)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(n_alpha / n)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+        )
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_words"),
+        (
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        ).alias("ok_word_len"),
+        (symbol_ratio <= max_symbol_ratio).alias("ok_symbols"),
+        (alpha_frac >= min_alpha_word_frac).alias("ok_alpha"),
+        (stop_hits >= min_stop_hits).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "kept",
+        F.col("ok_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
+
+
+def ngram_novelty(df, id_col: str, text_col: str, n: int = 8) -> "DataFrame":
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    n-token grams whose corpus-wide FIRST owner (minimum id) is this doc —
+    the contribution/novelty score used to rank crawl increments (a doc
+    that only restates earlier content scores ~0; wholly new content
+    scores 1). Docs with fewer than ``n`` tokens have no grams and score
+    1.0 by definition (nothing restated).
+
+    Scale shape: gram hashes are computed in the scan projection (the
+    64-bit hash is the only corpus-sized shuffle key, the gram string
+    never leaves the scan — same contract as dedup/spans.py); one
+    hash-aggregate finds each gram's min owner, one per-doc aggregate
+    counts owned vs total. Work beyond the scan ∝ distinct grams.
+    Output: ``(id, n_grams, n_novel, novelty)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            ),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    grams = (
+        toks.filter(F.col("_n") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, _n - {n}), "
+                        f"i -> xxhash64(array_join(slice(_toks, i + 1, {n}), ' ')))"
+                    )
+                )
+            ).alias("_g"),
+        )
+    )
+    owners = grams.groupBy("_g").agg(F.min("_id").alias("_owner"))
+    per_doc = (
+        grams.join(owners, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_owner") == F.col("_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        toks.select("_id")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0).cast("long")) == 0, F.lit(1.0)
+                ).otherwise(F.col("n_novel") / F.col("n_grams")),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def clean_lines_c4(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+) -> "DataFrame":
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep only
+    lines that end in terminal punctuation (. ! ? "), have at least
+    ``min_words`` words, and do not mention 'javascript'; drop the WHOLE
+    document when it contains 'lorem ipsum' or a curly brace (code). One
+    row per input doc: ``(id, doc_kept, n_lines, n_lines_kept,
+    clean_text)`` — ``clean_text`` is NULL for dropped docs, else the kept
+    lines rejoined with newlines (possibly empty).
+
+    Pure column expressions (split + higher-order filter + rejoin) —
+    scan-shaped, no shuffle, no Python; replays in SQL.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+
+    def _line_ok(ln):
+        t = F.trim(ln)
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+        return (
+            t.rlike('[.!?"]$')
+            & (n_words >= min_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, _line_ok)
+    doc_kept = ~(
+        F.lower(text).contains("lorem ipsum") | text.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        doc_kept.alias("doc_kept"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(doc_kept, F.size(kept_lines))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.when(doc_kept, F.array_join(kept_lines, "\n"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("clean_text"),
+    )
+
+
+def remove_duplicate_lines(
+    df,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+) -> "DataFrame":
+    """Cross-document line deduplication (the CCNet/RefinedWeb shared-line
+    policy at LINE granularity): a normalized line (lower + trim) occurring
+    in at least ``min_docs`` DISTINCT documents is boilerplate and is
+    dropped from EVERY document. One row per input doc:
+    ``(id, n_lines, n_removed, clean_text)``.
+
+    Scale shape (same contract as dedup/spans.py): line hashes are
+    computed in the scan projection — the 64-bit hash is the only
+    corpus-sized shuffle key, the line string never leaves the scan; the
+    shared-line population bounds the drop-list join; docs rebuild from
+    per-doc drop-INDEX lists with one higher-order filter (the corpus line
+    stream is never re-exploded for the rebuild).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col).alias("_id"), F.split(text, "\n").alias("_lines"))
+    exploded = base.select(
+        "_id",
+        F.posexplode("_lines").alias("_idx", "_ln"),
+    ).select("_id", "_idx", F.xxhash64(F.lower(F.trim("_ln"))).alias("_lh"))
+    shared = (
+        exploded.groupBy("_lh")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh")
+    )
+    drops = (
+        exploded.join(shared, "_lh", "left_semi")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_idx")).alias("_drop"))
+    )
+    joined = base.join(drops, "_id", "left").withColumn(
+        "_drop", F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    )
+    # filter's index argument is 0-based, matching posexplode's positions.
+    kept = F.filter(
+        F.col("_lines"),
+        lambda ln, i: ~F.array_contains(F.col("_drop"), i.cast("int")),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_drop").cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -256,3 +256,80 @@ def token_mixture_resample(
             "rate",
         )
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    token_count_col,
+    temperature: float = 2.0,
+    salt: str = "tt42",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-LM
+    rebalance: target token shares q_s ∝ p_s^(1/T), flattening the
+    stratum distribution as T grows — T=1 keeps the corpus, T→∞
+    approaches uniform).
+
+    Subsampling-only derivation (no stratum is upsampled): with α = 1/T,
+    keep-rate_s = (q_s/p_s) normalized so the binding stratum — the
+    SMALLEST share, since p^(α−1) is decreasing for α < 1 — keeps rate 1:
+    ``rate_s = (p_min / p_s)^(1−α)``, rounded to 6 dp so any engine
+    replays the same broadcast rate table. Same declarative shape as
+    :func:`token_mixture_resample`: one hash-aggregate → per-stratum rate
+    table (window over the bounded stratum table) → broadcast join →
+    portable salted-md5 draw, one corpus pass, no collect. Zero-token
+    strata are dropped (no tokens to rebalance). Output: kept rows
+    ``(id_col, stratum_col, n_tokens, rate)``.
+    """
+    from pyspark.sql import Window
+
+    if temperature < 1.0:
+        raise ValueError(
+            f"temperature must be >= 1 (subsampling-only), got {temperature}"
+        )
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("double")
+    rows = df.select(F.col(id_col), F.col(stratum_col), tok.alias("_tok"))
+
+    everything = Window.partitionBy()
+    totals = (
+        rows.groupBy(stratum_col)
+        .agg(F.sum("_tok").alias("_t"))
+        .filter(F.col("_t") > 0)
+    )
+    rate = F.round(
+        F.pow(
+            F.min("_t").over(everything) / F.col("_t"),
+            F.lit(1.0 - 1.0 / float(temperature)),
+        ),
+        6,
+    )
+    rates = totals.withColumn("rate", rate).select(stratum_col, "rate")
+
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rows.join(F.broadcast(rates), stratum_col)
+        .filter(h32 < F.col("rate") * F.lit(float(1 << 32)))
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col("_tok").cast("long").alias("n_tokens"),
+            "rate",
+        )
+    )

@@ -1,0 +1,147 @@
+"""Round-7 curation operators: Gopher rules, C4 line cleaning, cross-doc
+line dedup, n-gram novelty, temperature mixture resampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_3_2_hopsworks_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    clean_lines_c4,
+    gopher_quality_rules,
+    ngram_novelty,
+    remove_duplicate_lines,
+)
+from flink_1_3_2_hopsworks_spark.operators.sampling import temperature_resample
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    good = (
+        "the quick brown fox likes to run with all of that energy and "
+        "every day it would have gone further than the rest of them did "
+        "because running with friends near the old mill is what they do "
+        "when the weather holds and the path stays dry for hours on end "
+        "so they keep going until the light fades and they head home"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes everything
+            (2, "too short to pass the word count rule with these few"),
+            (3, " ".join(["a"] * 60)),  # mean word length 1 < 3
+            (4, " ".join(["the#fox#ran#" for _ in range(60)])),  # symbols
+            (5, " ".join(["12345"] * 60)),  # no alphabetic words
+            (6, " ".join(["zebra"] * 60)),  # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_rules(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["kept"] is True
+    assert got[2]["ok_words"] is False and got[2]["kept"] is False
+    assert got[3]["ok_word_len"] is False and got[3]["kept"] is False
+    assert got[4]["ok_symbols"] is False and got[4]["kept"] is False
+    assert got[5]["ok_alpha"] is False and got[5]["kept"] is False
+    assert got[6]["ok_stopwords"] is False and got[6]["kept"] is False
+    # published stopword set is the default
+    assert GOPHER_STOPWORDS[0] == "the" and "with" in GOPHER_STOPWORDS
+
+
+def test_ngram_novelty_duplicates_score_zero(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words " * 5), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novelty"])
+        for r in ngram_novelty(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got[1][1] == 1.0  # first owner of every gram
+    assert got[2][1] == 0.0 and got[2][0] == got[1][0]  # exact dup restates all
+    assert got[3][1] == 1.0
+    assert got[4] == (0, 1.0)  # < n tokens -> no grams -> novel by definition
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    multi = "\n".join(
+        [
+            "This line ends with a period and has enough words.",
+            "no terminal punctuation here so it drops",
+            "Too short.",
+            "This line mentions javascript somewhere inside it.",
+            'A quoted ending line with plenty of words here too."',
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, multi),
+            (2, "Contains lorem ipsum filler text and should drop entirely."),
+            (3, "A code block { appears } so the doc drops."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in clean_lines_c4(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["doc_kept"] is True and got[1]["n_lines"] == 5
+    kept = got[1]["clean_text"].split("\n")
+    assert got[1]["n_lines_kept"] == 2 and len(kept) == 2
+    assert kept[0].startswith("This line ends") and kept[1].startswith("A quoted")
+    assert got[2]["doc_kept"] is False and got[2]["clean_text"] is None
+    assert got[3]["doc_kept"] is False
+
+
+def test_remove_duplicate_lines_cross_doc(spark):
+    shared = "this exact line is shared boilerplate"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{shared}\nunique third line"),
+            (2, f"{shared.upper()}\nanother unique line"),  # normalized match
+            (3, "totally original content only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_lines(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["n_removed"] == 1
+    assert got[1]["clean_text"] == "unique first line\nunique third line"
+    assert got[2]["n_removed"] == 1
+    assert got[2]["clean_text"] == "another unique line"
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == "totally original content only"
+
+
+def test_temperature_resample_rates(spark):
+    rows = [(i, "big", 10) for i in range(100)] + [
+        (1000 + i, "small", 10) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, tc int")
+
+    # T=1: alpha=1 -> every rate 1, everything kept
+    kept1 = temperature_resample(
+        docs, "doc_id", "lang", "tc", temperature=1.0
+    ).collect()
+    assert len(kept1) == 110 and {r["rate"] for r in kept1} == {1.0}
+
+    # T=2: smallest stratum binds at 1, big stratum keeps sqrt(t_min/t_big)
+    out = temperature_resample(
+        docs, "doc_id", "lang", "tc", temperature=2.0
+    ).collect()
+    rates = {r["lang"]: r["rate"] for r in out}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - round((100 / 1000) ** 0.5, 6)) < 1e-9
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_resample(docs, "doc_id", "lang", "tc", temperature=0.5)
+
+    # zero-token strata are dropped
+    docs2 = docs.union(
+        spark.createDataFrame([(2000, "empty", 0)], "doc_id long, lang string, tc int")
+    )
+    out2 = temperature_resample(docs2, "doc_id", "lang", "tc", temperature=2.0)
+    assert out2.filter("lang = 'empty'").count() == 0
