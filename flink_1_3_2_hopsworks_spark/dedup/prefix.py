@@ -1,0 +1,105 @@
+"""Prefix-containment (crawl-truncation) duplicate detection.
+
+North-star extension (SURVEY.md §2.14): web crawls routinely capture the
+same page at different truncation lengths (render limits, fetch timeouts,
+pagination tails). Such pairs are NOT exact duplicates (different
+fingerprints) and can fall below a symmetric-Jaccard threshold when the
+truncation is deep, but the short doc's token stream is exactly a PREFIX
+of the long one's — the right detector is asymmetric containment, not
+Jaccard.
+
+Relational shape, linear in the corpus:
+
+- Block on the hash of each doc's first ``prefix_k`` normalized tokens —
+  a true (short ⊑ long) pair ALWAYS shares this key (both streams start
+  with the same prefix_k tokens, provided the short doc has at least
+  ``prefix_k``; shorter docs are excluded and belong to exact dedup).
+  The key is computed in the scan projection; at 100 TB the block key is
+  as selective as a fingerprint, so buckets are duplicate groups, not
+  hash accidents — ``max_bucket`` caps degenerate template corpora.
+- Verify INSIDE the bucket join: the candidate is a real truncation iff
+  md5(first n_short tokens of the long doc) == md5(short doc) over the
+  normalized token stream. The md5 of the short side is precomputed; the
+  long side hashes one slice per candidate — work ∝ candidates, and
+  candidates ∝ true duplicate groups.
+
+Output pairs are (id_short, id_long): the long doc is the keeper (it
+subsumes the short), so the standard removal composition drops id_short.
+Exact duplicates (equal token streams) are emitted too — containment is
+reflexive on equal streams — with the lower id on the short side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_k: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Truncation pairs ``(id_short, id_long, n_short_tokens)``: the short
+    doc's whitespace-normalized token stream is exactly a prefix of the
+    long doc's (ties in length ordered by id; both docs need at least
+    ``prefix_k`` tokens to block)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            ),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    keyed = (
+        toks.filter(F.col("_n") >= prefix_k)
+        .withColumn(
+            "_pk", F.xxhash64(F.expr(f"array_join(slice(_toks, 1, {prefix_k}), ' ')"))
+        )
+        .withColumn("_fp", F.md5(F.array_join("_toks", " ")))
+    )
+    oversized = (
+        keyed.groupBy("_pk")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") > max_bucket)
+        .select("_pk")
+    )
+    capped = keyed.join(oversized, "_pk", "left_anti")
+
+    short = capped.select(
+        "_pk",
+        F.col("_id").alias("id_short"),
+        F.col("_n").alias("_n_s"),
+        F.col("_fp").alias("_fp_s"),
+    )
+    long_ = capped.select(
+        "_pk",
+        F.col("_id").alias("id_long"),
+        F.col("_n").alias("_n_l"),
+        F.col("_toks").alias("_toks_l"),
+    )
+    # Canonical orientation: short side strictly smaller, or equal length
+    # with the lower id — every unordered pair appears exactly once.
+    orient = (F.col("_n_s") < F.col("_n_l")) | (
+        (F.col("_n_s") == F.col("_n_l")) & (F.col("id_short") < F.col("id_long"))
+    )
+    verify = (
+        F.md5(
+            F.array_join(F.slice(F.col("_toks_l"), F.lit(1), F.col("_n_s")), " ")
+        )
+        == F.col("_fp_s")
+    )
+    return (
+        short.join(long_, "_pk")
+        .filter(orient)
+        .filter(verify)
+        .select(
+            "id_short",
+            "id_long",
+            F.col("_n_s").cast("long").alias("n_short_tokens"),
+        )
+    )

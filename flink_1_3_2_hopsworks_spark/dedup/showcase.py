@@ -676,3 +676,54 @@ def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tc",
         temperature=2.0,
     ).orderBy("doc_id")
+
+
+def dd_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-truncation dedup (asymmetric prefix containment): pairs where
+    the short doc's normalized token stream is exactly a prefix of the
+    long doc's — the duplicates exact fingerprints and symmetric Jaccard
+    both miss. The corpus has no organic truncations, so the gate unions a
+    deterministic 24-token truncated twin of every 10th doc (id + 10^6) —
+    forcing real containment work, same precedent as the NFC/linified
+    gates. Blocking key = hash of the first 16 tokens (scan projection);
+    verify = one md5 of the long side's n_short-token slice per candidate.
+    Full SQL oracle replays the twin, blocking, cap, and verify."""
+    from flink_1_3_2_hopsworks_spark.dedup.prefix import (
+        prefix_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                ),
+                1,
+                24,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(trunc)
+    return prefix_containment_pairs(corpus, "doc_id", "text").orderBy(
+        "id_short", "id_long"
+    )
+
+
+def pipe_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/LLaMA-pipeline fastText
+    step, serving shape): hashed bag-of-words featurization + a FROZEN
+    linear weight vector evaluated as column expressions — explode →
+    bucket hash + weight lookup in the projection → one per-doc
+    hash-aggregate → sigmoid verdict. Audit form (one row per doc). Full
+    SQL oracle replays the md5 buckets, the literal weights, and the
+    rounded sigmoid."""
+    from flink_1_3_2_hopsworks_spark.functions.quality_model import (
+        model_quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return model_quality_filter(docs, "doc_id", "text", keep_all=True)

@@ -1371,3 +1371,86 @@ ORACLE.update(
         "pipe_temperature_mixture": _temperature_mixture_oracle(),
     }
 )
+
+
+def _prefix_dups_oracle(prefix_k: int = 16, max_bucket: int = 1000) -> str:
+    """Replays dedup/prefix.py prefix_containment_pairs over the gate's
+    truncated-twin corpus, blocking on the prefix STRING (the engine
+    blocks on its xxhash64 — equality is equivalent)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                ARRAY_TO_STRING(
+                    (LIST_FILTER(
+                        STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                        x -> x <> ''))[1:24], ' ') AS text
+            FROM documents WHERE doc_id % 10 = 0
+        ), t AS (
+            SELECT doc_id AS id,
+                LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\\s+'),
+                    x -> x <> '') AS tk
+            FROM base
+        ), k AS (
+            SELECT id, tk, LEN(tk) AS n,
+                ARRAY_TO_STRING(tk[1:{prefix_k}], ' ') AS pk,
+                MD5(ARRAY_TO_STRING(tk, ' ')) AS fp
+            FROM t WHERE LEN(tk) >= {prefix_k}
+        ), capped AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY pk) AS bs FROM k
+            ) WHERE bs <= {max_bucket}
+        )
+        SELECT s.id AS id_short, l.id AS id_long,
+            CAST(s.n AS BIGINT) AS n_short_tokens
+        FROM capped s JOIN capped l ON s.pk = l.pk
+            AND (s.n < l.n OR (s.n = l.n AND s.id < l.id))
+        WHERE MD5(ARRAY_TO_STRING(l.tk[1:s.n], ' ')) = s.fp
+        ORDER BY id_short, id_long
+    """
+
+
+ORACLE["dd_prefix_dups"] = _prefix_dups_oracle()
+
+
+def _model_quality_oracle(threshold: float = 0.5) -> str:
+    """Replays functions/quality_model.py model_quality_filter: portable
+    md5 bucket hash, the frozen literal weight array, per-doc mean +
+    bias, sigmoid rounded to 6 dp BEFORE the threshold compare."""
+    from flink_1_3_2_hopsworks_spark.functions.quality_model import (
+        FROZEN_QUALITY_BIAS,
+        FROZEN_QUALITY_WEIGHTS,
+    )
+
+    n = len(FROZEN_QUALITY_WEIGHTS)
+    w = ", ".join(repr(x) for x in FROZEN_QUALITY_WEIGHTS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\\s+'),
+                    x -> x <> '')) AS t
+            FROM documents
+        ), wtab AS (
+            SELECT [{w}]::DOUBLE[] AS w
+        ), weighted AS (
+            SELECT doc_id,
+                w[CAST(('0x' || SUBSTR(MD5(t), 1, 8))::BIGINT % {n} AS INT) + 1]
+                    AS tw
+            FROM toks, wtab
+        ), sums AS (
+            SELECT doc_id, SUM(tw) AS sw, COUNT(*) AS nt
+            FROM weighted GROUP BY doc_id
+        ), scored AS (
+            SELECT d.doc_id,
+                ROUND(1.0 / (1.0 + EXP(-(COALESCE(s.sw / s.nt, 0.0)
+                    + {FROZEN_QUALITY_BIAS!r}))), 6) AS score
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+        )
+        SELECT doc_id, score, score >= {threshold} AS kept FROM scored
+    """
+
+
+ORACLE["pipe_model_quality_filter"] = _model_quality_oracle()

@@ -521,3 +521,37 @@ def test_boilerplate_spans_shuffle_keys_are_hashes(spark):
     assert "xxhash64" in plan
     assert "BatchEvalPython" not in plan
     assert "WindowExec" not in plan
+
+
+def test_ngram_novelty_shuffles_hashes_only(spark):
+    """ngram_novelty's corpus-sized shuffle keys are the 64-bit gram hash
+    and the doc id — the gram STRING never leaves the scan stage (same
+    contract as dedup/spans.py)."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.functions.text import ngram_novelty
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(ngram_novelty(docs, "doc_id", "text", n=8))
+    # every Exchange keys on _g (the hash) / _id — no string gram column
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_g#" in ln or "_id#" in ln or "doc_id#" in ln, ln
+    assert "Python" not in plan
+
+
+def test_prefix_containment_is_block_join_shaped(spark):
+    """prefix_containment_pairs: blocking key computed scan-side, one
+    equi-join on the key, no cartesian; verify is a filter on the join
+    output."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.dedup.prefix import (
+        prefix_containment_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(prefix_containment_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "Python" not in plan

@@ -145,3 +145,81 @@ def test_temperature_resample_rates(spark):
     )
     out2 = temperature_resample(docs2, "doc_id", "lang", "tc", temperature=2.0)
     assert out2.filter("lang = 'empty'").count() == 0
+
+
+def test_prefix_containment_pairs(spark):
+    from flink_1_3_2_hopsworks_spark.dedup.prefix import (
+        prefix_containment_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # prefix of 2 and 3
+            (2, base + " extra tail tokens here"),
+            (3, base + " different continuation text"),
+            (4, "UNRELATED " + " ".join(f"q{i}" for i in range(20))),
+            (5, "short doc under sixteen tokens"),       # excluded (< k)
+            (6, base),                                   # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_short"], r["id_long"]): r["n_short_tokens"]
+        for r in prefix_containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got[(1, 2)] == 20 and got[(1, 3)] == 20
+    assert (1, 6) in got and (6, 1) not in got  # equal streams: lower id short
+    assert got[(6, 2)] == 20 and got[(6, 3)] == 20
+    assert not any(4 in p or 5 in p for p in got)
+    # 2 and 3 share the prefix block but neither contains the other
+    assert (2, 3) not in got and (3, 2) not in got
+
+
+def test_model_quality_filter_python_replay(spark):
+    """Spark scores == a direct python replay of the hashed-linear model
+    (portable md5 buckets, frozen weights, mean + bias, sigmoid@6dp)."""
+    import hashlib
+    import math
+
+    from flink_1_3_2_hopsworks_spark.functions.quality_model import (
+        FROZEN_QUALITY_BIAS,
+        FROZEN_QUALITY_WEIGHTS,
+        model_quality_filter,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark engines process big data with columnar speed"),
+        (3, ""),  # empty: score = sigmoid(bias)
+        (4, "ONE one OnE"),  # case-normalized buckets
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["kept"])
+        for r in model_quality_filter(
+            docs, "doc_id", "text", keep_all=True
+        ).collect()
+    }
+
+    def replay(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        ws = [
+            FROZEN_QUALITY_WEIGHTS[
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+            ]
+            for t in toks
+        ]
+        s = (sum(ws) / len(ws) if ws else 0.0) + FROZEN_QUALITY_BIAS
+        return round(1.0 / (1.0 + math.exp(-s)), 6)
+
+    for did, text in rows:
+        want = replay(text)
+        assert abs(got[did][0] - want) < 1e-9, (did, got[did][0], want)
+        assert got[did][1] == (want >= 0.5)
+
+    # filter form drops the below-threshold docs
+    kept_only = model_quality_filter(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in kept_only.collect()} == {
+        d for d, _ in rows if replay(_) >= 0.5
+    }
