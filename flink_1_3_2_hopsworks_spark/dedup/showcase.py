@@ -727,3 +727,37 @@ def pipe_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return model_quality_filter(docs, "doc_id", "text", keep_all=True)
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus's own top-16
+    term vocabulary (tokenizer-fit signal): vocabulary built by one
+    explode + hash-aggregate + TakeOrdered, broadcast back for the
+    membership probe, one per-doc aggregate. vocab_size=16 — the gate
+    corpus has only 31 distinct tokens, so a 200-term vocabulary would
+    cover everything and the rate would be degenerately 0; 16 covers the
+    head and leaves a real OOV tail. Full SQL oracle replays the
+    vocabulary (same tie-break) and the rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.oov_rate(docs, "doc_id", "text", vocab_size=16)
+
+
+def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the audit before an incremental retrain):
+    OLD = every source except src7 (so src7 reads as 'added'), with src6
+    texts carrying a marker suffix (so src6 reads as 'changed'); NEW =
+    every source except src0 (so src0 reads as 'removed'), original
+    texts. Per id: added/removed/changed/unchanged by normalized-text
+    fingerprint, one full-outer join of (id, fp) projections. Full SQL
+    oracle replays both snapshot constructions and the verdicts."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("source") != "src7").select(
+        "doc_id",
+        F.when(
+            F.col("source") == "src6", F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    from flink_1_3_2_hopsworks_spark.functions.text import corpus_diff
+
+    return corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")

@@ -1454,3 +1454,61 @@ def _model_quality_oracle(threshold: float = 0.5) -> str:
 
 
 ORACLE["pipe_model_quality_filter"] = _model_quality_oracle()
+
+
+def _oov_rate_oracle(vocab_size: int = 200) -> str:
+    """Replays functions/text.py oov_rate: corpus top-k vocabulary (tf
+    desc, term asc) then per-doc membership rates."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                UNNEST(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\\s+'),
+                    x -> x <> '')) AS t
+            FROM documents
+        ), vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS tf FROM toks GROUP BY t
+            ) ORDER BY tf DESC, t ASC LIMIT {vocab_size}
+        ), per AS (
+            SELECT tk.doc_id, COUNT(*) AS n_tokens,
+                SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM toks tk LEFT JOIN vocab v USING (t)
+            GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id,
+            CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+            ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                  ELSE p.n_oov * 1.0 / p.n_tokens END, 4) AS oov_rate
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+def _corpus_diff_oracle() -> str:
+    """Replays the pipe_corpus_diff gate: OLD = all but src7 (src6 text
+    suffixed ' v2'), NEW = all but src0; verdict per id by md5 of the
+    whitespace-normalized lowercase text."""
+    fp = "MD5(REGEXP_REPLACE(LOWER(TRIM({t})), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH old AS (
+            SELECT doc_id,
+                {fp.format(t="CASE WHEN source = 'src6' THEN text || ' v2' ELSE text END")}
+                AS fo
+            FROM documents WHERE source <> 'src7'
+        ), new AS (
+            SELECT doc_id, {fp.format(t="text")} AS fn
+            FROM documents WHERE source <> 'src0'
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.fo IS NULL THEN 'added'
+                 WHEN n.fn IS NULL THEN 'removed'
+                 WHEN o.fo = n.fn THEN 'unchanged'
+                 ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+ORACLE["text_oov_rate"] = _oov_rate_oracle(vocab_size=16)
+ORACLE["pipe_corpus_diff"] = _corpus_diff_oracle()

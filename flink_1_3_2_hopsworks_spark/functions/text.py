@@ -823,3 +823,79 @@ def remove_duplicate_lines(
         F.size("_drop").cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def oov_rate(df, id_col: str, text_col: str, vocab_size: int = 200) -> "DataFrame":
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` term vocabulary (by total frequency, ties
+    alphabetical) — the tokenizer-fit signal: docs full of OOV tokens
+    tokenize badly and train worse. Two-phase declarative plan: one
+    explode + hash-aggregate builds the vocabulary (TakeOrdered top-k),
+    which broadcasts back for the per-token membership test — the corpus
+    streams once more through a broadcast semi probe, then one per-doc
+    aggregate. No collect, no Python. Output: ``(id, n_tokens, n_oov,
+    oov_rate)`` — empty docs rate 0.0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_t"),
+    )
+    vocab = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("_t"))
+        .limit(vocab_size)
+        .select(F.col("_t").alias("_v"))
+    )
+    marked = toks.join(
+        F.broadcast(vocab), toks["_t"] == vocab["_v"], "left"
+    ).select("_id", F.col("_v").isNull().alias("_oov"))
+    per_doc = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_oov"), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0).cast("long")) == 0,
+                    F.lit(0.0),
+                ).otherwise(F.col("n_oov") / F.col("n_tokens")),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def corpus_diff(old, new, id_col: str, text_col: str) -> "DataFrame":
+    """Snapshot diff between two corpus versions — the audit step before
+    an incremental retrain: per doc id, ``status`` ∈ {'added', 'removed',
+    'changed', 'unchanged'} by normalized-text fingerprint. Full outer
+    join on the id (both sides carry only (id, fp) — scan-shaped
+    projections), one row per id present in either snapshot."""
+    o = old.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fo"))
+    n = new.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fn"))
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_fo").isNull(), F.lit("added"))
+            .when(F.col("_fn").isNull(), F.lit("removed"))
+            .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

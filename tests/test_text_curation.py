@@ -223,3 +223,45 @@ def test_model_quality_filter_python_replay(spark):
     assert {r["doc_id"] for r in kept_only.collect()} == {
         d for d, _ in rows if replay(_) >= 0.5
     }
+
+
+def test_oov_rate_against_known_vocab(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb"),      # aa,bb in top-2 vocab
+            (2, "aa bb cc dd"),      # cc,dd OOV -> 0.5
+            (3, ""),                  # empty -> 0.0
+            (4, "cc cc"),            # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    # global tf: aa=4, bb=2, cc=3, dd=1 -> top-2 vocab = {aa, cc}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(docs, "doc_id", "text", vocab_size=2).collect()
+    }
+    assert got[1] == (4, 1, 0.25)   # bb OOV
+    assert got[2] == (4, 2, 0.5)    # bb, dd OOV
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (2, 0, 0.0)    # cc made the vocab
+
+
+def test_corpus_diff_statuses(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "gets removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"), (2, "changed now"), (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    # fingerprint normalizes case + whitespace -> 1 unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
