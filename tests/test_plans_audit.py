@@ -555,3 +555,20 @@ def test_prefix_containment_is_block_join_shaped(spark):
         "BroadcastHashJoin" in plan
     )
     assert "Python" not in plan
+
+
+def test_model_quality_filter_single_doc_shuffle(spark):
+    """model_quality_filter: bucket hash + weight lookup live in the scan
+    projection; the only corpus shuffles are doc-keyed (the per-doc
+    aggregate and the verdict join) — no Python, no token-string keys."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.functions.quality_model import (
+        model_quality_filter,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(model_quality_filter(docs, "doc_id", "text", keep_all=True))
+    assert "Python" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_id#" in ln or "doc_id#" in ln, ln

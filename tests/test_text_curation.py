@@ -265,3 +265,58 @@ def test_corpus_diff_statuses(spark):
     }
     # fingerprint normalizes case + whitespace -> 1 unchanged
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_model_quality_filter_serves_trained_weights(spark):
+    """Train -> freeze -> serve: a pyspark.ml LogisticRegression trained on
+    OUR md5-bucket features separates two word distributions, and its
+    extracted coefficients drive model_quality_filter to the same verdicts
+    — the serving path is the real contract, the frozen gate weights are
+    just one instance."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    from flink_1_3_2_hopsworks_spark.functions.quality_model import (
+        model_quality_filter,
+    )
+
+    n_buckets = 64
+    good_vocab = [f"good{i}" for i in range(10)]
+    bad_vocab = [f"bad{i}" for i in range(10)]
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        label = i % 2
+        vocab = good_vocab if label else bad_vocab
+        words = rng.choice(vocab, size=12)
+        rows.append((i, " ".join(words), float(label)))
+
+    def feats(text):
+        v = np.zeros(n_buckets)
+        toks = [t for t in text.lower().split() if t]
+        for t in toks:
+            v[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets] += 1
+        return Vectors.dense(v / max(len(toks), 1))
+
+    train = spark.createDataFrame(
+        [(feats(t), lbl) for _, t, lbl in rows], ["features", "label"]
+    )
+    lr = LogisticRegression(maxIter=30, regParam=0.0)
+    model = lr.fit(train)
+    weights = [round(float(c), 6) for c in model.coefficients]
+    bias = round(float(model.intercept), 6)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in model_quality_filter(
+            docs, "doc_id", "text", weights=weights, bias=bias, keep_all=True
+        ).collect()
+    }
+    acc = sum(got[i] == bool(i % 2) for i, _, _ in rows) / len(rows)
+    assert acc >= 0.95, acc
