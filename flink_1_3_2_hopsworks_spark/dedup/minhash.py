@@ -165,8 +165,8 @@ def minhash_near_dups(
     hashes for production.
 
     ``verify="estimate"`` (default, the scale path) scores candidates by the
-    MinHash estimator — the fraction of agreeing signature components, 32
-    integer compares per pair. ``verify="exact"`` re-joins the candidate
+    MinHash estimator — the fraction of agreeing signature components,
+    num_hashes integer compares per pair. ``verify="exact"`` re-joins the candidate
     docs' shingle sets and computes true Jaccard (unbiased, costs a
     collect_set + array intersection per pair — fine when candidates are few).
 
@@ -178,7 +178,7 @@ def minhash_near_dups(
     band-collision candidate stream (the pairs-mode cost driver) shrinks
     roughly as j^r per colliding pair (SCALE_MINHASH_PARAMS.json: r=4
     10.6× on 10× data, r=8 5.1×). For maximum recall near the 0.8
-    operating point pass ``num_hashes=32, bands=8`` (r=4, p≈0.93 at j=0.8)
+    operating point pass ``num_hashes=32, bands=8`` (r=4, p≈0.99 at j=0.8)
     and accept the quadratic-leaning candidate stream, or keep r=8 and add
     bands (``num_hashes=96, bands=12`` → p≈0.89 at j=0.8).
 
@@ -197,7 +197,7 @@ def minhash_near_dups(
     project ``num_hashes`` xxhash64 columns → hash-aggregate per-doc minima →
     band → bucket-join. Signature cost is linear in corpus size. In the
     default estimate mode the verify runs INSIDE the bucket join: both join
-    sides carry the 32 signature longs, the estimator is a codegen'd filter
+    sides carry the num_hashes signature longs, the estimator is a codegen'd
     on the pipelined join output, and the only pair-keyed shuffle is the
     distinct over SURVIVING pairs (r6 — the previous
     distinct-then-two-signature-joins shape shuffled the full candidate
@@ -288,7 +288,7 @@ def minhash_near_dups(
         # the old shape — distinct 198M pairs, then TWO signature joins
         # against them, then filter — paid three shuffles of the full
         # candidate stream before a single pair was rejected. Instead the
-        # 32 signature longs ride the (already shuffled-by-bucket) join
+        # num_hashes signature longs ride the (already bucket-shuffled) join
         # sides, the estimator evaluates as a codegen'd filter directly on
         # the pipelined join output (no materialization), and the only
         # pair-keyed shuffle is the final distinct over SURVIVORS — the

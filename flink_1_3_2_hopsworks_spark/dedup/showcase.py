@@ -46,7 +46,7 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join),
     scored by the signature-agreement estimator. Full DuckDB hash-match:
     ``portable=True`` makes every hash md5-derived so the oracle replays
-    shingling, the 32 affine permutations, banding, the bucket cap, and
+    shingling, the 64 affine permutations, banding, the bucket cap, and
     the estimator in SQL. Accuracy vs. the exact-Jaccard baseline is
     additionally pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
