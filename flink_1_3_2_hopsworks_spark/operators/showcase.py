@@ -847,3 +847,29 @@ def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_fixed_size(
         docs, 50, "n_chars", ["doc_id"], salt="wq0"
     ).orderBy("doc_id")
+
+
+def op_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py): a 4×1024
+    portable CMS over events.user_id (one bounded hash-aggregate — the
+    mergeable profiling sketch for 100 TB streams), probed with the true
+    top-10 users. Emits (user_id, exact_n, est_n) — est_n >= exact_n is
+    the CMS guarantee, pytest-pinned; the oracle replays the md5 buckets,
+    the counters, and the min-probe exactly."""
+    from flink_1_3_2_hopsworks_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, ["user_id"])
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, exact.select("user_id"), ["user_id"])
+    return exact.join(est, "user_id").select(
+        "user_id", "exact_n", "est_n"
+    )

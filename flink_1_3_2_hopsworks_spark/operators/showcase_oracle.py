@@ -449,3 +449,35 @@ ORACLE: dict[str, str] = {
         GROUP BY s.s_nationkey
     """,
 }
+
+def _cms_oracle(depth: int = 4, width: int = 1024, salt: str = "cms42") -> str:
+    """Replays operators/sketches.py cms_build + cms_estimate over
+    events.user_id with the true top-10 as candidates."""
+    bucket = (
+        "('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(user_id AS VARCHAR), "
+        "'{salt}|' || CAST(j AS VARCHAR))), 1, 8))::BIGINT % {width}"
+    ).format(salt=salt, width=width)
+    return f"""
+        WITH probes AS (
+            SELECT user_id, j, {bucket} AS bucket
+            FROM events, UNNEST(RANGE(0, {depth})) t(j)
+        ), sketch AS (
+            SELECT j AS row, bucket, COUNT(*) AS n
+            FROM probes GROUP BY j, bucket
+        ), exact AS (
+            SELECT user_id, COUNT(*) AS exact_n
+            FROM events GROUP BY user_id
+            ORDER BY exact_n DESC, user_id ASC LIMIT 10
+        ), cand AS (
+            SELECT e.user_id, j, {bucket.replace("user_id", "e.user_id")} AS bucket
+            FROM exact e, UNNEST(RANGE(0, {depth})) t(j)
+        )
+        SELECT c.user_id, e.exact_n, MIN(COALESCE(s.n, 0)) AS est_n
+        FROM cand c
+        JOIN exact e USING (user_id)
+        LEFT JOIN sketch s ON s.row = c.j AND s.bucket = c.bucket
+        GROUP BY c.user_id, e.exact_n
+    """
+
+
+ORACLE["op_heavy_hitters_cms"] = _cms_oracle()

@@ -91,3 +91,78 @@ def sampled_percentiles(
     if group_cols:
         return sampled.groupBy(*group_cols).agg(*aggs)
     return sampled.agg(*aggs)
+
+
+def cms_build(
+    df: DataFrame,
+    cols: Sequence[str],
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms42",
+) -> DataFrame:
+    """Count-min sketch [Cormode & Muthukrishnan 2005] of the value tuple
+    ``cols``: ``(row, bucket, n)`` with ``depth × width`` counters — each
+    input row increments one bucket per hash row. Distributed shape: one
+    explode to depth rows + ONE hash-aggregate over a BOUNDED group domain
+    (depth·width keys, map-side partials collapse everything), so the
+    sketch costs a scan regardless of corpus size and MERGES by addition
+    across partitions, days, or streams — the point of a CMS at 100 TB.
+    Portable: buckets come from the salted-md5 draw, so any engine builds
+    the identical sketch."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.pmod(_h32(cols, f"{salt}|{j}"), F.lit(width)).alias(
+                        "bucket"
+                    ),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("_rb")
+    return (
+        df.select(rows)
+        .select("_rb.row", "_rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    cols: Sequence[str],
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms42",
+) -> DataFrame:
+    """Point-frequency estimates for ``candidates`` (distinct value tuples
+    carrying ``cols``): est = min over hash rows of the counter at the
+    tuple's bucket — the classic one-sided estimator, NEVER below the true
+    count (every counter the tuple hashes to includes all its increments;
+    pytest-pinned). The sketch (≤ depth·width rows) broadcasts; candidate
+    estimation is a narrow map + min-aggregate. Output: candidates'
+    ``cols`` + ``est_n``."""
+    probes = candidates.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(_h32(cols, f"{salt}|{j}"), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(*cols, F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(*cols)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_n"))
+    )

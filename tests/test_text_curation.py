@@ -320,3 +320,44 @@ def test_model_quality_filter_serves_trained_weights(spark):
     }
     acc = sum(got[i] == bool(i % 2) for i, _, _ in rows) / len(rows)
     assert acc >= 0.95, acc
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS guarantees: (1) est >= exact for EVERY key even with heavy
+    collisions (width 8 << key count); (2) sketches merge by addition —
+    building on two halves and summing counters equals one build."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(i % 40,) for i in range(400)] + [(999,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_build(df, ["k"], depth=3, width=8)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(
+        sketch, exact.select("k"), ["k"], depth=3, width=8
+    )
+    joined = {
+        r["k"]: (r["n"], r["est_n"])
+        for r in exact.join(est, "k").collect()
+    }
+    assert len(joined) == 41
+    assert all(e >= n for n, e in joined.values())
+    assert joined[999][1] >= 50
+
+    half_a = cms_build(df.filter("k < 20"), ["k"], depth=3, width=8)
+    half_b = cms_build(df.filter("k >= 20"), ["k"], depth=3, width=8)
+    merged = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in half_a.unionByName(half_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["n"] for r in sketch.collect()
+    }
+    assert merged == whole
