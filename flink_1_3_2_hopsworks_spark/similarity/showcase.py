@@ -82,11 +82,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 — the memory-side scale path of ANN
     (codes are 8 small ints per vector; queries score via lookup-table
-    sums, never reconstruction). Served from FROZEN per-subspace codebooks
-    (gate_model.FROZEN_PQ_CODEBOOKS, trained once at gate scale), so
-    encode → LUT → rank is deterministic and the DuckDB oracle replays it
-    for a full hash-match; recall vs brute force is pytest-covered
-    (tests/test_similarity_pq.py)."""
+    sums, never reconstruction). Encode/LUT run in an Arrow-batched numpy
+    kernel with oracle-exact sequential accumulation (the literal
+    expression tree blows Janino's 64 KB limit — see similarity/pq.py);
+    scoring after the broadcast join stays codegen. Served from FROZEN
+    per-subspace codebooks (gate_model.FROZEN_PQ_CODEBOOKS, trained once
+    at gate scale), so encode → LUT → rank is deterministic and the
+    DuckDB oracle replays it for a full hash-match; recall vs brute force
+    is pytest-covered (tests/test_similarity_pq.py)."""
     from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
         FROZEN_PQ_CODEBOOKS,
     )

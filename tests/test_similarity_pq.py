@@ -112,7 +112,11 @@ def test_pq_recall_beats_random(spark):
 
 
 def test_pq_encode_is_scan_shaped(spark):
-    """Encode fuses into the scan projection: no Exchange, no Python."""
+    """Encode is a NARROW map over the scan (no Exchange) through the
+    Arrow-batched numpy kernel (MapInPandas) — dense M·K·D multiply-adds
+    are deliberately NOT a Catalyst expression: the literal tree blows
+    Janino's 64 KB method limit and silently degrades to interpreted
+    evaluation (see module docstring)."""
     plan = (
         pq_encode(_emb(spark), "vec_id", "embedding", FROZEN_PQ_CODEBOOKS)
         ._jdf.queryExecution()
@@ -120,4 +124,4 @@ def test_pq_encode_is_scan_shaped(spark):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan  # the sanctioned Arrow-batched crossing
