@@ -668,12 +668,15 @@ def ngram_novelty(df, id_col: str, text_col: str, n: int = 8) -> "DataFrame":
     scores 1). Docs with fewer than ``n`` tokens have no grams and score
     1.0 by definition (nothing restated).
 
-    Scale shape: gram hashes are computed in the scan projection (the
-    64-bit hash is the only corpus-sized shuffle key, the gram string
-    never leaves the scan — same contract as dedup/spans.py); one
-    hash-aggregate finds each gram's min owner, one per-doc aggregate
-    counts owned vs total. Work beyond the scan ∝ distinct grams.
-    Output: ``(id, n_grams, n_novel, novelty)``.
+    Scale shape: per-doc DISTINCT gram strings come from an Arrow-batched
+    builder (the Catalyst HOF transform is interpreted per element and was
+    the dominant cost at decade scale — same lesson as repetition_stats /
+    dedup/ngram.py); the strings are xxhash64'd in the post-builder
+    projection, so the 64-bit hash is still the only corpus-sized shuffle
+    key (same contract as dedup/spans.py). One hash-aggregate finds each
+    gram's min owner, one per-doc aggregate counts owned vs total. Work
+    beyond the scan ∝ distinct grams. Output: ``(id, n_grams, n_novel,
+    novelty)``.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -684,20 +687,57 @@ def ngram_novelty(df, id_col: str, text_col: str, n: int = 8) -> "DataFrame":
             lambda t: t != F.lit(""),
         ).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
-    grams = (
-        toks.filter(F.col("_n") >= n)
-        .select(
-            "_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, _n - {n}), "
-                        f"i -> xxhash64(array_join(slice(_toks, i + 1, {n}), ' ')))"
-                    )
-                )
-            ).alias("_g"),
-        )
+    numeric_id = dict(df.dtypes).get(id_col) in (
+        "bigint", "int", "smallint", "tinyint",
     )
+    if numeric_id:
+        # Mirror engine tokenization EXACTLY (see repetition_stats): TRIM
+        # strips ASCII space only, Java-regex \s is the ASCII class.
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def build(batches):
+            for pdf in batches:
+                out = []
+                for text in pdf[text_col]:
+                    t = "" if text is None else text.strip(" ").lower()
+                    tk = [w for w in ws.split(t) if w] if t else []
+                    out.append(
+                        list(
+                            {
+                                " ".join(tk[i : i + n])
+                                for i in range(len(tk) - n + 1)
+                            }
+                        )
+                        if len(tk) >= n
+                        else []
+                    )
+                yield pd.DataFrame({id_col: pdf[id_col], "_gs": out})
+
+        grams = (
+            df.select(id_col, text_col)
+            .mapInPandas(build, schema=f"{id_col} long, _gs array<string>")
+            .select(F.col(id_col).alias("_id"), F.explode("_gs").alias("_gstr"))
+            .select("_id", F.xxhash64("_gstr").alias("_g"))
+        )
+    else:
+        grams = (
+            toks.filter(F.col("_n") >= n)
+            .select(
+                "_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(0, _n - {n}), "
+                            f"i -> xxhash64(array_join(slice(_toks, i + 1, {n}), ' ')))"
+                        )
+                    )
+                ).alias("_g"),
+            )
+        )
     owners = grams.groupBy("_g").agg(F.min("_id").alias("_owner"))
     per_doc = (
         grams.join(owners, "_g")

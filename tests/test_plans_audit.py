@@ -525,8 +525,10 @@ def test_boilerplate_spans_shuffle_keys_are_hashes(spark):
 
 def test_ngram_novelty_shuffles_hashes_only(spark):
     """ngram_novelty's corpus-sized shuffle keys are the 64-bit gram hash
-    and the doc id — the gram STRING never leaves the scan stage (same
-    contract as dedup/spans.py)."""
+    and the doc id — the gram STRING never crosses an Exchange (same
+    contract as dedup/spans.py). Gram construction is the sanctioned
+    Arrow-batched builder (MapInPandas), hashed in the projection right
+    after it; no row-at-a-time Python."""
     from flink_1_3_2_hopsworks_spark.catalog import load_table
     from flink_1_3_2_hopsworks_spark.functions.text import ngram_novelty
 
@@ -536,7 +538,8 @@ def test_ngram_novelty_shuffles_hashes_only(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "_g#" in ln or "_id#" in ln or "doc_id#" in ln, ln
-    assert "Python" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
 
 
 def test_prefix_containment_is_block_join_shaped(spark):
