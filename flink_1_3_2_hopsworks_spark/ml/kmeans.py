@@ -1,0 +1,98 @@
+"""Spherical k-means — iterative model TRAINING as a driver loop.
+
+North-star extension (SURVEY.md §2.14): the quantizer-training step behind
+the IVF / SemDeDup / PQ serving paths (similarity/ivf.py trains through
+pyspark.ml once and freezes; THIS module is the same algorithm expressed
+on the engine's own primitives so the whole train→serve story is
+auditable end-to-end). Spherical variant (assign by max cosine, centroids
+L2-normalized after every mean) — the natural choice for embedding spaces
+and exactly the assignment expression the IVF serving path already uses
+(``ivf_cells_expr``, plan-audited).
+
+Scale + determinism contract:
+
+- One Lloyd iteration = one corpus pass: the cosine argmax over k literal
+  centroids is fused into the scan projection (no shuffle, no Python) and
+  ONE hash-aggregate computes the per-cell per-dim means (k×D tiny result
+  — the MODEL, which lives on the driver like every trained model; the
+  per-iteration collect is k rows, not data).
+- Every iteration's centroids are rounded to ``round_dp`` decimals after
+  normalization: a float mean is summation-order-dependent across engines,
+  and the rounding quantizes that last-ulp noise away — which is what
+  makes a 3-iteration run replayable bit-for-bit by the DuckDB oracle
+  (same discipline as the portable samplers). Empty cells keep their
+  previous centroid; a zero-norm mean likewise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+
+def spherical_kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    init_centroids: list[list[float]],
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Run ``iterations`` spherical Lloyd steps from ``init_centroids`` and
+    return the trained centroids (python lists — the model)."""
+    cents = [list(map(float, c)) for c in init_centroids]
+    dim = len(cents[0])
+    for _ in range(iterations):
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+        ).withColumn("_cell", ivf_cells_expr(F.col("_v"), cents, 1)[0])
+        means = (
+            assigned.groupBy("_cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("_v"), d + 1)).alias(f"_m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {r["_cell"]: [r[f"_m{d}"] for d in range(dim)] for r in means}
+        nxt = []
+        for cell, prev in enumerate(cents):
+            mv = new.get(cell)
+            if mv is None:
+                nxt.append(prev)
+                continue
+            norm = sum(x * x for x in mv) ** 0.5
+            if norm == 0.0:
+                nxt.append(prev)
+                continue
+            nxt.append([round(x / norm, round_dp) for x in mv])
+        cents = nxt
+    return cents
+
+
+def spherical_kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, cell, cosine) — final assignment against trained centroids,
+    cosine rounded to 4 dp (the serving-side expression, scan-fused)."""
+    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+
+    out = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("cell", ivf_cells_expr(F.col("_v"), centroids, 1)[0])
+    # cosine vs the ASSIGNED cell's centroid, picked by one CASE chain over
+    # the k literals (k is small — this is the model, not the data).
+    expr = F.lit(0.0)
+    for i, c in enumerate(centroids):
+        expr = F.when(F.col("cell") == i, cosine(F.col("_v"), F.lit(c))).otherwise(
+            expr
+        )
+    return out.select(
+        id_col, "cell", F.round(expr, 4).alias("cosine")
+    )

@@ -115,3 +115,29 @@ def ml_scaled_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.element_at("features", 1), 4).alias("scaled_quantity"),
     ).orderBy("l_orderkey", "l_linenumber").limit(5000)
+
+
+def ml_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means TRAINING on the engine's own primitives
+    (ml/kmeans.py): 3 Lloyd iterations from the frozen IVF init — per
+    iteration one scan-fused cosine argmax + one k×D mean aggregate,
+    centroids L2-normalized and rounded to 6 dp (the quantization that
+    makes a float mean engine-portable) — then the final assignment
+    (vec_id, cell, cosine). The DuckDB oracle replays all three unrolled
+    iterations and the assignment for a full hash-match — iterative model
+    training, not just serving, is oracle-audited."""
+    from flink_1_3_2_hopsworks_spark.ml.kmeans import (
+        spherical_kmeans_assign,
+        spherical_kmeans_fit,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = spherical_kmeans_fit(
+        emb, "embedding", FROZEN_CENTROIDS, iterations=3
+    )
+    return spherical_kmeans_assign(emb, "vec_id", "embedding", model).orderBy(
+        "vec_id"
+    )

@@ -68,3 +68,73 @@ ORACLE: dict[str, str] = {
         LIMIT 5000
     """,
 }
+
+
+def _kmeans_oracle(iterations: int = 3, round_dp: int = 6) -> str:
+    """Replays ml/kmeans.py spherical_kmeans_fit + assign: per iteration
+    the cosine-argmax assignment (ties -> lower cell, the SemDeDup/IVF
+    oracle pattern), per-cell per-dim means, L2 normalization, and the
+    round-to-6dp quantization; empty/zero-norm cells keep the previous
+    centroid. AS MATERIALIZED on every CTE (DuckDB default inlining
+    re-expands each round exponentially)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    dim = len(FROZEN_CENTROIDS[0])
+    init = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    avgs = ", ".join(f"AVG(v[{d + 1}])" for d in range(dim))
+    ctes = [
+        f"""cent0(cell, cv) AS MATERIALIZED (
+            VALUES {init}
+        )""",
+        """vecs AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )""",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+            SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cell ASC
+                ) AS rn
+                FROM vecs CROSS JOIN cent{i}
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""m{i + 1} AS MATERIALIZED (
+            SELECT cell, [{avgs}]::DOUBLE[] AS mv
+            FROM a{i} GROUP BY cell
+        )""")
+        ctes.append(f"""cent{i + 1}(cell, cv) AS MATERIALIZED (
+            SELECT p.cell,
+                CASE WHEN m.mv IS NULL
+                          OR LIST_INNER_PRODUCT(m.mv, m.mv) = 0 THEN p.cv
+                     ELSE LIST_TRANSFORM(m.mv, x ->
+                          ROUND(x / SQRT(LIST_INNER_PRODUCT(m.mv, m.mv)),
+                                {round_dp}))
+                END AS cv
+            FROM cent{i} p LEFT JOIN m{i + 1} m USING (cell)
+        )""")
+    final = f"cent{iterations}"
+    return f"""
+        WITH {", ".join(ctes)},
+        fin AS (
+            SELECT vec_id, cell, ROUND(LIST_COSINE_SIMILARITY(v, cv), 4)
+                AS cosine
+            FROM (
+                SELECT vec_id, v, cell, cv, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cell ASC
+                ) AS rn
+                FROM vecs CROSS JOIN {final}
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, cell, cosine FROM fin ORDER BY vec_id
+    """
+
+
+ORACLE["ml_kmeans_spherical"] = _kmeans_oracle()

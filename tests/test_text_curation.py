@@ -361,3 +361,63 @@ def test_cms_never_underestimates_and_merges(spark):
         (r["row"], r["bucket"]): r["n"] for r in sketch.collect()
     }
     assert merged == whole
+
+
+def test_spherical_kmeans_recovers_clusters_and_replays(spark):
+    """Fit recovers planted directions from a rotated init, matches a
+    numpy replay of the same quantized Lloyd steps, and empty cells keep
+    their previous centroid."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.ml.kmeans import (
+        spherical_kmeans_assign,
+        spherical_kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    rows = []
+    for i in range(60):
+        base = a if i % 2 else b
+        v = base + rng.normal(0, 0.05, 3)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [[0.8, 0.6, 0.0], [0.6, 0.8, 0.0], [0.0, 0.0, 1.0]]
+    model = spherical_kmeans_fit(df, "embedding", init, iterations=3)
+
+    # numpy replay of the same quantized Lloyd steps
+    X = np.array([r[1] for r in rows])
+    cents = np.array(init, dtype=np.float64)
+    for _ in range(3):
+        cos = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (
+            cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        ).T
+        assign = cos.argmax(axis=1)
+        nxt = cents.copy()
+        for c in range(len(init)):
+            pts = X[assign == c]
+            if len(pts):
+                m = pts.mean(axis=0)
+                n = np.sqrt((m * m).sum())
+                if n > 0:
+                    nxt[c] = np.round(m / n, 6)
+        cents = nxt
+    assert np.allclose(np.array(model), cents, atol=2e-6)
+
+    # the two planted directions are recovered; the z cell stayed put
+    # (no points assigned -> previous centroid kept)
+    got = np.array(model)
+    assert abs(got[0] @ a) > 0.98 or abs(got[1] @ a) > 0.98
+    assert abs(got[0] @ b) > 0.98 or abs(got[1] @ b) > 0.98
+    assert np.allclose(got[2], [0.0, 0.0, 1.0])
+
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in spherical_kmeans_assign(
+            df, "vec_id", "embedding", model
+        ).collect()
+    }
+    evens = {out[i] for i in range(0, 60, 2)}
+    odds = {out[i] for i in range(1, 60, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
