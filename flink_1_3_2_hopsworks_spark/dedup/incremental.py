@@ -229,6 +229,10 @@ def incremental_near_ingest(
         survivors, id_col, text_col, threshold=threshold,
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
         max_bucket=max_bucket, portable=portable,
+        # Geometry recall is this composition's own documented trade; the
+        # corpus-probe step above shares it, so one warning would fire
+        # per ingest on every default call — accuracy is gate-measured.
+        recall_floor=None,
     )
     clustered = resolve_duplicate_clusters(survivors, edges, id_col)
 

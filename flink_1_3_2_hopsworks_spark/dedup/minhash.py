@@ -44,6 +44,36 @@ def _perm(base: Column, a: int, b: int) -> Column:
     return F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
 
 
+def lsh_catch_probability(threshold: float, bands: int, rows: int) -> float:
+    """P(a pair at exactly ``threshold`` Jaccard shares >=1 LSH band) =
+    1-(1-j^r)^b — the band-geometry recall at the operating point."""
+    return 1.0 - (1.0 - threshold**rows) ** bands
+
+
+def _warn_if_low_recall(
+    threshold: float, bands: int, rows: int, recall_floor: float | None
+) -> None:
+    """The r=8 default geometry trades recall at low thresholds for a
+    measured ~2× decade-scale win (SCALE_MINHASH_PARAMS.json). That trade
+    must be CONSCIOUS: when the band-geometry catch probability at the
+    caller's own threshold falls below ``recall_floor``, warn with the
+    fix (scale bands with num_hashes so r stays put, or lower r)."""
+    if recall_floor is None:
+        return
+    p = lsh_catch_probability(threshold, bands, rows)
+    if p < recall_floor:
+        warnings.warn(
+            f"minhash LSH geometry {bands} bands x {rows} rows catches a "
+            f"j={threshold} pair with p={p:.3f} < recall_floor="
+            f"{recall_floor}. Scale bands with num_hashes to keep r "
+            f"(e.g. num_hashes={16 * bands}, bands={2 * bands} keeps "
+            f"r={rows // 2 if rows >= 2 else rows}), lower num_hashes for "
+            f"a smaller r, or pass recall_floor=None to accept the trade.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def char_shingles(text: Column | str, k: int = 5) -> Column:
     """Distinct character k-shingles of normalized text (array<string>)."""
     col = F.col(text) if isinstance(text, str) else text
@@ -147,6 +177,7 @@ def minhash_near_dups(
     persist: bool = True,
     candidate_budget: int | None = None,
     on_over_budget: str = "raise",
+    recall_floor: float | None = 0.9,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -173,6 +204,9 @@ def minhash_near_dups(
     LSH recall: with b bands of r rows, P(candidate) = 1-(1-j^r)^b. The
     default geometry is 8 bands × 8 rows (num_hashes=64, r=8): a j=0.8 pair
     is caught with p≈0.77, j=0.85 → 0.91, j=0.9 → 0.98, j=0.95 → 0.9998.
+    When that catch probability AT THE CALLER'S THRESHOLD falls below
+    ``recall_floor`` (default 0.9) the call warns so the trade is conscious
+    — pass ``recall_floor=None`` to accept the geometry silently.
     r=8 is the measured scale default — on a low-entropy corpus it halved
     the decade-scale wall vs r=4 with identical results, because the
     band-collision candidate stream (the pairs-mode cost driver) shrinks
@@ -205,6 +239,7 @@ def minhash_near_dups(
     sf10 turned into a timeout; 601 s → 210 s, SCALE_SF10.json).
     """
     rows = num_hashes // bands
+    _warn_if_low_recall(threshold, bands, rows, recall_floor)
     shingles = _shingles(df, id_col, text_col, shingle_k)
     sig = _signatures(shingles, num_hashes, portable)
     # Lifecycle: callers looping over corpora pass persist=False and accept
@@ -374,6 +409,7 @@ def minhash_star_edges(
     max_bucket: int = 1000,
     portable: bool = False,
     persist: bool = True,
+    recall_floor: float | None = 0.9,
 ) -> DataFrame:
     """LINEAR near-dup edge generation for cluster resolution (the 100 TB
     shape of fuzzy dedup): per LSH bucket, emit only the star edges
@@ -401,6 +437,7 @@ def minhash_star_edges(
     Θ(docs × bands) regardless of bucket sizes. Same capping as pairs mode.
     """
     rows = num_hashes // bands
+    _warn_if_low_recall(threshold, bands, rows, recall_floor)
     sig = _signatures(
         _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
     )

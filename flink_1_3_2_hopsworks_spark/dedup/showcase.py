@@ -50,7 +50,12 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator in SQL. Accuracy vs. the exact-Jaccard baseline is
     additionally pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
+    return minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.8, portable=True,
+        # r=8 geometry consciously chosen (measured decade-scale trade);
+        # recall at the operating point is pytest-measured, not silent.
+        recall_floor=None,
+    )
 
 
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +68,23 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only). Production callers use the default xxhash64."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(
+        docs, "doc_id", "text", max_distance=8, hash_expr=portable_hash60
+    )
+
+
+def dd_simhash_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash star-edge near-dup edges (dedup/simhash.py
+    simhash_star_edges) — the LINEAR cluster-goal geometry: per 16-bit-chunk
+    bucket only (bucket-min anchor, member) XOR-popcount-verified edges,
+    Θ(docs × 4) regardless of bucket sizes, plus the Hamming-0 canonical
+    star. The scale answer to the pairs mode's quadratic bucket
+    co-membership (the r7 sf10 worst case); dd_simhash_pairs survives as
+    the explicit audit gate. Portable hash → the DuckDB oracle replays
+    fingerprints, blocking, cap, anchor choice, and verify in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+
+    return simhash_star_edges(
         docs, "doc_id", "text", max_distance=8, hash_expr=portable_hash60
     )
 
@@ -236,7 +258,9 @@ def pipe_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster resolution replays as a recursive-CTE transitive closure
     (min reachable id ≡ the label-propagation fixpoint)."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_star_edges(docs, "doc_id", "text", threshold=0.8, portable=True)
+    edges = minhash_star_edges(
+        docs, "doc_id", "text", threshold=0.8, portable=True, recall_floor=None
+    )
     return resolve_duplicate_clusters(docs, edges, "doc_id").orderBy("doc_id")
 
 
@@ -249,7 +273,9 @@ def pipe_near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     default composes star edges instead. The oracle replays the portable
     pairs and the transitive closure exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.8, portable=True)
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.8, portable=True, recall_floor=None
+    )
     return resolve_duplicate_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 

@@ -8,10 +8,17 @@ caps → verification). Accuracy vs exact baselines stays pytest-covered.
 """
 
 
-def _simhash_oracle(bits: int = 60, max_distance: int = 8, max_bucket: int = 1000) -> str:
+def _simhash_oracle(
+    bits: int = 60,
+    max_distance: int = 8,
+    max_bucket: int = 1000,
+    mode: str = "pairs",
+) -> str:
     """Replays dedup/simhash.py with portable_hash60 in DuckDB SQL; the
     per-bit majority sums are generated (60 small SUMs, mirroring the Spark
-    side's packed accumulators)."""
+    side's packed accumulators). ``mode="pairs"`` replays the full
+    bucket-join pair listing; ``mode="stars"`` replays simhash_star_edges
+    (bucket-min anchor vs members only)."""
     bit_sums = ",\n                ".join(
         f"SUM((h >> {b}) & 1) AS b{b}" for b in range(bits)
     )
@@ -56,6 +63,19 @@ def _simhash_oracle(bits: int = 60, max_distance: int = 8, max_bucket: int = 100
                 FROM chunked
             ) WHERE bsize <= {max_bucket}
         ),
+        anchors AS (
+            SELECT ci, cv, MIN(doc_id) AS aid FROM capped GROUP BY ci, cv
+        ),
+        anch AS (
+            SELECT a.ci, a.cv, a.aid, f.simhash AS afp
+            FROM anchors a JOIN fps f ON f.doc_id = a.aid
+        ),
+        stars AS (
+            SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b,
+                CAST(BIT_COUNT(XOR(n.afp, c.simhash)) AS BIGINT) AS hamming
+            FROM capped c
+            JOIN anch n ON c.ci = n.ci AND c.cv = n.cv AND c.doc_id > n.aid
+        ),
         blocked AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -71,7 +91,8 @@ def _simhash_oracle(bits: int = 60, max_distance: int = 8, max_bucket: int = 100
                 FROM fps
             ) WHERE doc_id <> min_id
         )
-        SELECT * FROM blocked WHERE hamming <= {max_distance}
+        SELECT * FROM {"stars" if mode == "stars" else "blocked"}
+        WHERE hamming <= {max_distance}
         UNION
         SELECT * FROM exact
     """
@@ -531,6 +552,7 @@ def _semantic_dedup_oracle(threshold: float = 0.40) -> str:
 
 ORACLE: dict[str, str] = {
     "dd_simhash_pairs": _simhash_oracle(),
+    "dd_simhash_stars": _simhash_oracle(mode="stars"),
     "pipe_near_dedup": _near_dedup_oracle(_minhash_star_oracle()),
     "pipe_near_dedup_pairs": _near_dedup_oracle(),
     "pipe_incremental_near_ingest": _incremental_near_oracle(),
@@ -1178,9 +1200,9 @@ def _gopher_oracle(
     )
     return f"""
         WITH t AS (
-            SELECT doc_id, text,
-                CASE WHEN LENGTH(TRIM(LOWER(text))) = 0 THEN []
-                     ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+            SELECT doc_id, COALESCE(text, '') AS text,
+                CASE WHEN LENGTH(TRIM(LOWER(COALESCE(text, '')))) = 0 THEN []
+                     ELSE STRING_SPLIT_REGEX(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
                 END AS tk
             FROM documents
         ), m AS (
@@ -1189,7 +1211,8 @@ def _gopher_oracle(
                      ELSE LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) * 1.0
                           / LEN(tk) END AS mwl,
                 CASE WHEN LEN(tk) = 0 THEN 0.0
-                     ELSE LENGTH(REGEXP_REPLACE(text, '[^#…]', '', 'g')) * 1.0
+                     ELSE (LENGTH(REGEXP_REPLACE(text, '[^#…]', '', 'g'))
+                           + LEN(REGEXP_EXTRACT_ALL(text, '\\.{{3}}'))) * 1.0
                           / LEN(tk) END AS symr,
                 CASE WHEN LEN(tk) = 0 THEN 0.0
                      ELSE LEN(LIST_FILTER(tk, x -> REGEXP_MATCHES(x, '[a-z]')))
@@ -1299,16 +1322,19 @@ def _c4_clean_oracle(min_words: int = 5) -> str:
     """
 
 
-def _line_dedup_oracle(min_docs: int = 2) -> str:
+def _line_dedup_oracle(min_docs: int = 2, min_chars: int = 1) -> str:
     """Replays functions/text.py remove_duplicate_lines over the linified
-    twin, with normalized line STRINGS as keys (engine keys on xxhash64)."""
+    twin, with normalized line STRINGS as keys (engine keys on xxhash64);
+    trivial lines (normalized length < min_chars) are exempt."""
     return f"""
         WITH {_linified_sql(punctuate=False)},
         ln AS (
             SELECT doc_id, STRING_SPLIT(text, chr(10)) AS lines FROM lin
         ), ex AS (
-            SELECT doc_id, i, LOWER(TRIM(lines[i + 1])) AS key
-            FROM ln, UNNEST(RANGE(0, LEN(lines))) u(i)
+            SELECT * FROM (
+                SELECT doc_id, i, LOWER(TRIM(lines[i + 1])) AS key
+                FROM ln, UNNEST(RANGE(0, LEN(lines))) u(i)
+            ) WHERE LENGTH(key) >= {min_chars}
         ), shared AS (
             SELECT key FROM (
                 SELECT key, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY key

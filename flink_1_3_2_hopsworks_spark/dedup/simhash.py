@@ -26,6 +26,7 @@ pair go unseen — the standard LSH-cap recall trade.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -115,6 +116,70 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _budget_guard(
+    bucket_sizes: DataFrame,
+    max_bucket: int,
+    candidate_budget: int,
+    on_over_budget: str,
+) -> None:
+    """Σ size·(size−1)/2 over under-cap chunk buckets — the candidate-pair
+    count the blocking join will enumerate — estimated from the bucket-size
+    aggregate BEFORE the quadratic join runs (one small eager job). Over
+    budget: raise (default) or warn, pointing at the scale-safe
+    alternatives (same playbook as minhash_near_dups' guard)."""
+    if on_over_budget not in ("raise", "warn"):
+        raise ValueError(
+            f"on_over_budget must be 'raise' or 'warn', got {on_over_budget!r}"
+        )
+    est = (
+        bucket_sizes.filter(F.col("_bsize") <= max_bucket)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_bsize") * (F.col("_bsize") - 1) / 2), F.lit(0.0)
+            ).alias("n")
+        )
+        .collect()[0]["n"]
+    )
+    if est > candidate_budget:
+        msg = (
+            f"simhash_near_dups: estimated {est:.0f} under-cap candidate "
+            f"pairs exceeds candidate_budget={candidate_budget}. Pair "
+            "listing is inherently quadratic in chunk-bucket co-membership; "
+            "use simhash_star_edges for cluster resolution, or lower "
+            "max_bucket."
+        )
+        if on_over_budget == "raise":
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
+def _chunked_capped(
+    fps: DataFrame, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """(capped, bucket_sizes): 4 chunk rows per doc, oversized
+    (chunk-index, chunk-value) buckets anti-joined away. Cap via a
+    broadcast ANTI-join against the (≤4·65536-row) oversized list — NOT a
+    window count over (ci, cv): the hot bucket the cap exists for is
+    exactly the partition a WindowExec would buffer whole in one task,
+    while the hash-aggregate takes a map-side partial."""
+    chunked = fps.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("ci"), _chunk(F.col("simhash"), i).alias("cv"))
+                for i in range(4)
+            ])
+        ).alias("_c"),
+    ).select("_id", "simhash", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
+    bucket_sizes = chunked.groupBy("ci", "cv").agg(
+        F.count(F.lit(1)).alias("_bsize")
+    )
+    oversized = bucket_sizes.filter(F.col("_bsize") > max_bucket).select("ci", "cv")
+    capped = chunked.join(F.broadcast(oversized), ["ci", "cv"], "left_anti")
+    return capped, bucket_sizes
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -124,8 +189,19 @@ def simhash_near_dups(
     hash_expr: Callable[[Column], Column] | None = None,
     fingerprints: DataFrame | None = None,
     persist: bool = True,
+    candidate_budget: int | None = None,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Pairs (id_a < id_b) with simhash Hamming distance <= max_distance.
+
+    This is the PAIR-LISTING (audit) form: output size is the candidate
+    pair count, inherently super-linear on low-entropy corpora (measured:
+    the sf10 decade ratio was 9.65× — the worst in the suite — before the
+    star mode existed). When the goal is duplicate CLUSTERS, use
+    :func:`simhash_star_edges` (Θ(docs × 4) edges regardless of bucket
+    sizes). ``candidate_budget`` estimates the under-cap pair count from
+    the bucket-size aggregate before enumerating (one small eager job) and
+    raises/warns over budget — same guard as minhash_near_dups.
 
     Scale path: 4-chunk blocking turns the quadratic pair space into
     per-chunk-value buckets; verification is an integer XOR popcount.
@@ -156,29 +232,9 @@ def simhash_near_dups(
         )
         if persist:
             fps = fps.persist()
-    chunked = fps.select(
-        "_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("ci"), _chunk(F.col("simhash"), i).alias("cv"))
-                for i in range(4)
-            ])
-        ).alias("_c"),
-    ).select("_id", "simhash", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
-
-    # Cap oversized buckets via a broadcast ANTI-join against the (tiny)
-    # oversized-bucket list — NOT a window count over (ci, cv): the hot
-    # bucket the cap exists for is exactly the partition a WindowExec would
-    # have to buffer whole in one task. The hash-aggregate does a map-side
-    # partial instead, and the ≤4·65536-row count table broadcasts.
-    oversized = (
-        chunked.groupBy("ci", "cv")
-        .agg(F.count(F.lit(1)).alias("_bsize"))
-        .filter(F.col("_bsize") > max_bucket)
-        .select("ci", "cv")
-    )
-    capped = chunked.join(F.broadcast(oversized), ["ci", "cv"], "left_anti")
+    capped, bucket_sizes = _chunked_capped(fps, max_bucket)
+    if candidate_budget is not None:
+        _budget_guard(bucket_sizes, max_bucket, candidate_budget, on_over_budget)
 
     left = capped.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"))
     right = capped.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"))
@@ -211,3 +267,82 @@ def simhash_near_dups(
         )
     )
     return blocked.unionByName(exact).dropDuplicates(["id_a", "id_b"])
+
+
+def simhash_star_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    hash_expr: Callable[[Column], Column] | None = None,
+    fingerprints: DataFrame | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """LINEAR near-dup edge generation for cluster resolution — the simhash
+    twin of :func:`~flink_1_3_2_hopsworks_spark.dedup.minhash.minhash_star_edges`
+    (the r7 playbook that fixed minhash's decade-scale quadratic, applied
+    verbatim): per (chunk-index, chunk-value) blocking bucket, emit only
+    the verified star edges (bucket-min anchor ↔ member, XOR-popcount
+    Hamming <= ``max_distance``) — Θ(size) edges per bucket instead of the
+    O(size²) pair expansion. The Hamming verify is CHEAPER than minhash's
+    estimator (one XOR + bit_count vs num_hashes compares), so the star
+    reduction is strictly easier here.
+
+    For connected components the star edges connect exactly the members
+    the verify accepts against the bucket's min doc — a subset of the pair
+    graph with identical precision (every edge passed the same
+    ``<= max_distance`` check); connectivity can only split where a
+    bucket's anchor is NOT within distance of two members that ARE within
+    distance of each other, and each of the 4 independent chunk buckets
+    gives such a pair another chance to meet through a shared anchor.
+    Identical-fingerprint docs co-locate in ALL buckets, and the
+    Hamming-0 canonical star (union'd below, same as pairs mode)
+    guarantees exact duplicates connect even when every chunk bucket of a
+    degenerate group is capped away.
+
+    Scale shape: one hash-aggregate row per bucket (min of a struct —
+    anchor id WITH its fingerprint, no second pass) plus one bucket-keyed
+    join; total work Θ(docs × 4) regardless of bucket sizes. Same
+    ``max_bucket`` capping as pairs mode.
+    """
+    if fingerprints is not None:
+        fps = fingerprints.withColumnRenamed(id_col, "_id")
+    else:
+        fps = simhash_fingerprints(df, id_col, text_col, hash_expr=hash_expr).withColumnRenamed(
+            id_col, "_id"
+        )
+        if persist:
+            fps = fps.persist()
+    capped, _ = _chunked_capped(fps, max_bucket)
+
+    # The anchor row per bucket in ONE hash-aggregate: min of a struct
+    # whose first field is the id picks the min-id row WITH its
+    # fingerprint — no second join against a min-id list.
+    anchors = capped.groupBy("ci", "cv").agg(
+        F.min(F.struct(F.col("_id"), F.col("simhash"))).alias("_m")
+    )
+    stars = (
+        capped.join(anchors, ["ci", "cv"])
+        .filter(F.col("_id") > F.col("_m._id"))
+        .withColumn(
+            "hamming", hamming64(F.col("_m.simhash"), F.col("simhash")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select(
+            F.col("_m._id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            "hamming",
+        )
+    )
+    canon = fps.groupBy("simhash").agg(F.min("_id").alias("_cid"))
+    exact = (
+        fps.join(canon, "simhash")
+        .filter(F.col("_id") != F.col("_cid"))
+        .select(
+            F.col("_cid").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return stars.unionByName(exact).dropDuplicates(["id_a", "id_b"])

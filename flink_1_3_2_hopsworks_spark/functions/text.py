@@ -610,22 +610,25 @@ def gopher_quality_rules(
     verdicts explain themselves; compose ``.filter("kept")`` to curate).
 
     Pure column expressions over one whitespace tokenization — scan-shaped,
-    no shuffle, no Python; every signal replays in SQL.
+    no shuffle, no Python; every signal replays in SQL. NULL text behaves as
+    the empty document (n_words=0, kept=False), matching the null-safe
+    handling of the sibling curation operators.
     """
     words = stop_words if stop_words is not None else GOPHER_STOPWORDS
 
-    def _hit_pred(ws):
-        return lambda t: t.isin(*ws)
-
-    toks = tokens(F.lower(F.col(text_col)))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.lower(txt))
     n = F.size(toks)
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     mean_wl = F.when(n == 0, F.lit(0.0)).otherwise(total_len / n)
+    # Gopher counts '#' or ellipsis as symbols; ellipsis is the Unicode
+    # character OR an ASCII three-dot run ('...', dominant in web text) —
+    # each non-overlapping 3-dot run counts once ('......' = 2).
     n_symbols = F.length(
-        F.regexp_replace(F.col(text_col), r"[^#…]", "")
-    )
+        F.regexp_replace(txt, r"[^#…]", "")
+    ) + F.size(F.regexp_extract_all(txt, F.lit(r"\.{3}"), 0))
     symbol_ratio = F.when(n == 0, F.lit(0.0)).otherwise(n_symbols / n)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(n_alpha / n)
@@ -818,12 +821,21 @@ def remove_duplicate_lines(
     id_col: str,
     text_col: str,
     min_docs: int = 2,
+    min_chars: int = 1,
 ) -> "DataFrame":
     """Cross-document line deduplication (the CCNet/RefinedWeb shared-line
     policy at LINE granularity): a normalized line (lower + trim) occurring
     in at least ``min_docs`` DISTINCT documents is boilerplate and is
     dropped from EVERY document. One row per input doc:
     ``(id, n_lines, n_removed, clean_text)``.
+
+    Trivial lines are EXEMPT: a line whose normalized form is shorter than
+    ``min_chars`` (default 1 — empty/whitespace-only lines) never joins the
+    shared-line population and is never dropped. All such lines normalize
+    to the same hash and occur in ≥ min_docs docs in any real corpus, so
+    without the exemption every blank line — i.e. all paragraph structure —
+    would be stripped from every document, which the CCNet-style policy
+    deliberately avoids (mirrors the min-words guard in clean_lines_c4).
 
     Scale shape (same contract as dedup/spans.py): line hashes are
     computed in the scan projection — the 64-bit hash is the only
@@ -834,10 +846,15 @@ def remove_duplicate_lines(
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(F.col(id_col).alias("_id"), F.split(text, "\n").alias("_lines"))
-    exploded = base.select(
-        "_id",
-        F.posexplode("_lines").alias("_idx", "_ln"),
-    ).select("_id", "_idx", F.xxhash64(F.lower(F.trim("_ln"))).alias("_lh"))
+    exploded = (
+        base.select(
+            "_id",
+            F.posexplode("_lines").alias("_idx", "_ln"),
+        )
+        .select("_id", "_idx", F.lower(F.trim("_ln")).alias("_norm"))
+        .filter(F.length("_norm") >= min_chars)
+        .select("_id", "_idx", F.xxhash64("_norm").alias("_lh"))
+    )
     shared = (
         exploded.groupBy("_lh")
         .agg(F.countDistinct("_id").alias("_nd"))

@@ -21,15 +21,34 @@ Scale + determinism contract:
   and the rounding quantizes that last-ulp noise away — which is what
   makes a 3-iteration run replayable bit-for-bit by the DuckDB oracle
   (same discipline as the portable samplers). Empty cells keep their
-  previous centroid; a zero-norm mean likewise.
+  previous centroid; a zero-norm mean likewise. Residual hazard (accepted,
+  documented): ``F.avg`` partial sums follow the partition schedule, so a
+  pathological near-tie could still flip the ``round_dp``-th decimal
+  between runs — the oracle gate would catch it, and raising ``round_dp``
+  tolerance is the remedy. Rounding mode is HALF_UP (``_round_half_up``),
+  matching DuckDB ROUND / Spark F.round.
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Half-AWAY-FROM-ZERO rounding, matching DuckDB ROUND and Spark
+    F.round (HALF_UP). Python's builtin round() is banker's (half-to-even):
+    an exact .5 tie at the ``dp``-th decimal would break the module's
+    bit-for-bit oracle-replay contract. Ties at the 6th decimal of an
+    IEEE-754 quotient are astronomically rare — but the contract is exact
+    replay, so the rounding mode is pinned, not assumed."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP)
+    )
 
 
 def spherical_kmeans_fit(
@@ -68,7 +87,7 @@ def spherical_kmeans_fit(
             if norm == 0.0:
                 nxt.append(prev)
                 continue
-            nxt.append([round(x / norm, round_dp) for x in mv])
+            nxt.append([_round_half_up(x / norm, round_dp) for x in mv])
         cents = nxt
     return cents
 

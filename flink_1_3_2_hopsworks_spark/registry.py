@@ -251,6 +251,41 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         6,
     ),
+    # r07 cohort (overrides earlier entries — CORRECTNESS_r07.json proved
+    # the 13 round-7 additions plus the then-stalest r04-era names).
+    # Deliberately absent, so they sort first for round-8 re-proving
+    # (their round-8 code/oracle changes invalidate the r07 proof):
+    #   text_line_dedup          — empty-line exemption (ADVICE r7)
+    #   pipe_gopher_filter       — ASCII-ellipsis symbols + NULL coalesce
+    #   ml_kmeans_spherical      — half-up rounding contract
+    #   dd_prefix_dups           — hash-only shuffle reshape
+    #   pipe_model_quality_filter— trained (not random-ish) frozen weights
+    **dict.fromkeys(
+        [
+            "dd_minhash_pairs",
+            "ds_chain_revenue", "ev_sliding_2h_1h", "ev_tumbling_hourly",
+            "fn_rich_broadcast_lookup",
+            "ml_linreg_price", "ml_scaled_quantity", "mm_binary_stats",
+            "op_asof_join", "op_bulk_iteration", "op_delta_iteration",
+            "op_group_reduce_stats", "op_heavy_hitters_cms", "op_histogram",
+            "op_intersect_all", "op_interval_join", "op_join_with_huge",
+            "op_join_with_tiny", "op_minus_all", "op_percentiles",
+            "op_range_band_join", "op_sample_fixed_size", "op_split_select",
+            "op_stratified_sample", "op_summarize",
+            "pipe_c4_clean", "pipe_corpus_clean", "pipe_corpus_diff",
+            "pipe_incremental_near_ingest",
+            "pipe_near_dedup", "pipe_near_dedup_pairs",
+            "pipe_temperature_mixture",
+            "q10_returned_items", "q18_large_volume_customer",
+            "q1_pricing_summary",
+            "sim_pq_topk",
+            "tbl_expr_priority_stats", "tbl_over_running_revenue",
+            "tbl_sql_region_year_revenue", "tbl_tumble_daily_by_type",
+            "text_ngram_novelty", "text_oov_rate", "text_pack_sequences",
+            "text_pii_redact", "text_tfidf_top_terms",
+        ],
+        7,
+    ),
 }
 
 

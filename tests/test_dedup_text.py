@@ -436,7 +436,9 @@ def test_minhash_candidate_budget_guard(spark):
 
     with _w.catch_warnings():
         _w.simplefilter("error")
-        minhash_near_dups(docs, "doc_id", "text", candidate_budget=10_000)
+        minhash_near_dups(
+            docs, "doc_id", "text", candidate_budget=10_000, recall_floor=None
+        )
 
     # capped buckets are excluded from the estimate: with max_bucket=10 the
     # single 30-doc bucket per band is dropped, so 0 candidates survive and
@@ -637,3 +639,82 @@ def test_incremental_near_ingest_rejects_mismatched_store(spark, tmp_path):
         incremental_near_ingest(
             batch, store, "doc_id", "text", shingle_k=7, portable=True
         )
+
+
+def test_simhash_star_edges_subset_of_pairs(spark):
+    """Star edges are a verified subset of the pair graph with identical
+    per-edge hamming (a pure function of the two fingerprints)."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = simhash_near_dups(corpus, "doc_id", "text", max_distance=8)
+    stars = simhash_star_edges(corpus, "doc_id", "text", max_distance=8)
+    pair_rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    star_rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in stars.collect()}
+    assert set(star_rows) <= set(pair_rows)
+    assert star_rows  # non-trivial on the gate corpus
+    for k, h in star_rows.items():
+        assert pair_rows[k] == h
+
+
+def test_simhash_star_edges_connect_exact_duplicates_past_cap(spark):
+    """>max_bucket identical docs: every chunk bucket is capped away, yet
+    the Hamming-0 canonical star still connects the group — N-1 edges to
+    the min id, never N^2."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+
+    rows = [(i, "same duplicated payload text") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_star_edges(docs, "doc_id", "text", max_bucket=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {
+        (0, i) for i in range(1, 30)
+    }
+    assert all(r["hamming"] == 0 for r in out)
+
+
+def test_simhash_candidate_budget_guard(spark):
+    """Same guard contract as minhash: the under-cap candidate estimate
+    comes from the bucket-size aggregate before enumeration; over budget
+    raises (default) or warns-and-proceeds; capped buckets are excluded."""
+    rows = [
+        (i, "the exact same duplicated payload text appears here verbatim")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # identical fingerprints co-bucket in all 4 chunks: 4 x C(30,2) = 1740
+    with pytest.raises(ValueError, match="candidate_budget"):
+        simhash_near_dups(docs, "doc_id", "text", candidate_budget=100)
+
+    with pytest.warns(RuntimeWarning, match="candidate_budget"):
+        out = simhash_near_dups(
+            docs, "doc_id", "text", candidate_budget=100, on_over_budget="warn"
+        )
+    assert out.count() == 30 * 29 // 2
+
+    # capped buckets are excluded from the estimate: max_bucket=10 drops
+    # all four 30-doc buckets, so even budget 0 passes.
+    simhash_near_dups(docs, "doc_id", "text", max_bucket=10, candidate_budget=0)
+
+    with pytest.raises(ValueError, match="on_over_budget"):
+        simhash_near_dups(
+            docs, "doc_id", "text", candidate_budget=1, on_over_budget="bogus"
+        )
+
+
+def test_minhash_recall_floor_warning(spark):
+    """The default r=8 geometry catches a j=0.8 pair with p~0.77: below
+    the 0.9 recall floor the call WARNS so the trade is conscious; a high
+    threshold (p~0.9998) or recall_floor=None is silent."""
+    import warnings as _w
+
+    docs = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.warns(RuntimeWarning, match="recall_floor"):
+        minhash_near_dups(docs, "doc_id", "text", threshold=0.8)
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+
+    with pytest.warns(RuntimeWarning, match="recall_floor"):
+        minhash_star_edges(docs, "doc_id", "text", threshold=0.8)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        minhash_near_dups(docs, "doc_id", "text", threshold=0.95)
+        minhash_near_dups(docs, "doc_id", "text", threshold=0.8, recall_floor=None)

@@ -421,3 +421,45 @@ def test_spherical_kmeans_recovers_clusters_and_replays(spark):
     evens = {out[i] for i in range(0, 60, 2)}
     odds = {out[i] for i in range(1, 60, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_gopher_counts_ascii_ellipsis_and_nulls(spark):
+    """ASCII three-dot ellipsis runs count toward the symbol ratio (the
+    published Gopher rule counts '#' or '...'; pre-fix only the Unicode
+    ellipsis counted), and NULL text behaves as the empty doc."""
+    dotty = " ".join(["the"] * 55 + ["..."] * 7)  # 7/62 > 0.1 symbol ratio
+    docs = spark.createDataFrame(
+        [(1, dotty), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_rules(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["n_words"] == 62
+    assert got[1]["symbol_ratio"] == round(7 / 62, 4)
+    assert got[1]["ok_symbols"] is False and got[1]["kept"] is False
+    assert got[2]["n_words"] == 0
+    assert got[2]["kept"] is False  # False, not NULL
+
+
+def test_remove_duplicate_lines_exempts_blank_lines(spark):
+    """Empty/whitespace-only lines are exempt from the shared-line
+    population: they occur in >= min_docs docs in any real corpus and
+    would otherwise strip all paragraph structure from every document
+    (the CCNet-style policy this operator mirrors avoids exactly that)."""
+    shared = "this exact line is shared boilerplate"
+    docs = spark.createDataFrame(
+        [
+            (1, f"para one\n\n{shared}\n\npara two"),
+            (2, f"{shared}\n \nother text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_lines(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["n_removed"] == 1
+    assert got[1]["clean_text"] == "para one\n\n\npara two"
+    assert got[2]["n_removed"] == 1
+    assert got[2]["clean_text"] == " \nother text"
