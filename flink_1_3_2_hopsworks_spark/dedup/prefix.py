@@ -17,11 +17,18 @@ Relational shape, linear in the corpus:
   The key is computed in the scan projection; at 100 TB the block key is
   as selective as a fingerprint, so buckets are duplicate groups, not
   hash accidents — ``max_bucket`` caps degenerate template corpora.
-- Verify INSIDE the bucket join: the candidate is a real truncation iff
-  md5(first n_short tokens of the long doc) == md5(short doc) over the
-  normalized token stream. The md5 of the short side is precomputed; the
-  long side hashes one slice per candidate — work ∝ candidates, and
-  candidates ∝ true duplicate groups.
+- Verify AFTER the bucket join, back on the scan: the candidate is a real
+  truncation iff md5(first n_short tokens of the long doc) == md5(short
+  doc) over the normalized token stream. The md5 of the short side is
+  precomputed in the scan projection; the long side's slice hash is
+  computed by re-joining the (cap-bounded, broadcast) candidate list
+  against the token scan — so the ONLY corpus-sized shuffle rows are
+  (pk, id, n, fp) hashes, never the token arrays (the same hash-only
+  shuffle contract dedup/spans.py pins: the corpus text never leaves the
+  scan projection; plan-audited in tests/test_plans_audit.py). Work ∝
+  candidates, and candidates ∝ true duplicate groups. The second corpus
+  scan this costs is the documented trade — a columnar re-scan is cheap
+  next to shuffling every ≥prefix_k-token document's full text.
 
 Output pairs are (id_short, id_long): the long doc is the keeper (it
 subsumes the short), so the standard removal composition drops id_short.
@@ -55,12 +62,15 @@ def prefix_containment_pairs(
             lambda t: t != F.lit(""),
         ).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
-    keyed = (
-        toks.filter(F.col("_n") >= prefix_k)
-        .withColumn(
-            "_pk", F.xxhash64(F.expr(f"array_join(slice(_toks, 1, {prefix_k}), ' ')"))
-        )
-        .withColumn("_fp", F.md5(F.array_join("_toks", " ")))
+    # Hash-only projection: the token arrays stay in the scan — every row
+    # that reaches an Exchange from here on is (pk, id, n, fp).
+    keyed = toks.filter(F.col("_n") >= prefix_k).select(
+        "_id",
+        "_n",
+        F.xxhash64(
+            F.expr(f"array_join(slice(_toks, 1, {prefix_k}), ' ')")
+        ).alias("_pk"),
+        F.md5(F.array_join("_toks", " ")).alias("_fp"),
     )
     oversized = (
         keyed.groupBy("_pk")
@@ -80,22 +90,30 @@ def prefix_containment_pairs(
         "_pk",
         F.col("_id").alias("id_long"),
         F.col("_n").alias("_n_l"),
-        F.col("_toks").alias("_toks_l"),
     )
     # Canonical orientation: short side strictly smaller, or equal length
     # with the lower id — every unordered pair appears exactly once.
     orient = (F.col("_n_s") < F.col("_n_l")) | (
         (F.col("_n_s") == F.col("_n_l")) & (F.col("id_short") < F.col("id_long"))
     )
+    cand = (
+        short.join(long_, "_pk")
+        .filter(orient)
+        .select("id_short", "id_long", "_n_s", "_fp_s")
+    )
+    # Verify against the token SCAN: candidates are cap-bounded (∝ true
+    # duplicate groups), so they BROADCAST back onto the corpus and the
+    # slice hash is computed map-side — one md5 per candidate, no token
+    # array ever shuffled.
     verify = (
         F.md5(
-            F.array_join(F.slice(F.col("_toks_l"), F.lit(1), F.col("_n_s")), " ")
+            F.array_join(F.slice(F.col("_toks"), F.lit(1), F.col("_n_s")), " ")
         )
         == F.col("_fp_s")
     )
     return (
-        short.join(long_, "_pk")
-        .filter(orient)
+        toks.select(F.col("_id").alias("id_long"), "_toks")
+        .join(F.broadcast(cand), "id_long")
         .filter(verify)
         .select(
             "id_short",

@@ -56,8 +56,12 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: list[list[list[float]]],
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code_0..code_{M-1}) — the persisted form of a PQ index.
+    """(id, [passthrough...], code_0..code_{M-1}) — the persisted form of a
+    PQ index. ``passthrough_cols`` ride the Arrow batch unchanged (e.g. the
+    IVF ``_cell`` computed in the upstream scan projection — see
+    ``ivfpq_topk``).
 
     argmin_j ‖sub − c_j‖² = argmin_j (‖c_j‖² − 2·<sub, c_j>): ‖sub‖² is
     constant per row, so encoding is one (n × D)·(D × M·K)-shaped batch of
@@ -72,9 +76,13 @@ def pq_encode(
     d = len(codebooks[0][0])
     cents = np.asarray(codebooks, dtype=np.float64)  # (M, K, D)
     sq = np.asarray([_sqnorms(b) for b in codebooks])  # (M, K)
-    schema = _id_ddl(corpus, id_col) + ", " + ", ".join(
-        f"code_{s} int" for s in range(m)
-    )
+    passthrough = list(passthrough_cols)
+    schema_parts = [_id_ddl(corpus, id_col)]
+    schema_parts += [
+        f"{c} {corpus.schema[c].dataType.simpleString()}" for c in passthrough
+    ]
+    schema_parts += [f"code_{s} int" for s in range(m)]
+    schema = ", ".join(schema_parts)
 
     def kernel(batches):
         for pdf in batches:
@@ -82,6 +90,8 @@ def pq_encode(
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             out = {id_col: pdf[id_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
             for s in range(m):
                 acc = np.zeros((len(pdf), cents.shape[1]))
                 for k in range(d):
@@ -90,7 +100,7 @@ def pq_encode(
                 out[f"code_{s}"] = dist.argmin(axis=1).astype("int32")
             yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return corpus.select(id_col, *passthrough, vec_col).mapInPandas(kernel, schema)
 
 
 def _query_luts(
@@ -151,6 +161,23 @@ def pq_topk(
     broadcast join are M lookups + a divide — small, codegen'd."""
     coded = pq_encode(corpus, id_col, vec_col, codebooks)
     q = _query_luts(queries, query_id, vec_col, codebooks)
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", _adc_cosine(codebooks))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def _adc_cosine(codebooks: list[list[list[float]]]):
+    """The ADC approximate-cosine expression over (code_*, _lut*, _qnorm)
+    columns: (Σ_s lut_s[code_s]) / (‖q‖·√(Σ_s ‖c_{s,code_s}‖²)), rounded
+    to 4 dp — M element_at lookups + a divide, whole-stage codegen'd."""
     num = sum(
         F.element_at(F.col(f"_lut{s}"), F.col(f"code_{s}") + 1)
         for s in range(len(codebooks))
@@ -163,13 +190,68 @@ def pq_topk(
         for s, book in enumerate(codebooks)
     )
     denom = F.col("_qnorm") * F.sqrt(xsq)
+    return F.round(F.when(denom == 0.0, F.lit(0.0)).otherwise(num / denom), 4)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-ADC: the composed serving structure of Jégou et al. 2011 and the
+    canonical 100 TB ANN shape — a frozen coarse quantizer prunes the
+    corpus to the query's ``nprobe`` Voronoi cells, and PQ codes score the
+    survivors via lookup-table sums. ``pq_topk``'s flat ADC still scans
+    every code for every query; here the ADC join carries an equi-key on
+    ``_cell``, so per-query work is ∝ corpus × nprobe / num_cells.
+
+    Plan shape: corpus scan → ``_cell`` argmax fused into the scan
+    projection (pure Column expr over the k×D coarse literals, same as
+    ``ivf_fixed_topk``) → Arrow-batched PQ encode with ``_cell`` riding
+    the batch → equi-JOIN on ``_cell`` against the broadcast
+    (query × nprobe) LUT probe set → codegen'd ADC cosine → per-query
+    top-k window (the only shuffle, WindowGroupLimit-bounded). On a real
+    deployment codes+cells persist partitioned by ``_cell``
+    (write_partitioned) and a query reads ``nprobe`` directories —
+    partition pruning IS the inverted file; the full-width corpus is
+    never re-scanned.
+
+    Variant note (documented divergence): codes quantize the RAW vector,
+    not the residual (vec − coarse centroid) of the original IVFADC —
+    residual encoding needs per-cell codebooks trained jointly with the
+    quantizer; raw-vector codes let one frozen codebook serve any coarse
+    geometry (the composition is what prunes). Deterministic end-to-end
+    given both frozen models — the registry gate hash-matches a DuckDB
+    oracle; recall vs flat PQ is pytest-covered.
+    """
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+    coded = pq_encode(
+        corpus.withColumn(
+            "_cell", ivf_cells_expr(F.col(vec_col), coarse_centroids, 1)[0]
+        ),
+        id_col,
+        vec_col,
+        codebooks,
+        passthrough_cols=("_cell",),
+    )
+    probe = queries.select(
+        F.col(query_id),
+        F.explode(
+            ivf_cells_expr(F.col(vec_col), coarse_centroids, nprobe)
+        ).alias("_cell"),
+    )
+    q = _query_luts(queries, query_id, vec_col, codebooks).join(probe, query_id)
     scored = (
-        coded.crossJoin(F.broadcast(q))
+        coded.join(F.broadcast(q), "_cell")
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn(
-            "cosine",
-            F.round(F.when(denom == 0.0, F.lit(0.0)).otherwise(num / denom), 4),
-        )
+        .withColumn("cosine", _adc_cosine(codebooks))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

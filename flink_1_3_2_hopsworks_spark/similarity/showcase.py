@@ -100,3 +100,27 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_from_corpus(emb), FROZEN_PQ_CODEBOOKS,
         "vec_id", "embedding", k=10,
     )
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC top-10 (similarity/pq.py ivfpq_topk) — the composed
+    Jégou et al. 2011 serving structure: the frozen coarse quantizer
+    (gate_model.FROZEN_CENTROIDS) prunes each query to nprobe=6 cells and
+    PQ codes (gate_model.FROZEN_PQ_CODEBOOKS) score only the survivors via
+    broadcast lookup-table sums — versus sim_pq_topk's flat ADC scan of
+    every code. Both models frozen → deterministic end-to-end; the DuckDB
+    oracle replays cell assignment, nprobe probing, per-subspace argmin
+    encode, the ADC chain, and the rank for a full hash-match. Recall vs
+    flat PQ and the `_cell`-pruned plan shape are pytest-covered
+    (tests/test_similarity_pq.py)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, _queries_from_corpus(emb), FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=10, nprobe=6,
+    )

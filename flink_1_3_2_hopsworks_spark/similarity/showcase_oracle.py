@@ -210,10 +210,111 @@ def _pq_topk_oracle(k: int = 10, n_queries: int = 5) -> str:
     """
 
 
+def _ivfpq_topk_oracle(k: int = 10, nprobe: int = 6, n_queries: int = 5) -> str:
+    """Replays similarity/pq.py ivfpq_topk: frozen-coarse cell assignment +
+    nprobe probing (the _ivf_topk_oracle CTEs) composed with the PQ encode
+    and explicit left-to-right ADC chain (the _pq_topk_oracle CTEs); the
+    candidate set is the cell equi-join instead of the flat cross join."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import _sqnorms
+
+    cent_values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    m = len(FROZEN_PQ_CODEBOOKS)
+    d = len(FROZEN_PQ_CODEBOOKS[0][0])
+    pq_values = ",\n                ".join(
+        "({s}, {j}, [{cv}]::DOUBLE[], {sq})".format(
+            s=s,
+            j=j,
+            cv=", ".join(repr(x) for x in c),
+            sq=repr(sq),
+        )
+        for s, book in enumerate(FROZEN_PQ_CODEBOOKS)
+        for j, (c, sq) in enumerate(zip(book, _sqnorms(book)))
+    )
+    num_chain = "\n                + ".join(
+        f"LIST_INNER_PRODUCT(q.qv[{s * d + 1}:{s * d + d}], c.cvs[{s + 1}])"
+        for s in range(m)
+    )
+    xsq_chain = " + ".join(f"c.sqns[{s + 1}]" for s in range(m))
+    return f"""
+        WITH cent(cell, ccv) AS (
+            VALUES {cent_values}
+        ), vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sims AS (
+            SELECT vec_id, cell,
+                LIST_COSINE_SIMILARITY(v, ccv) AS sim
+            FROM vecs CROSS JOIN cent
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims
+            ) WHERE rn = 1
+        ), probed AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims WHERE vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ), pqcent(s, code, cv, sqn) AS (
+            VALUES {pq_values}
+        ), subs AS (
+            SELECT vec_id, s, v[s * {d} + 1 : s * {d} + {d}] AS sub
+            FROM vecs CROSS JOIN (SELECT UNNEST(RANGE(0, {m})) AS s)
+        ), distc AS (
+            SELECT vec_id, p.s, p.code, p.cv, p.sqn,
+                p.sqn - 2 * LIST_INNER_PRODUCT(sub, p.cv) AS dist
+            FROM subs JOIN pqcent p USING (s)
+        ), chosen AS (
+            SELECT vec_id, s, cv, sqn FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY dist, code
+                ) AS rn FROM distc
+            ) WHERE rn = 1
+        ), codesw AS (
+            SELECT vec_id,
+                LIST(cv ORDER BY s) AS cvs,
+                LIST(sqn ORDER BY s) AS sqns
+            FROM chosen GROUP BY vec_id
+        ), queries AS (
+            SELECT vec_id AS query_id, v AS qv,
+                SQRT(LIST_INNER_PRODUCT(v, v)) AS qnorm
+            FROM vecs WHERE vec_id < {n_queries}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                ROUND(
+                    CASE WHEN q.qnorm * SQRT({xsq_chain}) = 0 THEN 0.0
+                    ELSE (
+                {num_chain}
+                    ) / (q.qnorm * SQRT({xsq_chain})) END,
+                4) AS cosine
+            FROM probed p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN codesw c ON c.vec_id = a.vec_id
+            JOIN queries q ON q.query_id = p.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 ORACLE: dict[str, str] = {
     "sim_lsh_topk": _lsh_topk_oracle(),
     "sim_ivf_topk": _ivf_topk_oracle(),
     "sim_recall_eval": _recall_eval_oracle(),
     "sim_bruteforce_topk": _BRUTEFORCE_SQL,
     "sim_pq_topk": _pq_topk_oracle(),
+    "sim_ivfpq_topk": _ivfpq_topk_oracle(),
 }

@@ -575,3 +575,22 @@ def test_model_quality_filter_single_doc_shuffle(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "_id#" in ln or "doc_id#" in ln, ln
+
+
+def test_prefix_containment_shuffles_hashes_not_token_arrays(spark):
+    """dedup/prefix.py contract (mirrors the dup-spans audit): the token
+    arrays never leave the scan projection — every Exchange carries only
+    (pk, id, n, fp) hash rows; the slice-hash verify re-joins the
+    broadcast candidate list against the token scan map-side."""
+    from flink_1_3_2_hopsworks_spark.dedup.prefix import (
+        prefix_containment_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(prefix_containment_pairs(docs, "doc_id", "text"))
+    for exchange_line in [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]:
+        assert "_toks" not in exchange_line, exchange_line
+    # the hash keys are computed before the first Exchange (scan projection)
+    assert "xxhash64" in plan and "md5" in plan

@@ -125,3 +125,101 @@ def test_pq_encode_is_scan_shaped(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan  # the sanctioned Arrow-batched crossing
+
+
+def test_ivfpq_subset_of_cell_candidates_and_recall_vs_flat(spark):
+    """IVF-ADC scores only corpus vectors assigned to the query's nprobe
+    cells (every result's cell is in the query's probe set), its ADC
+    scores agree with flat PQ on common pairs, and with nprobe=all-cells
+    it matches flat PQ exactly (pruning, not a different scorer)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfpq_topk(
+        emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, nprobe=4,
+    ).collect()
+    cells = {
+        r["vec_id"]: r["_cell"]
+        for r in emb.select(
+            "vec_id",
+            ivf_cells_expr(F.col("embedding"), FROZEN_CENTROIDS, 1)[0].alias(
+                "_cell"
+            ),
+        ).collect()
+    }
+    probes = {
+        r["vec_id"]: set(r["_p"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select(
+            "vec_id",
+            ivf_cells_expr(F.col("embedding"), FROZEN_CENTROIDS, 4).alias("_p"),
+        )
+        .collect()
+    }
+    assert got
+    for r in got:
+        assert cells[r["vec_id"]] in probes[r["query_id"]]
+
+    flat = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in pq_topk(
+            emb, q, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=300
+        ).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in flat:
+            assert flat[key] == r["cosine"], key
+
+    # nprobe = num_cells → no pruning → identical to flat PQ top-10
+    all_probe = ivfpq_topk(
+        emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, nprobe=len(FROZEN_CENTROIDS),
+    ).collect()
+    flat10 = pq_topk(
+        emb, q, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=10
+    ).collect()
+    assert sorted(map(tuple, all_probe)) == sorted(map(tuple, flat10))
+
+
+def test_ivfpq_plan_prunes_on_cell_equijoin(spark):
+    """The ADC candidate join is an EQUI-join keyed on `_cell` (the IVF
+    pruning), not pq_topk's flat cross join: the physical plan has a
+    BroadcastHashJoin with `_cell` in its keys and no
+    BroadcastNestedLoopJoin/CartesianProduct anywhere."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    plan = (
+        ivfpq_topk(
+            emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            "vec_id", "embedding", k=10, nprobe=4,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    join_lines = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    ]
+    assert any(re.search(r"_cell", ln) for ln in join_lines), join_lines
