@@ -348,6 +348,60 @@ def windowed_cogroup_stream(
     )
 
 
+def side_col(side: int, col=None):
+    """Column helper for :func:`windowed_cogroup_agg`: the value of ``col``
+    on rows from ``side`` (0 = left, 1 = right), NULL elsewhere. Aggregate
+    functions skip NULLs, so ``F.count(side_col(0))`` counts left-side rows
+    and ``F.sum(side_col(1, "value"))`` sums the right side's values —
+    each pane aggregate stays one JVM expression."""
+    v = F.lit(1) if col is None else (F.col(col) if isinstance(col, str) else col)
+    return F.when(F.col("_side") == side, v)
+
+
+def windowed_cogroup_agg(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window_seconds: float,
+    aggs: Sequence,
+    value_cols: Sequence[str],
+    watermark_delay_seconds: float = 5.0,
+) -> DataFrame:
+    """Fused-JVM windowed coGroup for AGGREGATION-expressible functions —
+    the scale path (reference CoGroupedStreams runs inside WindowOperator,
+    JVM end-to-end; our full-pane ``windowed_cogroup_stream`` crosses into
+    Python per pane and was measured at ~4–5k events/s vs ~87–640k for the
+    native windowed join at sf0.1–sf1, SCALE_SF1.json stream_stateful).
+    When the coGroup function is per-pane aggregation over the two groups
+    (counts, sums, mins, avgs — the overwhelmingly common case), express it
+    as ``aggs`` over :func:`side_col` markers and this runs as ONE native
+    windowed aggregation: partial (map-side) aggregates, a few counters of
+    state per (key, window) instead of the full buffered pane, zero Python,
+    watermark-driven append emission at the same pane timing.
+
+    Works on BATCH frames too (withWatermark is a no-op there) — the same
+    call serves backfills, which is what the equivalence tests pin against
+    the full-pane operator. For functions that genuinely need both full
+    groups (pairings, orderings), use ``windowed_cogroup_stream`` and
+    accept its measured envelope, or restructure as `windowed_stream_join`.
+    """
+    tag = lambda d, t: d.select(  # noqa: E731
+        *keys, ts_col, *value_cols, F.lit(t).alias("_side")
+    )
+    both = tag(left, 0).unionByName(tag(right, 1))
+    if both.isStreaming:
+        both = both.withWatermark(ts_col, f"{watermark_delay_seconds} seconds")
+    win = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    out = both.groupBy(win.alias("_w"), *keys).agg(*aggs)
+    return out.select(
+        *keys,
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *[c for c in out.columns if c not in ("_w", *keys)],
+    )
+
+
 def windowed_cogroup_batch(
     left: DataFrame,
     right: DataFrame,

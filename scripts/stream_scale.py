@@ -135,6 +135,39 @@ def op_windowed_cogroup(spark, sf_dir: str) -> dict:
     return r
 
 
+def op_windowed_cogroup_agg(spark, sf_dir: str) -> dict:
+    """The SAME click×purchase pane aggregation as op_windowed_cogroup,
+    through the fused-JVM path (windowed_cogroup_agg): native windowed
+    aggregation over side_col markers — counters of state per (key,
+    window) instead of full Python-buffered panes. This is the measured
+    answer to the full-pane operator's throughput envelope."""
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+        side_col,
+        windowed_cogroup_agg,
+    )
+
+    stream, src = _stream(spark, sf_dir)
+    left = stream.filter(F.col("event_type") == "click")
+    right = stream.filter(F.col("event_type") == "purchase")
+    out = windowed_cogroup_agg(
+        left, right, ["user_id"], "ts", 3600.0,
+        [
+            F.count(side_col(0)).alias("n_clicks"),
+            F.count(side_col(1)).alias("n_purchases"),
+            F.coalesce(F.sum(side_col(0, "value")), F.lit(0.0)).alias(
+                "click_value"
+            ),
+            F.coalesce(F.sum(side_col(1, "value")), F.lit(0.0)).alias(
+                "purchase_value"
+            ),
+        ],
+        ["value"],
+    )
+    r = _run(spark, out)
+    shutil.rmtree(src, ignore_errors=True)
+    return r
+
+
 def op_windowed_join(spark, sf_dir: str) -> dict:
     """Native stream-stream windowed join (symmetric hash state) — the
     Spark-native contrast to the buffering coGroup."""
@@ -158,6 +191,7 @@ def op_windowed_join(spark, sf_dir: str) -> dict:
 OPS = {
     "cep_signup_purchase_stream": op_cep,
     "windowed_cogroup_stream": op_windowed_cogroup,
+    "windowed_cogroup_agg_stream": op_windowed_cogroup_agg,
     "windowed_stream_join": op_windowed_join,
 }
 

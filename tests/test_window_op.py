@@ -315,3 +315,88 @@ def test_evict_after_purges_pane_state(spark, tmp_path):
     ]
     # vs the accumulating sibling's [(2,3.0), (4,10.0), (4,10.0)]
     assert results == [(2, 3.0), (2, 7.0)]
+
+
+def test_windowed_cogroup_agg_matches_full_pane_batch(spark):
+    """The fused-JVM aggregation path computes the same panes as the
+    full-pane coGroup operator when the coGroup fn is aggregation —
+    counts and sums per side, including one-sided groups."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+        side_col,
+        windowed_cogroup_agg,
+    )
+
+    left = spark.createDataFrame(
+        _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0), (2, 70, 1, 3.0)), _SCHEMA
+    )
+    right = spark.createDataFrame(_rows((10, 15, 1, 40.0)), _SCHEMA)
+
+    def fn(lp: pd.DataFrame, rp: pd.DataFrame) -> list[dict]:
+        return [
+            {
+                "n_left": len(lp),
+                "n_right": len(rp),
+                "left_sum": float(lp["value"].sum()),
+                "right_sum": float(rp["value"].sum()),
+            }
+        ]
+
+    pane = {
+        (r["user_id"], r["window_start"], r["n_left"], r["n_right"],
+         r["left_sum"], r["right_sum"])
+        for r in windowed_cogroup_batch(
+            left, right, ["user_id"], "ts", 60.0, fn,
+            "n_left long, n_right long, left_sum double, right_sum double",
+            ["value"],
+        ).collect()
+    }
+    fused = {
+        (r["user_id"], r["window_start"], r["n_left"], r["n_right"],
+         r["left_sum"], r["right_sum"])
+        for r in windowed_cogroup_agg(
+            left, right, ["user_id"], "ts", 60.0,
+            [
+                F.count(side_col(0)).alias("n_left"),
+                F.count(side_col(1)).alias("n_right"),
+                F.coalesce(F.sum(side_col(0, "value")), F.lit(0.0)).alias("left_sum"),
+                F.coalesce(F.sum(side_col(1, "value")), F.lit(0.0)).alias("right_sum"),
+            ],
+            ["value"],
+        ).collect()
+    }
+    assert fused == pane
+
+
+def test_windowed_cogroup_agg_stream_matches_batch(spark, tmp_path):
+    """Streaming fused coGroup aggregation: native windowed agg in append
+    mode fires the same pane values at the watermark."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+        side_col,
+        windowed_cogroup_agg,
+    )
+
+    lrows = _rows((0, 10, 1, 1.0), (1, 20, 1, 2.0))
+    rrows = _rows((10, 15, 1, 40.0))
+    sentinel = _rows((99, 300, 2, 0.0))
+    lstream = _staged_stream(spark, tmp_path, "cga_left", lrows, sentinel)
+    rstream = _staged_stream(spark, tmp_path, "cga_right", rrows, sentinel)
+    out = windowed_cogroup_agg(
+        lstream, rstream, ["user_id"], "ts", 60.0,
+        [
+            F.count(side_col(0)).alias("n_left"),
+            F.count(side_col(1)).alias("n_right"),
+            F.round(
+                F.coalesce(F.sum(side_col(0, "value")), F.lit(0.0))
+                + F.coalesce(F.sum(side_col(1, "value")), F.lit(0.0)),
+                6,
+            ).alias("total"),
+        ],
+        ["value"],
+    )
+    results = _run_stream(spark, out, "ckpt_cga_")
+    u1 = [r for r in results if r["user_id"] == 1]
+    assert [(r["n_left"], r["n_right"], r["total"]) for r in u1] == [(2, 1, 43.0)]
