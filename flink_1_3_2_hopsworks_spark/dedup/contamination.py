@@ -98,3 +98,43 @@ def benchmark_ngram_overlap(
             ),
         )
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id: str = "probe_id",
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose cosine to ANY
+    benchmark/probe vector reaches ``threshold`` — the embedding-space
+    complement of ``benchmark_ngram_overlap`` (paraphrased leakage that
+    shares no exact n-gram still lands next to the benchmark in embedding
+    space).
+
+    Same scale contract as the n-gram probe: the benchmark side is tiny
+    and BROADCAST; the corpus streams once through the broadcast
+    cosine scan (JVM zip_with/aggregate math, no Python) and only
+    above-threshold pairs reach the per-vector rank-1 window. Output:
+    ``(id, probe_id, cosine)`` — each flagged corpus vector with its
+    closest probe (ties broken by probe id).
+    """
+    from pyspark.sql import Window
+
+    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+
+    p = probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(probe_id))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, probe_id, F.round("_cos", 4).alias("cosine"))
+    )

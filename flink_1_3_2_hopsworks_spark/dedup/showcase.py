@@ -787,3 +787,96 @@ def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_3_2_hopsworks_spark.functions.text import corpus_diff
 
     return corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
+def pipe_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): an
+    add-k bigram LM trained on the lang='en' reference slice scores
+    every document's cross-entropy (bits/token, rounded-decimal exact
+    sums), then exact discrete terciles split the corpus into
+    head/middle/tail buckets; kept = not tail. The model is a table
+    (broadcast joins), thresholds come from a histogram of the rounded
+    scores (no global sort). Full SQL oracle replays training, scoring,
+    and the tercile thresholds. Reference-analogue: the scalar-function
+    + group-agg surface of flink-table's expression pipeline
+    (flink-libraries/flink-table scalar call + aggregate translation)."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = bigram_lm_perplexity(
+        docs.filter(F.col("lang") == "en"), docs, "doc_id", "text"
+    )
+    return perplexity_buckets(per, "doc_id")
+
+
+def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram bucket
+    importance ratios ln(p_target/p_raw) with the lang='en' slice as the
+    target, per-doc log-ratio, then a 100-doc weighted resample WITHOUT
+    replacement via the portable Efraimidis–Spirakis sampler (weight =
+    exp(DOC-LEVEL log-ratio sum — the paper's estimator; the per-token
+    mean is reported for interpretability), salted-md5 draws). Composition:
+    functions/lm.py model + operators/sampling.py sampler. Full SQL
+    oracle replays bucket hashing, the 256-row model, the decimal-exact
+    doc scores, and the A-Res draw."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import dsir_importance_weights
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        weighted_sample_fixed_size,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    sampled = weighted_sample_fixed_size(
+        w.withColumn(
+            "_ew", F.exp(F.col("logratio_per_token") * F.col("n_tokens"))
+        ),
+        100,
+        "_ew",
+        ["doc_id"],
+        salt="dsir",
+    )
+    return sampled.select("doc_id", "n_tokens", "logratio_per_token")
+
+
+def dd_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (dedup/contamination.py embedding_decontaminate): vec_id < 10 plays
+    the benchmark probe set, the rest of the embeddings table is the
+    corpus; a corpus vector is contaminated when its cosine to any probe
+    reaches 0.30 (corpus-calibrated for this synthetic table — real
+    paraphrase leakage sits near 1.0; the mechanism is threshold-
+    agnostic). Broadcast probes, one corpus scan, per-vector rank-1
+    window. Full SQL oracle via LIST_COSINE_SIMILARITY."""
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        embedding_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return embedding_decontaminate(
+        corpus, probes, "vec_id", "embedding", threshold=0.30
+    )
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained BPE model (ml/bpe.py bpe_segment_counts): per
+    document, whitespace-token count and BPE symbol count after the 6
+    trained merges — the tokenizer-budget / compression-ratio signal.
+    The word→segmentation map is rebuilt as column algebra from the
+    frozen merges (vocabulary-sized, broadcast); the corpus streams once.
+    The oracle replays training AND serving (train→freeze→serve audited
+    end-to-end, the classifier/k-means discipline applied to the
+    tokenizer)."""
+    from flink_1_3_2_hopsworks_spark.ml.bpe import bpe_fit, bpe_segment_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, "text", num_merges=6)
+    return bpe_segment_counts(docs, "doc_id", "text", merges)

@@ -1538,3 +1538,151 @@ def _corpus_diff_oracle() -> str:
 
 ORACLE["text_oov_rate"] = _oov_rate_oracle(vocab_size=16)
 ORACLE["pipe_corpus_diff"] = _corpus_diff_oracle()
+
+
+ORACLE["pipe_lm_perplexity_filter"] = r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                        x -> x <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
+        FROM base, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0))) AS u(i)
+    ), cbi AS (
+        SELECT prev, cur, COUNT(*) AS cbi FROM bg WHERE lang = 'en' GROUP BY 1, 2
+    ), cprev AS (
+        SELECT prev, COUNT(*) AS cprev FROM bg WHERE lang = 'en' GROUP BY 1
+    ), vsz AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT UNNEST(toks) AS t FROM base WHERE lang = 'en')
+    ), scored AS (
+        SELECT g.doc_id,
+            ROUND(-LN((COALESCE(b.cbi, 0) + 0.5)
+                      / (COALESCE(p.cprev, 0) + 0.5 * v.v)), 6) AS nll
+        FROM bg g
+        LEFT JOIN cbi b ON g.prev = b.prev AND g.cur = b.cur
+        LEFT JOIN cprev p ON g.prev = p.prev
+        CROSS JOIN vsz v
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_events,
+            SUM(CAST(nll AS DECIMAL(38, 6))) AS s
+        FROM scored GROUP BY doc_id
+    ), alldocs AS (
+        SELECT d.doc_id,
+            CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+            CASE WHEN p.n_events IS NULL THEN 0.0
+                 ELSE ROUND(CAST(p.s AS DOUBLE)
+                            / (p.n_events * 0.6931471805599453), 4)
+            END AS bits_per_token
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    ), hist AS (
+        SELECT bits_per_token AS v, COUNT(*) AS c FROM alldocs GROUP BY 1
+    ), cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist
+    ), thr AS (
+        SELECT MIN(CASE WHEN cum >= CEIL(n.n / 3.0) THEN v END) AS t1,
+               MIN(CASE WHEN cum >= CEIL(n.n * 2 / 3.0) THEN v END) AS t2
+        FROM cum CROSS JOIN (SELECT COUNT(*) AS n FROM alldocs) n
+    )
+    SELECT a.doc_id, a.n_events, a.bits_per_token,
+        CASE WHEN a.bits_per_token <= t.t1 THEN 'head'
+             WHEN a.bits_per_token <= t.t2 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+        (a.bits_per_token <= t.t2) AS kept
+    FROM alldocs a CROSS JOIN thr t
+    ORDER BY a.doc_id
+"""
+
+ORACLE["pipe_dsir_resample"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+            (('0x' || SUBSTR(MD5(CONCAT_WS('|', t, 'dsir42')), 1, 8))::BIGINT)
+                % 256 AS b
+        FROM (
+            SELECT doc_id, lang,
+                UNNEST(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                    x -> x <> '')) AS t
+            FROM documents
+        )
+    ), cr AS (
+        SELECT b, COUNT(*) AS cr FROM toks GROUP BY b
+    ), ct AS (
+        SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b
+    ), totals AS (
+        SELECT (SELECT SUM(cr) FROM cr) AS tr,
+               (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS tt
+    ), model AS (
+        SELECT cr.b,
+            ROUND(LN((COALESCE(ct.ct, 0) + 1.0) / (t.tt + 256.0))
+                - LN((cr.cr + 1.0) / (t.tr + 256.0)), 6) AS lr
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN totals t
+    ), per AS (
+        SELECT tk.doc_id, COUNT(*) AS n_tokens,
+            SUM(CAST(m.lr AS DECIMAL(38, 6))) AS w
+        FROM toks tk JOIN model m ON tk.b = m.b
+        GROUP BY tk.doc_id
+    ), weights AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            ROUND(CAST(w AS DOUBLE) / n_tokens, 6) AS logratio_per_token
+        FROM per
+    ), keyed AS (
+        SELECT doc_id, n_tokens, logratio_per_token,
+            LN((('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                CAST(doc_id AS VARCHAR), 'dsir')), 1, 8))::BIGINT + 1)
+               / 4294967296.0)
+            / EXP(logratio_per_token * n_tokens) AS k
+        FROM weights
+    )
+    SELECT doc_id, n_tokens, logratio_per_token FROM (
+        SELECT doc_id, n_tokens, logratio_per_token FROM keyed
+        ORDER BY k DESC, doc_id LIMIT 100
+    ) ORDER BY doc_id
+"""
+
+ORACLE["dd_semantic_contamination"] = """
+    WITH p AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+        SELECT c.vec_id, p.probe_id,
+            LIST_COSINE_SIMILARITY(p.pv, c.cv) AS cos
+        FROM c CROSS JOIN p
+    ), ranked AS (
+        SELECT vec_id, probe_id, cos,
+            ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, probe_id ASC
+            ) AS rk
+        FROM scored WHERE cos >= 0.30
+    )
+    SELECT vec_id, probe_id, ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rk = 1
+    ORDER BY vec_id
+"""
+
+
+from flink_1_3_2_hopsworks_spark.ml.showcase_oracle import bpe_cte as _bpe_cte
+
+ORACLE["text_bpe_tokenize"] = "WITH " + _bpe_cte(6) + r""",
+    vocab AS (
+        SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS nsym FROM words6
+    ), btoks AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(
+            STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+            x -> x <> '')) AS word
+        FROM documents
+    ), bper AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.nsym) AS n_bpe
+        FROM btoks t JOIN vocab v USING (word) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_symbols
+    FROM documents d LEFT JOIN bper p USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -141,3 +141,25 @@ def ml_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spherical_kmeans_assign(emb, "vec_id", "embedding", model).orderBy(
         "vec_id"
     )
+
+
+def ml_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on engine primitives (ml/bpe.py): 6 merge
+    rounds over the corpus word-frequency table — per round one
+    vocabulary-sized pair-count aggregate + argmax (the collect is the
+    1-row merge rule, the model). The DuckDB oracle replays all 6
+    unrolled rounds — including the double-space REPLACE merge algebra —
+    for a full hash-match; merge 6 composes merge 1's symbol ('m'+'er'),
+    so the audit covers genuine iteration, not 6 independent argmaxes."""
+    from flink_1_3_2_hopsworks_spark.ml.bpe import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, "text", num_merges=6)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    ).orderBy("step")

@@ -138,3 +138,55 @@ def _kmeans_oracle(iterations: int = 3, round_dp: int = 6) -> str:
 
 
 ORACLE["ml_kmeans_spherical"] = _kmeans_oracle()
+
+
+def bpe_cte(num_merges: int) -> str:
+    """Unrolled BPE-training CTE prefix (no leading WITH): words0 is the
+    corpus word-frequency table with character-split sequences; each round
+    materializes the weighted pair counts, the argmax merge rule
+    (ties: lexicographic on (l, r)), and the merged vocabulary — the
+    double-space REPLACE reproduces BPE's left-to-right non-overlapping
+    merge exactly (see ml/bpe.py). Every CTE is MATERIALIZED: DuckDB's
+    default inlining re-expands each round ~3x."""
+    parts = [r"""words0 AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq,
+            TRIM(REGEXP_REPLACE(t, '(.)', '\1 ', 'g')) AS seq
+        FROM (SELECT UNNEST(LIST_FILTER(
+                STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+    )"""]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""pairs{i} AS MATERIALIZED (
+        SELECT w.sy[u.i] AS l, w.sy[u.i + 1] AS r, SUM(w.freq) AS cnt
+        FROM (SELECT freq, STRING_SPLIT(seq, ' ') AS sy FROM words{i - 1}) w,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w.sy) - 1, 0))) AS u(i)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""best{i} AS MATERIALIZED (
+        SELECT l, r, l || r AS merged, cnt
+        FROM pairs{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    )""")
+        parts.append(f"""words{i} AS MATERIALIZED (
+        SELECT w.word, w.freq,
+            TRIM(REGEXP_REPLACE(
+                REPLACE(' ' || REPLACE(w.seq, ' ', '  ') || ' ',
+                        ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.merged || ' '),
+                ' +', ' ', 'g')) AS seq
+        FROM words{i - 1} w CROSS JOIN best{i} b
+    )""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle(num_merges: int = 6) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return f"WITH {bpe_cte(num_merges)}\n{union}\nORDER BY step"
+
+
+ORACLE["ml_bpe_train"] = _bpe_train_oracle()

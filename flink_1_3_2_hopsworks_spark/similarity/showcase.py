@@ -124,3 +124,26 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_from_corpus(emb), FROZEN_CENTROIDS,
         FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=10, nprobe=6,
     )
+
+
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per query (similarity/bm25.py) — the lexical
+    retrieval twin of the embedding ANN gates: postings/df/doc-length
+    tables from one pass over the token stream, broadcast query-term
+    probe, decimal-exact per-(query, doc) sums, WindowGroupLimit top-k.
+    Five literal probe queries over the documents vocabulary. Full SQL
+    oracle replays the index, the idf/tf normalization, and the ranks."""
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, "table scan join"),
+            (2, "window agg batch"),
+            (3, "customer order part"),
+            (4, "hash merge value"),
+            (5, "fast slow filter"),
+        ],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(docs, queries, "doc_id", "text", k=5)

@@ -318,3 +318,57 @@ ORACLE: dict[str, str] = {
     "sim_pq_topk": _pq_topk_oracle(),
     "sim_ivfpq_topk": _ivfpq_topk_oracle(),
 }
+
+
+_BM25_SQL = r"""
+    WITH queries(query_id, query_text) AS (
+        VALUES (1, 'table scan join'), (2, 'window agg batch'),
+               (3, 'customer order part'), (4, 'hash merge value'),
+               (5, 'fast slow filter')
+    ), toks AS (
+        SELECT doc_id,
+            UNNEST(LIST_FILTER(
+                STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                x -> x <> '')) AS t
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dft AS (
+        SELECT t, COUNT(*) AS df FROM postings GROUP BY t
+    ), stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ), qterms AS (
+        SELECT DISTINCT query_id, UNNEST(LIST_FILTER(
+            STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(query_text, ''))), '\s+'),
+            x -> x <> '')) AS t
+        FROM queries
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+            ROUND(
+                LN(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                * (p.tf * 2.2)
+                / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                6) AS c
+        FROM postings p
+        JOIN qterms q ON p.t = q.t
+        JOIN dl d ON p.doc_id = d.doc_id
+        JOIN dft f ON p.t = f.t
+        CROSS JOIN stats s
+    ), scored AS (
+        SELECT query_id, doc_id, SUM(CAST(c AS DECIMAL(38, 6))) AS s
+        FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, s,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+            ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, doc_id, ROUND(CAST(s AS DOUBLE), 4) AS score, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+ORACLE["sim_bm25_topk"] = _BM25_SQL

@@ -647,8 +647,17 @@ def test_simhash_star_edges_subset_of_pairs(spark):
     from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
 
     corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
-    pairs = simhash_near_dups(corpus, "doc_id", "text", max_distance=8)
-    stars = simhash_star_edges(corpus, "doc_id", "text", max_distance=8)
+    # persist=False: the default internal persist is caller-owned with no
+    # unpersist hook (see simhash_near_dups docstring); leaking it here
+    # would leave a cache entry on the shared documents plan fragment that
+    # the plan-audit suite (test_plans_audit) would then see as an
+    # InMemoryRelation echoing extra HashAggregates.
+    pairs = simhash_near_dups(
+        corpus, "doc_id", "text", max_distance=8, persist=False
+    )
+    stars = simhash_star_edges(
+        corpus, "doc_id", "text", max_distance=8, persist=False
+    )
     pair_rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     star_rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in stars.collect()}
     assert set(star_rows) <= set(pair_rows)

@@ -1,0 +1,365 @@
+"""Tests for the round-8 LM/retrieval/training family:
+bigram LM perplexity bucketing, DSIR importance weights, BM25 retrieval,
+embedding-space decontamination, and BPE tokenizer training."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_3_2_hopsworks_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_lm_perplexity_train_slice_scores_lower(spark):
+    """Docs drawn from the training distribution (lang='en') must average
+    lower cross-entropy than out-of-distribution docs."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import bigram_lm_perplexity
+
+    docs = load_table(spark, SF, "documents")
+    per = bigram_lm_perplexity(
+        docs.filter(F.col("lang") == "en"), docs, "doc_id", "text"
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = per.groupBy(F.col("lang") == "en").agg(
+        F.avg("bits_per_token").alias("b")
+    ).collect()
+    by_is_en = {r[0]: r["b"] for r in rows}
+    assert by_is_en[True] < by_is_en[False]
+
+
+def test_lm_perplexity_short_docs_zero_events(spark):
+    from flink_1_3_2_hopsworks_spark.functions.lm import bigram_lm_perplexity
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    serve = spark.createDataFrame(
+        [(1, "a b a"), (2, "a"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_events"], r["bits_per_token"])
+        for r in bigram_lm_perplexity(train, serve, "doc_id", "text").collect()
+    }
+    assert out[1][0] == 2 and out[1][1] > 0
+    assert out[2] == (0, 0.0)
+    assert out[3] == (0, 0.0)
+    assert out[4] == (0, 0.0)
+
+
+def test_lm_perplexity_seen_bigram_cheaper_than_unseen(spark):
+    from flink_1_3_2_hopsworks_spark.functions.lm import bigram_lm_perplexity
+
+    train = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    serve = spark.createDataFrame(
+        [(10, "x y"), (11, "y x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_lm_perplexity(train, serve, "doc_id", "text").collect()
+    }
+    assert out[10] < out[11]
+
+
+def test_perplexity_buckets_terciles_balanced(spark):
+    from flink_1_3_2_hopsworks_spark.functions.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    per = bigram_lm_perplexity(
+        docs.filter(F.col("lang") == "en"), docs, "doc_id", "text"
+    )
+    out = perplexity_buckets(per, "doc_id")
+    counts = {r["bucket"]: r["c"] for r in out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(counts.values())
+    # exact discrete terciles: every bucket within one rounding step of n/3
+    # unless score ties straddle a boundary (not the case on this corpus)
+    for b in ("head", "middle", "tail"):
+        assert abs(counts[b] - n / 3) <= 2, counts
+    kept = out.filter("kept").count()
+    assert kept == counts["head"] + counts["middle"]
+
+
+def test_perplexity_buckets_ordered_by_bits(spark):
+    from flink_1_3_2_hopsworks_spark.functions.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    per = bigram_lm_perplexity(docs, docs, "doc_id", "text")
+    out = perplexity_buckets(per, "doc_id")
+    agg = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in out.groupBy("bucket")
+        .agg(F.min("bits_per_token").alias("lo"), F.max("bits_per_token").alias("hi"))
+        .collect()
+    }
+    assert agg["head"][1] <= agg["middle"][0]
+    assert agg["middle"][1] <= agg["tail"][0]
+
+
+# ---------------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Mean log importance ratio of target-slice docs must exceed the
+    out-of-target mean (that is the whole point of the estimator)."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import dsir_importance_weights
+
+    docs = load_table(spark, SF, "documents")
+    w = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = w.groupBy(F.col("lang") == "en").agg(
+        F.avg("logratio_per_token").alias("m")
+    ).collect()
+    by_is_en = {r[0]: r["m"] for r in rows}
+    assert by_is_en[True] > by_is_en[False]
+
+
+def test_dsir_resample_shifts_mixture_toward_target(spark):
+    """On a planted corpus (disjoint target/noise vocabularies, 50/50 raw
+    mix), resampling by exp(doc-level log-ratio sum) must pull the sample
+    decisively toward the target distribution."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import dsir_importance_weights
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        weighted_sample_fixed_size,
+    )
+
+    rows = []
+    for i in range(100):
+        rows.append((i, "alpha beta gamma delta " * 5, "t"))
+        rows.append((100 + i, "omega psi chi phi " * 5, "n"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    target = raw.filter(F.col("kind") == "t").select("doc_id", "text")
+    w = dsir_importance_weights(raw, target, "doc_id", "text")
+    sampled = weighted_sample_fixed_size(
+        w.withColumn(
+            "_ew", F.exp(F.col("logratio_per_token") * F.col("n_tokens"))
+        ),
+        50,
+        "_ew",
+        ["doc_id"],
+        salt="dsir",
+    )
+    picked = [r["doc_id"] for r in sampled.collect()]
+    assert len(picked) == 50
+    target_share = sum(1 for d in picked if d < 100) / 50
+    assert target_share > 0.9
+
+
+def test_dsir_gate_sample_is_deterministic_and_sized(spark):
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import pipe_dsir_resample
+
+    a = sorted(r["doc_id"] for r in pipe_dsir_resample(spark, SF).collect())
+    b = sorted(r["doc_id"] for r in pipe_dsir_resample(spark, SF).collect())
+    assert a == b and len(a) == 100
+
+
+# ---------------------------------------------------------------------- BM25
+
+
+@pytest.fixture()
+def bm25_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana banana cherry"),
+            (3, "cherry cherry cherry"),
+            (4, "dog cat mouse"),
+            (5, "apple"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_matches_only_docs_sharing_terms(spark, bm25_docs):
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+
+    q = spark.createDataFrame(
+        [(1, "apple")], "query_id int, query_text string"
+    )
+    out = bm25_topk(bm25_docs, q, "doc_id", "text", k=10).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 2, 5}
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_rare_term_outweighs_common(spark, bm25_docs):
+    """A doc matching the rarer query term must beat one matching only
+    the common term (idf ordering)."""
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+
+    q = spark.createDataFrame(
+        [(1, "apple dog")], "query_id int, query_text string"
+    )
+    out = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_topk(bm25_docs, q, "doc_id", "text", k=10).collect()
+    }
+    # 'dog' appears in 1/5 docs, 'apple' in 3/5 — doc 4 (dog) outranks the
+    # apple-only docs
+    assert out[4] < out[1] and out[4] < out[2] and out[4] < out[5]
+
+
+def test_bm25_rank_contract(spark, bm25_docs):
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+
+    q = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry")],
+        "query_id int, query_text string",
+    )
+    out = bm25_topk(bm25_docs, q, "doc_id", "text", k=2)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        rs = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(rs, rs[1:]):
+            assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+
+
+def test_bm25_no_python_stages(spark, bm25_docs):
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+
+    q = spark.createDataFrame(
+        [(1, "apple")], "query_id int, query_text string"
+    )
+    plan = (
+        bm25_topk(bm25_docs, q, "doc_id", "text", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- semantic decontamination
+
+
+def test_embedding_decontaminate_flags_planted_dup(spark):
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        embedding_decontaminate,
+    )
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "probe_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),      # parallel to probe 100 → cos 1.0
+            (2, [0.0, 0.0, 5.0]),      # orthogonal to both
+            (3, [1.0, 1.0, 0.0]),      # cos ~0.707 to both → tie on probe id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["probe_id"], r["cosine"])
+        for r in embedding_decontaminate(
+            corpus, probes, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)
+    assert 2 not in out
+    assert out[3][0] == 100  # tie broken by smaller probe id
+    assert out[3][1] == pytest.approx(0.7071, abs=1e-4)
+
+
+def test_embedding_decontaminate_broadcasts_probes(spark):
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        embedding_decontaminate,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    plan = (
+        embedding_decontaminate(
+            emb.filter(F.col("vec_id") >= 5), probes, "vec_id", "embedding"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------------------- BPE
+
+
+def test_bpe_fit_learns_planted_pair(spark):
+    from flink_1_3_2_hopsworks_spark.ml.bpe import bpe_fit
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], "doc_id long, text string"
+    )
+    merges = bpe_fit(docs, "text", num_merges=2)
+    # 'a b' occurs 2x per 'abab' word occurrence (3 occurrences → 6),
+    # beating 'b a' (3) and 'c d' (3)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+    # after merging: 'ab ab' — pair ('ab','ab') count 3 ties ('c','d') 3;
+    # lexicographic tie-break picks ('ab','ab')
+    assert (merges[1]["left"], merges[1]["right"]) == ("ab", "ab")
+    assert merges[1]["merged"] == "abab"
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    from flink_1_3_2_hopsworks_spark.ml.bpe import _apply_merge
+
+    df = spark.createDataFrame([("a a a",), ("a a a a",)], "seq string")
+    out = [
+        r["m"]
+        for r in df.select(
+            _apply_merge(F.col("seq"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert out == ["aa a", "aa aa"]
+
+
+def test_bpe_segment_counts_compress(spark):
+    from flink_1_3_2_hopsworks_spark.ml.bpe import bpe_fit, bpe_segment_counts
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    merges = bpe_fit(docs, "text", num_merges=6)
+    assert len(merges) == 6
+    out = bpe_segment_counts(docs, "doc_id", "text", merges)
+    rows = out.collect()
+    chars = {
+        r["doc_id"]: r["nc"]
+        for r in docs.select(
+            "doc_id",
+            F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
+            .alias("nc"),
+        ).collect()
+    }
+    for r in rows:
+        # merges only ever shrink the symbol count below raw chars and can
+        # never go below one symbol per token
+        assert r["n_tokens"] <= r["n_bpe_symbols"] <= chars[r["doc_id"]]
+    # and the 6 merges must actually compress the corpus
+    total_sym = sum(r["n_bpe_symbols"] for r in rows)
+    total_chars = sum(chars.values())
+    assert total_sym < total_chars
+
+
+def test_bpe_zero_merge_segments_are_characters(spark):
+    from flink_1_3_2_hopsworks_spark.ml.bpe import bpe_segment_counts
+
+    docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    r = bpe_segment_counts(docs, "doc_id", "text", []).collect()[0]
+    assert (r["n_tokens"], r["n_bpe_symbols"]) == (2, 5)

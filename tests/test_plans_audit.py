@@ -232,6 +232,10 @@ def test_simhash_fingerprint_single_aggregate_no_python(spark):
     counters) with zero Python stages."""
     from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_fingerprints
 
+    # A cache leaked by any earlier test (the simhash/minhash internal
+    # persists are caller-owned) would substitute an InMemoryRelation whose
+    # printed cached plan echoes the aggregates and breaks the count below.
+    spark.catalog.clearCache()
     docs = load_table(spark, SF, "documents")
     plan = plan_of(simhash_fingerprints(docs, "doc_id", "text"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
