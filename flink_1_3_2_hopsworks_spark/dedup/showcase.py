@@ -880,3 +880,24 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_fit(docs, "text", num_merges=6)
     return bpe_segment_counts(docs, "doc_id", "text", merges)
+
+
+def pipe_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsample (operators/sampling.py
+    cluster_balanced_sample): embeddings assigned to the frozen 16-cell
+    quantizer, at most 10 survivors per cell by the portable salted-md5
+    draw — the diversity-preserving selection step (D4-style) that a
+    uniform draw lacks. Composes the IVF cell expression with the
+    repo's sampling discipline; full SQL oracle replays assignment,
+    draw, and per-cell rank."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, "vec_id", "embedding", FROZEN_CENTROIDS, per_cell=10
+    )

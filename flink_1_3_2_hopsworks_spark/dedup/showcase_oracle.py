@@ -1686,3 +1686,41 @@ ORACLE["text_bpe_tokenize"] = "WITH " + _bpe_cte(6) + r""",
     FROM documents d LEFT JOIN bper p USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def _cluster_balanced_oracle(per_cell: int = 10, salt: str = "cb42") -> str:
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+        WITH cent(cell, cv) AS (
+            VALUES {values}
+        ), vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cell ASC
+                ) AS rn
+                FROM vecs CROSS JOIN cent
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY cell
+                ORDER BY MD5(CONCAT_WS('|', CAST(vec_id AS VARCHAR),
+                                        '{salt}')) ASC, vec_id ASC
+            ) AS rk
+            FROM assigned
+        ) WHERE rk <= {per_cell}
+        ORDER BY vec_id
+    """
+
+
+ORACLE["pipe_cluster_balanced_sample"] = _cluster_balanced_oracle()

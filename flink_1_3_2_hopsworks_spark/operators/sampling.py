@@ -333,3 +333,46 @@ def temperature_resample(
             "rate",
         )
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    per_cell: int,
+    salt: str = "cb42",
+) -> DataFrame:
+    """Diversity-preserving cluster-capped sample: assign each vector to
+    its nearest (cosine) frozen centroid, keep at most ``per_cell`` rows
+    per cell by a portable salted-md5 draw — the D4/cluster-balanced
+    selection step that stops head clusters from dominating a downsample
+    the way a uniform draw would.
+
+    Output: ``(id, cell)`` for every surviving row. Deterministic from
+    (id, salt) + the frozen model; any engine replays the draw and the
+    per-cell rank.
+
+    Scale shape: the cell assignment is a scan-fused argmax against the
+    broadcast centroid literals (same expression the IVF index and
+    k-means training use); the per-cell cap is a row_number window that
+    Spark executes as WindowGroupLimit — each partition emits at most
+    ``per_cell`` rows per cell before the shuffle. Cells ∝ √N keeps the
+    window partitions bounded (the SemDeDup sizing contract)."""
+    from pyspark.sql import Window
+
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
+    assigned = df.select(
+        F.col(id_col),
+        ivf_cells_expr(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy("cell").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cell)
+        .select(id_col, "cell")
+    )

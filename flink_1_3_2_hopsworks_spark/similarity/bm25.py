@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from flink_1_3_2_hopsworks_spark.functions.lm import _token_rows
+from flink_1_3_2_hopsworks_spark.functions.lm import _tokens
 
 
 def bm25_topk(
@@ -46,13 +46,28 @@ def bm25_topk(
     deduplicated (short-query convention). Output:
     ``(query_id, id, score, rank)`` — rank by (score desc, id asc).
     """
-    toks = _token_rows(docs, id_col, text_col)
-    postings = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    base = docs.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    # Document length rides the scan projection (size of the token array)
+    # through the explode, so the per-doc length never needs a corpus-wide
+    # join back on the id — the only corpus shuffle is the postings build.
+    toks = base.select(
+        "_id",
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("_t"),
+    )
+    postings = toks.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("_n"),
-        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    stats = (
+        base.select(F.size("_toks").alias("_l"))
+        .filter(F.col("_l") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.sum("_l").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+        )
     )
 
     qterms = (
@@ -81,10 +96,13 @@ def bm25_topk(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
     )
+    qdf = (
+        df_t.join(F.broadcast(qterms.select("_t").distinct()), "_t")
+        .select("_t", "_df")
+    )
     contrib = (
         postings.join(F.broadcast(qterms), "_t")
-        .join(dl, "_id")
-        .join(F.broadcast(df_t.join(F.broadcast(qterms), "_t").select("_t", "_df").distinct()), "_t")
+        .join(F.broadcast(qdf), "_t")
         .crossJoin(F.broadcast(stats))
         .select(
             "_qid",

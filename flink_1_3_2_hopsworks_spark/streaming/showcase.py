@@ -467,3 +467,57 @@ def ev_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, tier_lookup, "tier string, fee double", capacity=64
     )
     return out.orderBy("event_id")
+
+
+def ev_window_cogroup_agg_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused-JVM windowed coGroup (streaming/window_op.py
+    windowed_cogroup_agg) — the SCALE path for aggregation-expressible
+    coGroup functions: the same click/purchase pane statistics as
+    ev_window_cogroup_click_purchase, but run as ONE native windowed
+    aggregation over side markers (partial aggregates, counter-sized
+    state, zero Python) instead of assembling full panes in Python. The
+    two gates share one oracle, so the driver artifact itself proves the
+    fused path equivalent to the full-pane operator on the gate corpus."""
+    from flink_1_3_2_hopsworks_spark.streaming.window_op import (
+        windowed_cogroup_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    aggs = [
+        F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("_side") == 0, F.col("value"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("click_value"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("_side") == 1, F.col("value"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("purchase_value"),
+    ]
+    out = windowed_cogroup_agg(
+        clicks, purchases, ["user_id"], "ts", 3600, aggs, ["value"]
+    )
+    return out.select(
+        "user_id",
+        _fmt("window_start"),
+        _fmt("window_end"),
+        "n_clicks",
+        "n_purchases",
+        "click_value",
+        "purchase_value",
+    )

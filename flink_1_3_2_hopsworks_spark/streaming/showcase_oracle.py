@@ -321,3 +321,7 @@ ORACLE: dict[str, str] = {
         ORDER BY event_id
     """,
 }
+
+# The fused-JVM coGroup gate computes the SAME pane statistics as the
+# full-pane operator gate — sharing the oracle is the equivalence claim.
+ORACLE["ev_window_cogroup_agg_fused"] = ORACLE["ev_window_cogroup_click_purchase"]

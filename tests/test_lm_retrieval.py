@@ -363,3 +363,48 @@ def test_bpe_zero_merge_segments_are_characters(spark):
     docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
     r = bpe_segment_counts(docs, "doc_id", "text", []).collect()[0]
     assert (r["n_tokens"], r["n_bpe_symbols"]) == (2, 5)
+
+
+# -------------------------------------------------- cluster-balanced sample
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    # two orthogonal planted clusters, very unequal sizes
+    rows = [(i, [1.0, 0.0]) for i in range(40)] + [
+        (100 + i, [0.0, 1.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = cluster_balanced_sample(
+        df, "vec_id", "embedding", cents, per_cell=5
+    ).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    # head cluster capped at 5, tail cluster keeps all 3
+    assert len(by_cell[0]) == 5 and len(by_cell[1]) == 3
+    assert all(v >= 100 for v in by_cell[1])
+
+
+def test_cluster_balanced_sample_deterministic_and_windowgrouplimit(spark):
+    from flink_1_3_2_hopsworks_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    df = cluster_balanced_sample(
+        emb, "vec_id", "embedding", FROZEN_CENTROIDS, per_cell=7
+    )
+    a = sorted((r["vec_id"], r["cell"]) for r in df.collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in df.collect())
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
