@@ -114,27 +114,63 @@ def embedding_decontaminate(
     shares no exact n-gram still lands next to the benchmark in embedding
     space).
 
-    Same scale contract as the n-gram probe: the benchmark side is tiny
-    and BROADCAST; the corpus streams once through the broadcast
-    cosine scan (JVM zip_with/aggregate math, no Python) and only
-    above-threshold pairs reach the per-vector rank-1 window. Output:
+    Same scale contract as the n-gram probe: the benchmark side is
+    model-sized (eval sets — thousands of vectors) and ships to every
+    task; the corpus streams ONCE through an Arrow-batched cosine kernel
+    (functions/vectors.py) that emits only the flagged rows — no
+    shuffle, no window, narrow scan end-to-end. The kernel, not the
+    zip_with Column expression: per-row cosines against K fixed vectors
+    is the measured Janino-fallback shape (sf1→sf10 ratio 10.15× before
+    the kernel). The kernel's ascending accumulation keeps the values
+    bit-identical to the expression AND the DuckDB oracle. Output:
     ``(id, probe_id, cosine)`` — each flagged corpus vector with its
-    closest probe (ties broken by probe id).
+    closest probe (ties broken by probe id, argmax-first on the
+    probe-id-sorted matrix).
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
-
-    p = probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    scored = (
-        c.crossJoin(F.broadcast(p))
-        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
-        .filter(F.col("_cos") >= F.lit(threshold))
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        _batch_cosines,
+        _seq_norms,
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc(probe_id))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, probe_id, F.round("_cos", 4).alias("cosine"))
+
+    # The probe set is the MODEL here (k-means-gate discipline): a small
+    # frozen benchmark collection, sorted by id so argmax ties pick the
+    # lowest probe id exactly like the rank-1 window it replaces.
+    prows = sorted(
+        (r[probe_id], list(map(float, r[vec_col])))
+        for r in probes.select(probe_id, vec_col).collect()
+    )
+    pids = np.asarray([r[0] for r in prows], dtype=np.int64)
+    pvecs = np.asarray([r[1] for r in prows], dtype=np.float64)
+    pnorms = np.asarray(_seq_norms([r[1] for r in prows]))
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    id_ddl = f"{id_col} {corpus.schema[id_col].dataType.simpleString()}"
+    schema = f"{id_ddl}, {probe_id} bigint, cosine double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["_cv"].tolist(), dtype=np.float64)
+            cos = _batch_cosines(x, pvecs, pnorms)
+            best = cos.argmax(axis=1)
+            bestcos = cos[np.arange(len(pdf)), best]
+            keep = bestcos >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col][keep],
+                    probe_id: pids[best[keep]],
+                    "cosine": bestcos[keep],
+                }
+            )
+
+    # Round JVM-side: np.round is half-to-even, the repo contract (and
+    # DuckDB ROUND) is half-away-from-zero — same pin as ml/kmeans.py.
+    return c.mapInPandas(kernel, schema).withColumn(
+        "cosine", F.round("cosine", 4)
     )

@@ -51,3 +51,82 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched kernels for corpus-scale scans against a FIXED vector set.
+#
+# The Column-expression path above is the right tool when each row meets a
+# HANDFUL of fixed vectors. Meeting K fixed vectors per row (K×D literal
+# terms — e.g. 16 cells × 64 dims = 1024-term trees) re-runs the measured
+# Janino failure from round 7 (similarity/pq.py module docstring): codegen
+# exceeds the 64 KB method limit and Spark silently falls back to
+# interpreted eval. Round 8 measured exactly that on the cell-assignment
+# scan: sf1→sf10 ratios of 10.28× (cluster-balanced sample) and 10.15×
+# (semantic decontamination) — time ∝ rows with zero amortization, the
+# interpreted signature. These kernels are the same fix pq_encode used:
+# numpy multiply-adds with an EXPLICIT d-ascending accumulation loop, which
+# reproduces the zip_with/aggregate left-to-right summation (and therefore
+# DuckDB's LIST_COSINE_SIMILARITY) bit-for-bit — the oracle contract.
+# --------------------------------------------------------------------------
+
+
+def _seq_norms(vectors: list[list[float]]) -> list[float]:
+    """L2 norms via a sequential python loop — same addition order as
+    ``norm()``'s aggregate (and the oracle's)."""
+    import math
+
+    out = []
+    for c in vectors:
+        s = 0.0
+        for x in c:
+            s += float(x) * float(x)
+        out.append(math.sqrt(s))
+    return out
+
+
+def _batch_cosines(x, cents, cnorms):
+    """(n, K) cosine matrix with ``cosine()``'s exact semantics: ascending-
+    index accumulation, denom = |v|·|c|, 0.0 where denom is 0."""
+    import numpy as np
+
+    n, dim = x.shape
+    dot = np.zeros((n, cents.shape[0]))
+    vsq = np.zeros(n)
+    for d in range(dim):
+        dot += x[:, d, None] * cents[:, d][None, :]
+        vsq += x[:, d] * x[:, d]
+    denom = np.sqrt(vsq)[:, None] * cnorms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom == 0.0, 0.0, dot / denom)
+
+
+def nearest_fixed_vector(df, vec_col: str, vectors: list[list[float]], out_col: str = "_cell"):
+    """Append ``out_col`` (int): the index of the nearest (cosine desc,
+    ties → lower index) of the K fixed ``vectors`` — identical cells to
+    ``similarity.ivf.ivf_cells_expr(vec, vectors, 1)[0]``, computed in an
+    Arrow-batched kernel instead of a K×D-term expression tree. Use THIS
+    on corpus-scale scans; the expression stays right for query-sized
+    frames (it keeps the plan pure-Catalyst)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(vectors, dtype=np.float64)
+    cnorms = np.asarray(_seq_norms(vectors))
+    fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ]
+    schema = ", ".join(fields + [f"{out_col} int"])
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cos = _batch_cosines(x, cents, cnorms)
+            out = {c: pdf[c] for c in cols}
+            out[out_col] = cos.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema)

@@ -57,6 +57,8 @@ def pq_encode(
     vec_col: str,
     codebooks: list[list[list[float]]],
     passthrough_cols: tuple[str, ...] = (),
+    cell_centroids: list[list[float]] | None = None,
+    cell_col: str = "_cell",
 ) -> DataFrame:
     """(id, [passthrough...], code_0..code_{M-1}) — the persisted form of a
     PQ index. ``passthrough_cols`` ride the Arrow batch unchanged (e.g. the
@@ -68,19 +70,37 @@ def pq_encode(
     multiply-adds — computed in an Arrow-batched numpy kernel with an
     explicit d-ascending accumulation loop (see module docstring for why
     not Catalyst codegen and why the loop order is the oracle contract).
+
+    ``cell_centroids``: also compute the IVF coarse cell (``cell_col``,
+    int) INSIDE the same kernel — identical cells to
+    ``ivf_cells_expr(vec, cell_centroids, 1)[0]`` (the expression on a
+    corpus-scale scan is itself the Janino interpreted-fallback shape:
+    round 8 measured the composed ivfpq gate at sf1→sf10 6.65× before
+    this, with the cell projection dominating the scan). One Python
+    crossing encodes codes AND cell.
     """
     import numpy as np
     import pandas as pd
+
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        _batch_cosines,
+        _seq_norms,
+    )
 
     m = len(codebooks)
     d = len(codebooks[0][0])
     cents = np.asarray(codebooks, dtype=np.float64)  # (M, K, D)
     sq = np.asarray([_sqnorms(b) for b in codebooks])  # (M, K)
+    if cell_centroids is not None:
+        ccents = np.asarray(cell_centroids, dtype=np.float64)
+        cnorms = np.asarray(_seq_norms(cell_centroids))
     passthrough = list(passthrough_cols)
     schema_parts = [_id_ddl(corpus, id_col)]
     schema_parts += [
         f"{c} {corpus.schema[c].dataType.simpleString()}" for c in passthrough
     ]
+    if cell_centroids is not None:
+        schema_parts += [f"{cell_col} int"]
     schema_parts += [f"code_{s} int" for s in range(m)]
     schema = ", ".join(schema_parts)
 
@@ -92,6 +112,9 @@ def pq_encode(
             out = {id_col: pdf[id_col]}
             for c in passthrough:
                 out[c] = pdf[c]
+            if cell_centroids is not None:
+                cos = _batch_cosines(x, ccents, cnorms)
+                out[cell_col] = cos.argmax(axis=1).astype("int32")
             for s in range(m):
                 acc = np.zeros((len(pdf), cents.shape[1]))
                 for k in range(d):
@@ -211,10 +234,12 @@ def ivfpq_topk(
     every code for every query; here the ADC join carries an equi-key on
     ``_cell``, so per-query work is ∝ corpus × nprobe / num_cells.
 
-    Plan shape: corpus scan → ``_cell`` argmax fused into the scan
-    projection (pure Column expr over the k×D coarse literals, same as
-    ``ivf_fixed_topk``) → Arrow-batched PQ encode with ``_cell`` riding
-    the batch → equi-JOIN on ``_cell`` against the broadcast
+    Plan shape: corpus scan → ONE Arrow-batched kernel computing the
+    ``_cell`` argmax AND the PQ codes (the k×D Column-expression variant
+    of the cell argmax is the measured Janino interpreted-fallback shape
+    on a corpus-scale scan — sf1→sf10 6.65× before the kernel; queries
+    still use ``ivf_cells_expr``, which is right at query cardinality)
+    → equi-JOIN on ``_cell`` against the broadcast
     (query × nprobe) LUT probe set → codegen'd ADC cosine → per-query
     top-k window (the only shuffle, WindowGroupLimit-bounded). On a real
     deployment codes+cells persist partitioned by ``_cell``
@@ -233,13 +258,11 @@ def ivfpq_topk(
     from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
 
     coded = pq_encode(
-        corpus.withColumn(
-            "_cell", ivf_cells_expr(F.col(vec_col), coarse_centroids, 1)[0]
-        ),
+        corpus,
         id_col,
         vec_col,
         codebooks,
-        passthrough_cols=("_cell",),
+        cell_centroids=coarse_centroids,
     )
     probe = queries.select(
         F.col(query_id),

@@ -90,6 +90,19 @@ def main() -> None:
     passes = 2
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    # --names a b c: re-measure ONLY those queries and MERGE their rows
+    # into the existing artifacts (totals recomputed over the merged set).
+    # For a post-fix re-measure of specific operators; the definitive
+    # artifact is still a full sweep.
+    names = list(NAMES)
+    merge = False
+    if "--names" in sys.argv:
+        i = sys.argv.index("--names") + 1
+        names = []
+        while i < len(sys.argv) and not sys.argv[i].startswith("--"):
+            names.append(sys.argv[i])
+            i += 1
+        merge = True
     timeout_s = float(os.environ.get("SCALE_QUERY_TIMEOUT", "600"))
     for sf, d in [(1, SF1_DIR), (10, SF10_DIR)]:
         if not os.path.isdir(d):
@@ -109,7 +122,7 @@ def main() -> None:
         t: dict[str, float] = {}
         timeouts[tag] = []
         for p in range(passes):
-            for name in NAMES:
+            for name in names:
                 if name in timeouts[tag]:
                     continue
                 t0 = time.time()
@@ -132,9 +145,20 @@ def main() -> None:
                 )
         results[tag] = t
 
+    if merge:
+        with open(os.path.join(REPO, "SCALE_SF10.json")) as f:
+            prior = json.load(f)["queries"]
+        for n, row in prior.items():
+            if n in names:
+                continue
+            if row.get("sf1") is not None:
+                results["sf1"].setdefault(n, row["sf1"])
+            if row.get("sf10") is not None:
+                results["sf10"].setdefault(n, row["sf10"])
+    all_names = sorted(set(results["sf1"]) | set(results["sf10"]))
     ratios = {
         n: round(results["sf10"][n] / results["sf1"][n], 2)
-        for n in NAMES
+        for n in all_names
         if results["sf1"].get(n, 0) > 0 and n in results["sf10"]
     }
     worst = max(ratios, key=ratios.get)
@@ -180,7 +204,7 @@ def main() -> None:
                 "sf10": results["sf10"].get(n),
                 "ratio": ratios.get(n),
             }
-            for n in NAMES
+            for n in all_names
         },
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         # Machine-speed denominator (bench.py's single-threaded probe):

@@ -278,7 +278,12 @@ def test_embedding_decontaminate_flags_planted_dup(spark):
     assert out[3][1] == pytest.approx(0.7071, abs=1e-4)
 
 
-def test_embedding_decontaminate_broadcasts_probes(spark):
+def test_embedding_decontaminate_narrow_scan_no_shuffle(spark):
+    """The probe sweep is ONE Arrow kernel over the corpus scan: no
+    Exchange (shuffle), no join, no window — the operator's 100 TB
+    contract. (The zip_with expression variant was the measured
+    interpreted-fallback shape: sf1→sf10 ratio 10.15× before round 8's
+    kernel.)"""
     from flink_1_3_2_hopsworks_spark.dedup.contamination import (
         embedding_decontaminate,
     )
@@ -295,8 +300,9 @@ def test_embedding_decontaminate_broadcasts_probes(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 # ----------------------------------------------------------------------- BPE
