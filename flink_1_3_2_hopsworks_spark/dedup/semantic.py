@@ -28,7 +28,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
-from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
 
 
 def semantic_dup_pairs(
@@ -51,9 +50,19 @@ def semantic_dup_pairs(
     mirroring minhash's ``max_bucket`` — the cap is an explicit recall
     trade, never an OOM. ``None`` (default) keeps full SemDeDup semantics.
     """
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_v")
-    ).withColumn("_cell", ivf_cells_expr(F.col("_v"), centroids, 1)[0])
+    # Arrow cell kernel, not ivf_cells_expr: the corpus-scale argmax
+    # expression is the measured Janino interpreted-fallback shape
+    # (functions/vectors.py) — bit-identical cells, oracle unaffected.
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        nearest_fixed_vector,
+    )
+
+    c = nearest_fixed_vector(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v")),
+        "_v",
+        centroids,
+        out_col="_cell",
+    )
     if max_cell is not None:
         oversized = (
             c.groupBy("_cell")

@@ -101,13 +101,21 @@ def _batch_cosines(x, cents, cnorms):
         return np.where(denom == 0.0, 0.0, dot / denom)
 
 
-def nearest_fixed_vector(df, vec_col: str, vectors: list[list[float]], out_col: str = "_cell"):
+def nearest_fixed_vector(
+    df,
+    vec_col: str,
+    vectors: list[list[float]],
+    out_col: str = "_cell",
+    out_cos: str | None = None,
+):
     """Append ``out_col`` (int): the index of the nearest (cosine desc,
     ties → lower index) of the K fixed ``vectors`` — identical cells to
     ``similarity.ivf.ivf_cells_expr(vec, vectors, 1)[0]``, computed in an
     Arrow-batched kernel instead of a K×D-term expression tree. Use THIS
     on corpus-scale scans; the expression stays right for query-sized
-    frames (it keeps the plan pure-Catalyst)."""
+    frames (it keeps the plan pure-Catalyst). ``out_cos`` additionally
+    emits the winning cosine (double, unrounded — round JVM-side to keep
+    the half-up contract)."""
     import numpy as np
     import pandas as pd
 
@@ -116,17 +124,23 @@ def nearest_fixed_vector(df, vec_col: str, vectors: list[list[float]], out_col: 
     fields = [
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ]
-    schema = ", ".join(fields + [f"{out_col} int"])
+    extra = [f"{out_col} int"] + ([f"{out_cos} double"] if out_cos else [])
+    schema = ", ".join(fields + extra)
     cols = [f.name for f in df.schema.fields]
 
     def kernel(batches):
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             cos = _batch_cosines(x, cents, cnorms)
+            best = cos.argmax(axis=1)
             out = {c: pdf[c] for c in cols}
-            out[out_col] = cos.argmax(axis=1).astype("int32")
+            out[out_col] = best.astype("int32")
+            if out_cos:
+                out[out_cos] = cos[np.arange(len(pdf)), best]
             yield pd.DataFrame(out)
 
     return df.mapInPandas(kernel, schema)

@@ -36,7 +36,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+
 
 
 def _round_half_up(x: float, dp: int) -> float:
@@ -60,12 +60,22 @@ def spherical_kmeans_fit(
 ) -> list[list[float]]:
     """Run ``iterations`` spherical Lloyd steps from ``init_centroids`` and
     return the trained centroids (python lists — the model)."""
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        nearest_fixed_vector,
+    )
+
     cents = [list(map(float, c)) for c in init_centroids]
     dim = len(cents[0])
     for _ in range(iterations):
-        assigned = df.select(
-            F.col(vec_col).alias("_v"),
-        ).withColumn("_cell", ivf_cells_expr(F.col("_v"), cents, 1)[0])
+        # Arrow cell kernel, not ivf_cells_expr: the k×D-literal argmax
+        # expression on a corpus-scale scan is the measured Janino
+        # interpreted-fallback shape (see functions/vectors.py) — and
+        # training assigns the FULL corpus every iteration. Bit-identical
+        # cells (ascending accumulation), so the unrolled SQL oracle is
+        # unaffected.
+        assigned = nearest_fixed_vector(
+            df.select(F.col(vec_col).alias("_v")), "_v", cents, out_col="_cell"
+        )
         means = (
             assigned.groupBy("_cell")
             .agg(
@@ -99,19 +109,20 @@ def spherical_kmeans_assign(
     centroids: list[list[float]],
 ) -> DataFrame:
     """(id, cell, cosine) — final assignment against trained centroids,
-    cosine rounded to 4 dp (the serving-side expression, scan-fused)."""
-    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
-
-    out = df.select(
-        F.col(id_col), F.col(vec_col).alias("_v")
-    ).withColumn("cell", ivf_cells_expr(F.col("_v"), centroids, 1)[0])
-    # cosine vs the ASSIGNED cell's centroid, picked by one CASE chain over
-    # the k literals (k is small — this is the model, not the data).
-    expr = F.lit(0.0)
-    for i, c in enumerate(centroids):
-        expr = F.when(F.col("cell") == i, cosine(F.col("_v"), F.lit(c))).otherwise(
-            expr
-        )
-    return out.select(
-        id_col, "cell", F.round(expr, 4).alias("cosine")
+    cosine rounded to 4 dp. Runs in the Arrow cell kernel (one crossing
+    emits cell AND winning cosine) — the k×D expression + CASE-chain
+    variant is the measured Janino interpreted-fallback shape on a
+    corpus-scale scan (functions/vectors.py); values are bit-identical,
+    rounding stays JVM-side (half-up contract)."""
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        nearest_fixed_vector,
     )
+
+    out = nearest_fixed_vector(
+        df.select(F.col(id_col), F.col(vec_col).alias("_v")),
+        "_v",
+        centroids,
+        out_col="cell",
+        out_cos="_cos",
+    )
+    return out.select(id_col, "cell", F.round("_cos", 4).alias("cosine"))
