@@ -229,7 +229,7 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         [
             "cep_error_spike", "cep_signup_purchase", "cep_signup_timeout",
             "dd_embedding_pairs", "dd_embedding_recall", "dd_exact_dedup",
-            "dd_ngram_jaccard_pairs", "dd_semantic_dedup", "dd_simhash_pairs",
+            "dd_ngram_jaccard_pairs", "dd_simhash_pairs",
             "ev_async_enrich", "ev_first_event_per_key",
             "ev_running_user_total", "ev_session_5m",
             "fn_udaf_grouped", "fn_udf_scalar", "fn_udtf_lateral",
@@ -260,6 +260,11 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
     #   ml_kmeans_spherical      — half-up rounding contract
     #   dd_prefix_dups           — hash-only shuffle reshape
     #   pipe_model_quality_filter— trained (not random-ish) frozen weights
+    #   dd_semantic_dedup        — Arrow cell kernel (was r6-proven)
+    #   dd_simhash_pairs stays proven (unchanged since 562400f re-proof via
+    #   the r8 full parity sweeps); sim_pq_topk removed from the r7 cohort —
+    #   pq_encode grew the in-kernel cell path (flat-PQ gate re-proves the
+    #   shared kernel)
     **dict.fromkeys(
         [
             "dd_minhash_pairs",
@@ -278,7 +283,6 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
             "pipe_temperature_mixture",
             "q10_returned_items", "q18_large_volume_customer",
             "q1_pricing_summary",
-            "sim_pq_topk",
             "tbl_expr_priority_stats", "tbl_over_running_revenue",
             "tbl_sql_region_year_revenue", "tbl_tumble_daily_by_type",
             "text_ngram_novelty", "text_oov_rate", "text_pack_sequences",
