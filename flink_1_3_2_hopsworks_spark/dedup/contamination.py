@@ -142,13 +142,17 @@ def embedding_decontaminate(
         (r[probe_id], list(map(float, r[vec_col])))
         for r in probes.select(probe_id, vec_col).collect()
     )
-    pids = np.asarray([r[0] for r in prows], dtype=np.int64)
+    # Probe-id dtype follows probes.schema (like id_col follows corpus's):
+    # string benchmark names work the same as integer ids — numpy keeps
+    # them as an object/str array and Arrow maps the declared DDL type.
+    pids = np.asarray([r[0] for r in prows])
     pvecs = np.asarray([r[1] for r in prows], dtype=np.float64)
     pnorms = np.asarray(_seq_norms([r[1] for r in prows]))
 
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
     id_ddl = f"{id_col} {corpus.schema[id_col].dataType.simpleString()}"
-    schema = f"{id_ddl}, {probe_id} bigint, cosine double"
+    probe_ddl = f"{probe_id} {probes.schema[probe_id].dataType.simpleString()}"
+    schema = f"{id_ddl}, {probe_ddl}, cosine double"
 
     def kernel(batches):
         for pdf in batches:

@@ -65,10 +65,12 @@ def _warn_if_low_recall(
         warnings.warn(
             f"minhash LSH geometry {bands} bands x {rows} rows catches a "
             f"j={threshold} pair with p={p:.3f} < recall_floor="
-            f"{recall_floor}. Scale bands with num_hashes to keep r "
-            f"(e.g. num_hashes={16 * bands}, bands={2 * bands} keeps "
-            f"r={rows // 2 if rows >= 2 else rows}), lower num_hashes for "
-            f"a smaller r, or pass recall_floor=None to accept the trade.",
+            f"{recall_floor}. Scale num_hashes and bands together to keep "
+            f"r while raising catch probability (e.g. num_hashes="
+            f"{2 * bands * rows}, bands={2 * bands} keeps r={rows} and "
+            f"lifts p to {lsh_catch_probability(threshold, 2 * bands, rows):.3f}), "
+            f"lower num_hashes for a smaller r, or pass recall_floor=None "
+            f"to accept the trade.",
             RuntimeWarning,
             stacklevel=3,
         )

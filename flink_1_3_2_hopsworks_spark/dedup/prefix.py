@@ -38,6 +38,8 @@ reflexive on equal streams — with the lower id on the short side.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -48,11 +50,26 @@ def prefix_containment_pairs(
     text_col: str,
     prefix_k: int = 16,
     max_bucket: int = 1000,
+    candidate_budget: int | None = None,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Truncation pairs ``(id_short, id_long, n_short_tokens)``: the short
     doc's whitespace-normalized token stream is exactly a prefix of the
     long doc's (ties in length ordered by id; both docs need at least
-    ``prefix_k`` tokens to block)."""
+    ``prefix_k`` tokens to block).
+
+    The verify step BROADCASTS the candidate list back onto the token scan
+    — that broadcast is a hard requirement of the hash-only-shuffle
+    contract (without it the token arrays would shuffle on id_long), and
+    it holds only while candidates stay driver-sized. Candidates scale
+    with true duplicate GROUPS (``max_bucket`` caps per-key fan-out, not
+    the total), so on a template-heavy corpus pass ``candidate_budget``:
+    the under-cap candidate count Σ size·(size−1)/2 is estimated from the
+    block-key size aggregate (one extra job — makes the call partially
+    EAGER) and the call raises (default) or warns
+    (``on_over_budget="warn"``) when it exceeds the budget, pointing at a
+    lower ``max_bucket`` / higher ``prefix_k``. ``None`` keeps it lazy.
+    """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.filter(
@@ -72,13 +89,35 @@ def prefix_containment_pairs(
         ).alias("_pk"),
         F.md5(F.array_join("_toks", " ")).alias("_fp"),
     )
-    oversized = (
-        keyed.groupBy("_pk")
-        .agg(F.count(F.lit(1)).alias("_bs"))
-        .filter(F.col("_bs") > max_bucket)
-        .select("_pk")
-    )
+    bucket_sizes = keyed.groupBy("_pk").agg(F.count(F.lit(1)).alias("_bs"))
+    oversized = bucket_sizes.filter(F.col("_bs") > max_bucket).select("_pk")
     capped = keyed.join(oversized, "_pk", "left_anti")
+
+    if candidate_budget is not None:
+        if on_over_budget not in ("raise", "warn"):
+            raise ValueError(
+                f"on_over_budget must be 'raise' or 'warn', got {on_over_budget!r}"
+            )
+        est = (
+            bucket_sizes.filter(F.col("_bs") <= max_bucket)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_bs") * (F.col("_bs") - 1) / 2), F.lit(0.0)
+                ).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        if est > candidate_budget:
+            msg = (
+                f"prefix_containment_pairs: estimated {est:.0f} under-cap "
+                f"candidates exceeds candidate_budget={candidate_budget}; "
+                "the verify broadcast requires a driver-sized candidate "
+                "set. Lower max_bucket or raise prefix_k (a longer block "
+                "prefix splits template buckets)."
+            )
+            if on_over_budget == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     short = capped.select(
         "_pk",
@@ -101,10 +140,10 @@ def prefix_containment_pairs(
         .filter(orient)
         .select("id_short", "id_long", "_n_s", "_fp_s")
     )
-    # Verify against the token SCAN: candidates are cap-bounded (∝ true
-    # duplicate groups), so they BROADCAST back onto the corpus and the
-    # slice hash is computed map-side — one md5 per candidate, no token
-    # array ever shuffled.
+    # Verify against the token SCAN: the candidate list BROADCASTS back
+    # onto the corpus (hard requirement — see docstring; candidate_budget
+    # is the measured guard) and the slice hash is computed map-side —
+    # one md5 per candidate, no token array ever shuffled.
     verify = (
         F.md5(
             F.array_join(F.slice(F.col("_toks"), F.lit(1), F.col("_n_s")), " ")

@@ -93,8 +93,13 @@ def bigram_lm_perplexity(
 
     Plan: two hash-aggregates build the model tables from one pass over
     the train token stream; serving is one pass over the serve bigram
-    stream with two model joins (broadcast when the vocabulary is small)
-    and one per-doc aggregate. No Python, no driver model state.
+    stream with two model joins and one per-doc aggregate. No Python, no
+    driver model state. The model joins carry NO broadcast hint: a hint
+    would override ``autoBroadcastJoinThreshold`` and force an
+    open-vocabulary model table through the driver; instead Spark/AQE
+    broadcasts when the built model measures small and falls back to a
+    shuffle hash join on ``prev``/``(prev,cur)`` when it doesn't.
+    ``vocab_n`` stays a hinted broadcast — it is one row by construction.
     """
     train_bg = _bigram_rows(train, id_col, text_col)
     c_bi = train_bg.groupBy("prev", "cur").agg(
@@ -111,8 +116,8 @@ def bigram_lm_perplexity(
         F.coalesce(F.col("_cprev"), F.lit(0)) + F.lit(add_k) * F.col("_v")
     )
     scored = (
-        serve_bg.join(F.broadcast(c_bi), ["prev", "cur"], "left")
-        .join(F.broadcast(c_prev), ["prev"], "left")
+        serve_bg.join(c_bi, ["prev", "cur"], "left")
+        .join(c_prev, ["prev"], "left")
         .crossJoin(F.broadcast(vocab_n))
         .select(
             "_id",
@@ -307,9 +312,18 @@ def zipf_fit(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
     cov = n * sxy - sx * sy
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
+    # Degenerate-input contract: with a single distinct term (or top_k=1)
+    # varx == 0, so the normal equations have no defined slope — return
+    # slope 0.0 / intercept = mean(y) / r2 NULL instead of NaN/NULL noise.
+    # An all-equal-frequency corpus whose log²f rounds cleanly at 6 dp hits
+    # vary == 0 the same way (r2 NULL — correlation undefined, not
+    # "perfect"); usually rounding leaves vary tiny-nonzero and r2 ≈ 0.
+    slope = F.when(varx == 0, F.lit(0.0)).otherwise(cov / varx)
     return sums.select(
         F.col("_n").alias("n_terms"),
-        F.round(cov / varx, 4).alias("slope"),
-        F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.when((varx == 0) | (vary == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((cov * cov) / (varx * vary), 4))
+        .alias("r2"),
     )

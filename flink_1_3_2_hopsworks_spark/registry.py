@@ -290,6 +290,42 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         7,
     ),
+    # r08 cohort (overrides earlier entries — CORRECTNESS_r08.json proved
+    # all 50 of these green on rows+schema+hash).
+    # Deliberately absent, so they sort first for round-9 re-proving
+    # (their round-9 code changes invalidate the r08 proof — ADVICE fixes):
+    #   text_zipf_fit             — degenerate-input guard (lm.py:316)
+    #   pipe_lm_perplexity_filter — broadcast-hint gating (lm.py:114)
+    #   dd_prefix_dups            — candidate broadcast-hint gating (prefix.py)
+    #   ev_window_cogroup_agg_fused — millisecond window precision (window_op)
+    #   dd_semantic_contamination — probe_id dtype derivation (contamination.py)
+    **dict.fromkeys(
+        [
+            "cep_clean_purchase", "cep_double_error",
+            "dd_semantic_dedup", "dd_simhash_stars",
+            "ds_stream_program",
+            "ev_count_sliding_20_5", "ev_count_tumbling_20",
+            "ev_window_cogroup_click_purchase",
+            "ev_window_join_click_purchase",
+            "gr_adamic_adar", "gr_clustering_coef",
+            "gr_connected_components", "gr_facade_filtered_degrees",
+            "gr_graph_summarize", "gr_hits", "gr_label_propagation",
+            "gr_pagerank", "gr_triangle_count",
+            "ml_bpe_train", "ml_kmeans_spherical", "ml_knn_neighbors",
+            "ml_minmax_price", "ml_poly_features",
+            "pipe_cluster_balanced_sample", "pipe_dsir_resample",
+            "pipe_gopher_filter", "pipe_model_quality_filter",
+            "q19_discounted_revenue", "q20_potential_part_promotion",
+            "q21_suppliers_kept_orders_waiting", "q2_min_cost_supplier",
+            "q3_shipping_priority", "q4_order_priority",
+            "q5_local_supplier_volume", "q6_forecast_revenue",
+            "sim_bm25_topk", "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_topk",
+            "tbl_offset_fetch", "tbl_session_30m_by_user",
+            "tbl_slide_6h_2h_by_type",
+            "text_bpe_tokenize", "text_line_dedup", "text_vocab_top_terms",
+        ],
+        8,
+    ),
 }
 
 

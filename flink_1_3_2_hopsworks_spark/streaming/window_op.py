@@ -392,7 +392,10 @@ def windowed_cogroup_agg(
     both = tag(left, 0).unionByName(tag(right, 1))
     if both.isStreaming:
         both = both.withWatermark(ts_col, f"{watermark_delay_seconds} seconds")
-    win = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    # Millisecond precision to stay pane-for-pane equivalent with the
+    # full-pane operator (which buckets on int(window_seconds*1000) ms);
+    # plain int(window_seconds) would reject 0.5 and silently truncate 90.7.
+    win = F.window(F.col(ts_col), f"{int(window_seconds * 1000)} milliseconds")
     out = both.groupBy(win.alias("_w"), *keys).agg(*aggs)
     return out.select(
         *keys,
@@ -428,7 +431,9 @@ def windowed_cogroup_batch(
         .unionByName(tag(right, 1))
         .withColumn(
             "_win_start",
-            F.window(F.col(ts_col), f"{int(window_seconds)} seconds").start,
+            F.window(
+                F.col(ts_col), f"{int(window_seconds * 1000)} milliseconds"
+            ).start,
         )
         .withColumn("_ts_ms", (F.col(ts_col).cast("double") * 1000).cast("long"))
     )

@@ -446,3 +446,24 @@ def test_zipf_fit_flags_flat_vocabulary(spark):
     )
     r = zipf_fit(docs, "text", top_k=5).collect()[0]
     assert r["slope"] == 0.0 or abs(r["slope"]) < 1e-6
+    # vary collapses to ~0 (only exactly 0 when log²f rounds cleanly): the
+    # defined contract is r2 NULL on exact degeneracy, ≈0 otherwise.
+    assert r["r2"] is None or abs(r["r2"]) < 0.01
+
+
+def test_zipf_fit_single_term_defined(spark):
+    """One distinct term (varx = 0): the normal equations are degenerate —
+    the contract is slope 0.0, intercept = mean log-frequency, r2 NULL,
+    never NaN/NULL slope (the dataset-card gate needs a defined value)."""
+    import math
+
+    from flink_1_3_2_hopsworks_spark.functions.lm import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "same same same same")], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, "text", top_k=10).collect()[0]
+    assert r["n_terms"] == 1
+    assert r["slope"] == 0.0
+    assert abs(r["intercept"] - round(math.log(4.0), 4)) < 1e-6
+    assert r["r2"] is None
