@@ -1,0 +1,345 @@
+"""End-to-end LLM-corpus curation pipeline — the composition the operator
+library exists for.
+
+Chains the published curation order (C4 → Gopher → CCNet perplexity →
+exact dedup → MinHash-star near-dedup → n-gram + embedding
+decontamination → temperature mixture → shuffle-shard) into ONE funnel
+whose output is the auditable per-stage survivor table. Every stage is an
+existing, individually-oracled library operator; this module adds only
+composition — per-doc verdict columns joined on the id, set-dependent
+stages gated on the previous stage's survivors, and a single conditional
+aggregate producing the funnel.
+
+Reference-analogue: the chained-driver execution model (operators chained
+without materialization boundaries, flink-runtime
+operators/chaining/ChainedDriver.java) — here the chain is Catalyst's
+collapsed projection over the pinned slim frame, and the one deliberate
+pin (``materialize``) plays the role of the reference's intermediate
+result partition.
+
+Scale contract (the 100 TB design — documented scan budget):
+
+- Per-doc independent signals (C4 verdict, Gopher rules, LM bits/token,
+  n-gram contamination, embedding contamination) are computed corpus-wide
+  in INDEPENDENT columnar passes, each map-reducing the text column down
+  to slim per-doc values, then joined on the id and pinned ONCE
+  (``materialize`` — localCheckpoint of ids/hashes/bools/decimals only,
+  never text). Real pipelines (C4, RefinedWeb, Dolma) score rule signals
+  for every document in one sweep and filter afterwards; gating the cheap
+  signals on earlier stages would serialize the passes for a minor saving.
+  Build budget: one text pass for the pure signals, one for Gopher, one
+  for LM serve bigrams (+ the pushed-filter train-slice model build), one
+  for corpus n-grams (+ the benchmark-slice gram set), one embeddings
+  pass. Each pass reads only the columns it needs (columnar pruning).
+- Set-DEPENDENT stages run on the pinned frame: perplexity terciles over
+  the rule survivors (histogram — no global sort), exact-dedup keepers
+  (one hash-aggregate on the fingerprint), mixture rates (one
+  stratum-sized aggregate, broadcast back).
+- Near-dedup is the one stage that must re-read text (star-edge semantics
+  are defined on the SURVIVOR set: anchors must be survivors, so the
+  signatures can't be pre-built into the pinned frame before the survivor
+  set exists). The funnel plan therefore contains EXACTLY ONE corpus
+  parquet scan — the MinHash signature pass, gated on survivors by a
+  semi-join of the SLIM signature table (``id_filter``): text never
+  shuffles, and everything else reads the pinned slim frame
+  (plan-audited in tests/test_plans_audit.py).
+- No Exchange ever carries document text; the widest shuffled payloads
+  are n-gram strings and 64-bit signature columns (the library operators'
+  own audited contracts).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_3_2_hopsworks_spark.functions import text as T
+from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+
+STAGES = (
+    "input",
+    "c4_doc_rules",
+    "gopher_rules",
+    "perplexity_tercile",
+    "exact_dedup",
+    "near_dedup_star",
+    "decontaminate_ngram",
+    "decontaminate_semantic",
+    "temperature_mixture",
+    "shuffle_shard",
+)
+
+
+def _h32(*cols: Column, salt: str) -> Column:
+    """The repo-standard portable salted 32-bit hash (operators/sampling.py
+    scheme): first 8 hex chars of md5(key|salt) as a bigint — replayable
+    in any engine."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(salt))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    embedding_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    benchmark_source: str = "src0",
+    gopher_stop_words: list[str] | None = None,
+    near_dup_threshold: float = 0.8,
+    ngram_n: int = 5,
+    semantic_threshold: float = 0.30,
+    temperature: float = 2.0,
+    n_shards: int = 8,
+    salt: str = "cur9",
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """Per-document curation verdicts: one row per non-benchmark doc with
+    the cumulative stage-survival booleans ``s0``..``s9`` (s0 = in the
+    corpus, s9 = lands in a training shard), the slim signals behind them,
+    and the final ``shard`` assignment.
+
+    ``embeddings`` carries the corpus's embedding column keyed by the SAME
+    ids as ``docs`` (``embedding_id_col`` == the doc id); benchmark-doc
+    embeddings play the semantic probe set.
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.contamination import (
+        benchmark_ngram_overlap,
+        embedding_decontaminate,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+    from flink_1_3_2_hopsworks_spark.functions.lm import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    _id = F.col(id_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    corpus = docs.filter(F.col(source_col) != benchmark_source).select(
+        id_col, lang_col, text_col
+    )
+    benchmark = docs.filter(F.col(source_col) == benchmark_source)
+
+    # ---- per-doc independent signals (corpus-wide columnar passes) ----
+    sig = corpus.select(
+        _id,
+        F.col(lang_col).alias("_lang"),
+        T.token_count(txt).cast("long").alias("_ntok"),
+        T.fingerprint(text_col).alias("_fp"),
+        # C4's whole-document rules (Raffel et al. 2020 §2.2) — the
+        # line-level rules need newline structure this corpus lacks.
+        (~(F.lower(txt).contains("lorem ipsum") | txt.contains("{"))).alias(
+            "_c4_ok"
+        ),
+    )
+    gopher = T.gopher_quality_rules(
+        corpus,
+        id_col,
+        text_col,
+        stop_words=gopher_stop_words
+        if gopher_stop_words is not None
+        else T.STOPWORDS["en"],
+    ).select(_id, F.col("kept").alias("_gopher_ok"))
+    bits = bigram_lm_perplexity(
+        corpus.filter(F.col(lang_col) == "en"), corpus, id_col, text_col
+    ).select(_id, F.col("bits_per_token").alias("_bits"))
+    ngram = benchmark_ngram_overlap(
+        corpus, benchmark, id_col, text_col, n=ngram_n
+    ).select(_id, F.col("contaminated").alias("_ng_bad"))
+    sem_bad = (
+        embedding_decontaminate(
+            embeddings.join(
+                corpus.select(_id.alias(embedding_id_col)), embedding_id_col
+            ),
+            embeddings.join(
+                benchmark.select(_id.alias(embedding_id_col)),
+                embedding_id_col,
+            ).select(
+                F.col(embedding_id_col).alias("probe_id"), embedding_col
+            ),
+            embedding_id_col,
+            embedding_col,
+            threshold=semantic_threshold,
+        )
+        .select(F.col(embedding_id_col).alias(id_col))
+        .withColumn("_sem_bad", F.lit(True))
+    )
+
+    # ---- the ONE pin: slim per-doc frame (ids/hashes/bools/decimals) ----
+    d = materialize(
+        sig.join(gopher, id_col)
+        .join(bits, id_col)
+        .join(ngram, id_col)
+        .join(sem_bad, id_col, "left")
+        .withColumn("_sem_bad", F.coalesce("_sem_bad", F.lit(False)))
+    )
+
+    s1 = F.col("_c4_ok")
+    s2 = s1 & F.col("_gopher_ok")
+
+    # ---- set-dependent stages (derived from the pinned frame) ----
+    # CCNet tercile bucketing over the RULE SURVIVORS' score distribution.
+    ppx = perplexity_buckets(
+        d.filter(s2).select(_id, F.col("_bits").alias("bits_per_token")),
+        id_col,
+    ).select(_id, F.col("kept").alias("_ppx_ok"))
+    d2 = d.join(ppx, id_col, "left")
+    s3 = s2 & F.coalesce("_ppx_ok", F.lit(False))
+
+    # Exact dedup among perplexity survivors: min-id keeper per fingerprint
+    # (dedup_documents' semantics on the PINNED fingerprint — calling it
+    # directly would re-hash the text we deliberately no longer carry).
+    keepers = (
+        d2.filter(s3)
+        .groupBy("_fp")
+        .agg(F.min(_id).alias(id_col))
+        .select(_id, F.lit(True).alias("_ex_keep"))
+    )
+    d3 = d2.join(keepers, id_col, "left")
+    s4 = s3 & F.coalesce("_ex_keep", F.lit(False))
+
+    # Near-dedup on the survivor set: ONE text re-read feeds MinHash star
+    # edges; the survivor gating semi-joins the SLIM signature table
+    # (id_filter — per-doc-independent signatures make it equivalent to
+    # pre-joining, with no text shuffle); connected components resolve
+    # clusters.
+    surv4 = d3.filter(s4).select(_id)
+    edges = minhash_star_edges(
+        corpus,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        portable=True,
+        recall_floor=None,
+        persist=persist_signatures,
+        id_filter=surv4,
+    )
+    nd = resolve_duplicate_clusters(surv4, edges, id_col).select(
+        _id, F.col("kept").alias("_nd_ok")
+    )
+    d4 = d3.join(nd, id_col, "left")
+    s5 = s4 & F.coalesce("_nd_ok", F.lit(True))
+    s6 = s5 & ~F.col("_ng_bad")
+    s7 = s6 & ~F.col("_sem_bad")
+
+    # Temperature mixture over the decontaminated survivors' lang strata
+    # (operators/sampling.py temperature_resample inlined so the rate table
+    # derives from the SURVIVOR token shares, not the raw corpus).
+    totals = (
+        d4.filter(s7)
+        .groupBy("_lang")
+        .agg(F.sum(F.col("_ntok").cast("double")).alias("_t"))
+        .filter(F.col("_t") > 0)
+    )
+    from pyspark.sql import Window
+
+    rate = F.round(
+        F.pow(
+            F.min("_t").over(Window.partitionBy()) / F.col("_t"),
+            F.lit(1.0 - 1.0 / float(temperature)),
+        ),
+        6,
+    )
+    rates = totals.withColumn("_rate", rate).select("_lang", "_rate")
+    d5 = d4.join(F.broadcast(rates), "_lang", "left")
+    draw = _h32(_id, salt=f"{salt}mix")
+    s8 = (
+        s7
+        & F.col("_rate").isNotNull()
+        & (draw < F.col("_rate") * F.lit(float(1 << 32)))
+    )
+
+    # Shard assignment (operators/sharding.py scheme, shard only — the
+    # within-shard position is a bijection of the same hash order).
+    shard = (_h32(_id, salt=f"{salt}sh") % n_shards).cast("int")
+
+    return d5.select(
+        _id,
+        "_lang",
+        "_ntok",
+        "_fp",
+        "_bits",
+        F.lit(True).alias("s0"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        s4.alias("s4"),
+        s5.alias("s5"),
+        s6.alias("s6"),
+        s7.alias("s7"),
+        s8.alias("s8"),
+        s8.alias("s9"),
+        F.when(s8, shard).alias("shard"),
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "cur9",
+    **kwargs,
+) -> DataFrame:
+    """The auditable curation funnel: one row per pipeline stage with the
+    surviving document count, surviving token count, and an
+    order-independent survivor-set checksum (sum of the portable salted
+    32-bit id hashes; the shard stage's checksum binds the (id, shard)
+    assignment). ONE conditional aggregate over the per-doc verdict frame
+    — stage counters share every scan, join, and shuffle.
+
+    Output: ``(stage_idx, stage, n_docs, n_tokens, id_checksum)`` ordered
+    by stage.
+    """
+    v = curation_verdicts(docs, embeddings, id_col=id_col, salt=salt, **kwargs)
+    _id = F.col(id_col)
+    ck = _h32(_id, salt=f"{salt}ck")
+    ck_shard = _h32(_id, F.col("shard"), salt=f"{salt}ck")
+    aggs = []
+    for i, _name in enumerate(STAGES):
+        cond = F.col(f"s{i}")
+        check = ck_shard if _name == "shuffle_shard" else ck
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_d{i}"),
+            F.coalesce(F.sum(F.when(cond, F.col("_ntok"))), F.lit(0))
+            .cast("long")
+            .alias(f"_t{i}"),
+            F.coalesce(F.sum(F.when(cond, check)), F.lit(0))
+            .cast("long")
+            .alias(f"_c{i}"),
+        ]
+    wide = v.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    F.col(f"_d{i}").alias("n_docs"),
+                    F.col(f"_t{i}").alias("n_tokens"),
+                    F.col(f"_c{i}").alias("id_checksum"),
+                )
+                for i, name in enumerate(STAGES)
+            ]
+        )
+    )
+    return (
+        wide.select(rows.alias("_r"))
+        .select("_r.*")
+        .orderBy("stage_idx")
+    )

@@ -412,6 +412,7 @@ def minhash_star_edges(
     portable: bool = False,
     persist: bool = True,
     recall_floor: float | None = 0.9,
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """LINEAR near-dup edge generation for cluster resolution (the 100 TB
     shape of fuzzy dedup): per LSH bucket, emit only the star edges
@@ -437,12 +438,28 @@ def minhash_star_edges(
     one hash-aggregate row (min of a struct — the anchor id plus its
     signature, no second pass) plus one bucket-keyed join, so total work is
     Θ(docs × bands) regardless of bucket sizes. Same capping as pairs mode.
+
+    ``id_filter`` (optional, a one-column DataFrame named ``id_col``)
+    restricts the dedup to a document SUBSET without a text shuffle:
+    signatures are per-doc independent, so semi-joining the SIGNATURE
+    table (id + 64 longs) on the survivor ids is exactly equivalent to
+    pre-joining ``df`` — anchors, buckets, and edges all see only the
+    subset — while the corpus text never leaves the scan projection
+    (pre-joining shuffles the text column on the id at scale). The trade:
+    signatures are computed for every ``df`` row; pre-filter ``df``
+    instead when the subset is tiny and signing CPU dominates.
     """
     rows = num_hashes // bands
     _warn_if_low_recall(threshold, bands, rows, recall_floor)
     sig = _signatures(
         _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
     )
+    if id_filter is not None:
+        sig = sig.join(
+            id_filter.select(F.col(id_col).alias("_id")).distinct(),
+            "_id",
+            "left_semi",
+        )
     if persist:
         sig = sig.persist()
 

@@ -916,3 +916,27 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", top_k=100)
+
+
+def pipe_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline (curation.py curation_funnel) — the
+    composition the operator library exists for, as ONE plan: benchmark
+    exclusion (source='src0' plays the eval set) → C4 doc rules → Gopher
+    rules → CCNet perplexity terciles (en-slice bigram LM) → exact dedup →
+    MinHash-star near-dedup over the survivors → 4-gram + embedding
+    decontamination against the benchmark → T=2 temperature mixture →
+    shuffle-shard. Output is the auditable funnel: per-stage survivor
+    count, token count, and an order-independent salted-h32 survivor-set
+    checksum (the shard row's checksum binds the (doc, shard) assignment).
+    The oracle composes the stage oracles over survivor CTEs — every
+    stage's exact survivor SET is hash-verified, not just its size.
+    ``ngram_n=4`` (library default 5) so the decontamination stage
+    measurably drops docs on this synthetic corpus (2 hits at n=5, 49 at
+    n=4). Plan contract: ONE corpus parquet scan in the funnel plan (the
+    survivor-gated near-dedup re-read; everything else reads the pinned
+    slim frame) — audited in tests/test_plans_audit.py."""
+    from flink_1_3_2_hopsworks_spark.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation_funnel(docs, emb, ngram_n=4)

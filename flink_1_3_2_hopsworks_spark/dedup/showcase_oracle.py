@@ -141,13 +141,23 @@ def _lang_id_oracle() -> str:
 
 
 def _minhash_cte_prefix(
-    shingle_k: int, num_hashes: int, bands: int, max_bucket: int
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    source: str = "documents",
+    materialized: bool = False,
 ) -> str:
     """The shared CTE chain of the minhash oracles (norm → shingles → base
     hash → signature → band buckets → capped), replaying dedup/minhash.py
     with portable=True: the affine-permutation coefficients come from the
     SAME seeded generator the Spark side uses and band buckets are the same
-    '|'-joined value strings."""
+    '|'-joined value strings. ``source`` swaps the (doc_id, text) relation
+    the signatures derive from — the curation-funnel oracle passes its
+    survivor-gated corpus join here, with ``materialized=True`` so the
+    multiply-referenced sig/capped CTEs don't inline-expand (DuckDB's
+    default inlining multiplies each reference's subtree — composed with
+    the funnel's CTE depth that exhausts file handles)."""
     from flink_1_3_2_hopsworks_spark.dedup.minhash import _MERSENNE, _coeffs
 
     rows = num_hashes // bands
@@ -162,10 +172,11 @@ def _minhash_cte_prefix(
         )
         for b in range(bands)
     )
+    mat = "MATERIALIZED " if materialized else ""
     return f"""norm AS (
             SELECT doc_id AS id,
                 REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS nrm
-            FROM documents
+            FROM {source}
         ), sh AS (
             SELECT id,
                 SUBSTR(nrm, UNNEST(RANGE(1,
@@ -176,13 +187,13 @@ def _minhash_cte_prefix(
             SELECT id,
                 ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT % {_MERSENNE} AS h
             FROM sh
-        ), sig AS (
+        ), sig AS {mat}(
             SELECT id,
                 {sig_mins}
             FROM based GROUP BY id
         ), buckets AS (
             {band_rows}
-        ), capped AS (
+        ), capped AS {mat}(
             SELECT * FROM (
                 SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bs
                 FROM buckets
@@ -1765,3 +1776,253 @@ ORACLE["text_zipf_fit"] = r"""
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
     FROM sums
 """
+
+
+def _curation_e2e_oracle(
+    ngram_n: int = 4,
+    semantic_threshold: float = 0.30,
+    temperature: float = 2.0,
+    n_shards: int = 8,
+    salt: str = "cur9",
+    near_threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays curation.py curation_funnel end-to-end by COMPOSING the
+    stage oracles over survivor CTEs: C4 doc rules + Gopher signals +
+    bigram-LM bits (train = the corpus en slice) + n-gram / embedding
+    contamination flags build the per-doc frame; terciles, fingerprint
+    keepers, the survivor-gated portable MinHash star edges with a
+    recursive-CTE closure, survivor-derived temperature rates, and the
+    shard assignment replay the set-dependent stages; ten UNION arms emit
+    (count, token sum, salted-h32 survivor checksum) per stage."""
+    from flink_1_3_2_hopsworks_spark.functions.text import STOPWORDS
+
+    def h32(key_sql: str) -> str:
+        return f"('0x' || SUBSTR(MD5({key_sql}), 1, 8))::BIGINT"
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    exponent = repr(1.0 - 1.0 / float(temperature))
+    agree = _minhash_agree(num_hashes)
+    mh = _minhash_cte_prefix(
+        shingle_k,
+        num_hashes,
+        bands,
+        max_bucket,
+        source="(SELECT c.doc_id, c.text FROM corpus c "
+        "JOIN s4 ON c.doc_id = s4.doc_id)",
+        materialized=True,
+    )
+    ck = h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}ck')")
+    ck_sh = h32(
+        "CONCAT_WS('|', CAST(doc_id AS VARCHAR), "
+        f"CAST(shard AS VARCHAR), '{salt}ck')"
+    )
+    draw = h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}mix')")
+    shard = (
+        h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}sh')")
+        + f" % {n_shards}"
+    )
+    stages = [
+        ("input", "d"), ("c4_doc_rules", "s1"), ("gopher_rules", "s2"),
+        ("perplexity_tercile", "s3"), ("exact_dedup", "s4"),
+        ("near_dedup_star", "s5"), ("decontaminate_ngram", "s6"),
+        ("decontaminate_semantic", "s7"), ("temperature_mixture", "s8"),
+        ("shuffle_shard", "s9"),
+    ]
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        f" CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,"
+        f" CAST(COALESCE(SUM({ck_sh if name == 'shuffle_shard' else ck}), 0)"
+        f" AS BIGINT) AS id_checksum FROM {rel}"
+        for i, (name, rel) in enumerate(stages)
+    )
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT doc_id, lang, text FROM documents WHERE source <> 'src0'
+    ), sigd AS (
+        SELECT doc_id, lang,
+            CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')), '\\s+'))
+            END AS ntok,
+            MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
+            NOT (LOWER(COALESCE(text, '')) LIKE '%lorem ipsum%'
+                 OR COALESCE(text, '') LIKE '%{{%') AS c4
+        FROM corpus
+    ), gtk AS (
+        SELECT doc_id, COALESCE(text, '') AS text,
+            CASE WHEN LENGTH(TRIM(LOWER(COALESCE(text, '')))) = 0 THEN []
+                 ELSE STRING_SPLIT_REGEX(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+            END AS tk
+        FROM corpus
+    ), gm AS (
+        SELECT doc_id, LEN(tk) AS n,
+            CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) * 1.0
+                      / LEN(tk) END AS mwl,
+            CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE (LENGTH(REGEXP_REPLACE(text, '[^#…]', '', 'g'))
+                       + LEN(REGEXP_EXTRACT_ALL(text, '\\.{{3}}'))) * 1.0
+                      / LEN(tk) END AS symr,
+            CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE LEN(LIST_FILTER(tk, x -> REGEXP_MATCHES(x, '[a-z]')))
+                      * 1.0 / LEN(tk) END AS alphaf,
+            LEN(LIST_FILTER([{words}], w -> LIST_CONTAINS(tk, w))) AS hits
+        FROM gtk
+    ), gop AS (
+        SELECT doc_id,
+            (n >= 50 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND symr <= 0.1 AND alphaf >= 0.8 AND hits >= 2 AS gok
+        FROM gm
+    ), lmtok AS MATERIALIZED (
+        SELECT doc_id, lang,
+            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))),
+                        '\\s+'), x -> x <> '') AS toks
+        FROM corpus
+    ), bgr AS MATERIALIZED (
+        SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
+        FROM lmtok,
+            UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0))) AS u(i)
+    ), cbi AS (
+        SELECT prev, cur, COUNT(*) AS cbi FROM bgr WHERE lang = 'en'
+        GROUP BY 1, 2
+    ), cprev AS (
+        SELECT prev, COUNT(*) AS cprev FROM bgr WHERE lang = 'en' GROUP BY 1
+    ), vsz AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT UNNEST(toks) AS t FROM lmtok WHERE lang = 'en')
+    ), lmsc AS (
+        SELECT g.doc_id,
+            ROUND(-LN((COALESCE(b.cbi, 0) + 0.5)
+                      / (COALESCE(p.cprev, 0) + 0.5 * v.v)), 6) AS nll
+        FROM bgr g
+        LEFT JOIN cbi b ON g.prev = b.prev AND g.cur = b.cur
+        LEFT JOIN cprev p ON g.prev = p.prev
+        CROSS JOIN vsz v
+    ), lmper AS (
+        SELECT doc_id, COUNT(*) AS n_events,
+            SUM(CAST(nll AS DECIMAL(38, 6))) AS s
+        FROM lmsc GROUP BY doc_id
+    ), bitsd AS (
+        SELECT c.doc_id,
+            CASE WHEN p.n_events IS NULL THEN 0.0
+                 ELSE ROUND(CAST(p.s AS DOUBLE)
+                            / (p.n_events * 0.6931471805599453), 4)
+            END AS bits
+        FROM corpus c LEFT JOIN lmper p USING (doc_id)
+    ), bgrams AS (
+        SELECT DISTINCT ARRAY_TO_STRING(toks[i:i + {ngram_n - 1}], ' ') AS gram
+        FROM (
+            SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+            FROM documents WHERE source = 'src0'
+        ), UNNEST(RANGE(1, LEN(toks) - {ngram_n - 2})) AS u(i)
+        WHERE LEN(toks) >= {ngram_n}
+    ), ngbad AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                ARRAY_TO_STRING(toks[i:i + {ngram_n - 1}], ' ') AS gram
+            FROM (
+                SELECT doc_id,
+                    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+                FROM corpus
+            ), UNNEST(RANGE(1, LEN(toks) - {ngram_n - 2})) AS u(i)
+            WHERE LEN(toks) >= {ngram_n}
+        ) JOIN bgrams USING (gram)
+    ), sembad AS (
+        SELECT DISTINCT c.vec_id AS doc_id
+        FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv
+            FROM embeddings e JOIN corpus ON e.vec_id = corpus.doc_id
+        ) c
+        JOIN (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS pv
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            WHERE d.source = 'src0'
+        ) p ON LIST_COSINE_SIMILARITY(p.pv, c.cv) >= {semantic_threshold}
+    ), d AS MATERIALIZED (
+        SELECT s.doc_id, s.lang, s.ntok, s.fp, s.c4, g.gok, b.bits,
+            (n.doc_id IS NOT NULL) AS ngbadf,
+            (m.doc_id IS NOT NULL) AS sembadf
+        FROM sigd s
+        JOIN gop g USING (doc_id)
+        JOIN bitsd b USING (doc_id)
+        LEFT JOIN ngbad n USING (doc_id)
+        LEFT JOIN sembad m USING (doc_id)
+    ), s1 AS MATERIALIZED (
+        SELECT * FROM d WHERE c4
+    ), s2 AS MATERIALIZED (
+        SELECT * FROM s1 WHERE gok
+    ), hist AS (
+        SELECT bits AS v, COUNT(*) AS c FROM s2 GROUP BY 1
+    ), cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist
+    ), thr AS (
+        SELECT MIN(CASE WHEN cum >= CEIL(n.n / 3.0) THEN v END) AS t1,
+               MIN(CASE WHEN cum >= CEIL(n.n * 2 / 3.0) THEN v END) AS t2
+        FROM cum CROSS JOIN (SELECT COUNT(*) AS n FROM s2) n
+    ), s3 AS MATERIALIZED (
+        SELECT s2.* FROM s2 CROSS JOIN thr WHERE s2.bits <= thr.t2
+    ), keepers AS (
+        SELECT fp, MIN(doc_id) AS kid FROM s3 GROUP BY fp
+    ), s4 AS MATERIALIZED (
+        SELECT s3.* FROM s3
+        JOIN keepers ON s3.fp = keepers.fp AND s3.doc_id = keepers.kid
+    ), {mh}, anch AS (
+        SELECT band, bucket, MIN(id) AS aid
+        FROM capped GROUP BY band, bucket
+    ), candp AS (
+        SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+        FROM anch a
+        JOIN capped c ON a.band = c.band AND a.bucket = c.bucket
+                     AND c.id > a.aid
+    ), edges AS MATERIALIZED (
+        SELECT id_a, id_b FROM candp
+        JOIN sig sa ON sa.id = id_a
+        JOIN sig sb ON sb.id = id_b
+        WHERE ({agree}) / {float(num_hashes)} >= {near_threshold}
+    ), sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ), verts AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), reach(root, node) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.root, sym.dst
+        FROM reach JOIN sym ON sym.src = reach.node
+    ), comp AS (
+        SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+    ), s5 AS MATERIALIZED (
+        SELECT s4.* FROM s4
+        LEFT JOIN comp ON comp.id = s4.doc_id
+        WHERE COALESCE(comp.component, s4.doc_id) = s4.doc_id
+    ), s6 AS MATERIALIZED (
+        SELECT * FROM s5 WHERE NOT ngbadf
+    ), s7 AS MATERIALIZED (
+        SELECT * FROM s6 WHERE NOT sembadf
+    ), tot AS (
+        SELECT lang, SUM(ntok * 1.0) AS t
+        FROM s7 GROUP BY lang HAVING SUM(ntok * 1.0) > 0
+    ), ratesd AS (
+        SELECT lang,
+            ROUND(POWER((SELECT MIN(t) FROM tot) / t, {exponent}), 6) AS rate
+        FROM tot
+    ), s8 AS MATERIALIZED (
+        SELECT s7.* FROM s7 JOIN ratesd USING (lang)
+        WHERE {draw} < rate * 4294967296.0
+    ), s9 AS (
+        SELECT s8.*, CAST({shard} AS INTEGER) AS shard FROM s8
+    )
+    SELECT * FROM (
+        {arms}
+    ) ORDER BY stage_idx
+    """
+
+
+ORACLE["pipe_curation_e2e"] = _curation_e2e_oracle()

@@ -598,3 +598,49 @@ def test_prefix_containment_shuffles_hashes_not_token_arrays(spark):
         assert "_toks" not in exchange_line, exchange_line
     # the hash keys are computed before the first Exchange (scan projection)
     assert "xxhash64" in plan and "md5" in plan
+
+
+def test_curation_funnel_plan_reads_only_pinned_slims(spark):
+    """curation.py plan contract: the funnel aggregate reads ONLY pinned
+    slim frames — zero parquet scans, zero Python, and no Exchange ever
+    carries the text column. The single corpus text read happens inside
+    the pinned MinHash edge job (its own audited hash-only contract);
+    every stage counter shares the one conditional aggregate."""
+    import re
+
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.curation import curation_funnel
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    out = curation_funnel(docs, emb, ngram_n=4, persist_signatures=False)
+    plan = plan_of(out)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert not re.search(r"\btext#", ln), ln
+
+
+def test_minhash_id_filter_keeps_text_out_of_exchanges(spark):
+    """The id_filter survivor gating must semi-join the SLIM signature
+    table, not shuffle the corpus text on the id: exactly one documents
+    scan, and no Exchange carries the text column."""
+    import re
+
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF, "documents")
+    subset = docs.filter("doc_id % 2 = 0").select("doc_id")
+    edges = minhash_star_edges(
+        docs, "doc_id", "text", portable=True, recall_floor=None,
+        persist=False, id_filter=subset,
+    )
+    plan = plan_of(edges)
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert not re.search(r"\btext#", ln), ln
+    assert "CartesianProduct" not in plan

@@ -493,3 +493,140 @@ def test_frozen_quality_weights_are_trained_not_random(spark):
     wins = sum(bisect.bisect_left(neg, s) for s in pos)
     auc = wins / (len(pos) * len(neg))
     assert auc > 0.58, auc  # trained signal, not random (train AUC ~0.65)
+
+
+# ------------------------------------------------------- curation funnel
+
+
+def _funnel_corpus(spark):
+    """Synthetic corpus with one planted drop per funnel stage.
+
+    Each planted doc repeats its OWN 12-word stopword-anchored phrase 5
+    times: phrases pass every Gopher rule, repeated bigrams score LOW LM
+    bits (the model trains on this very corpus), and docs built from
+    DIFFERENT phrases share almost no char shingles, so only the planted
+    pairs collide in MinHash. 'Filler' docs are 60 distinct words each —
+    count-1 bigrams score the highest bits, so the perplexity tercile
+    drops exactly them. One lang stratum → the T=2 mixture rate is 1.0
+    (deterministic keep-all). src0 doc 900 is the benchmark (its 4-grams
+    and its embedding are the decontamination probes)."""
+
+    def phrase(words: str) -> str:
+        assert len(words.split()) == 12
+        return " ".join([words] * 5)
+
+    p1 = phrase("the quiet cats and calm dogs run fast near the old barn")
+    p3 = phrase("the green birds and small fish swim slow near the warm reef")
+    p5 = phrase("the alpha beta gamma delta words and the secret eval line here")
+    p6 = phrase("the bright moons and pale stars glow soft over the dark sea")
+    p7 = phrase("the heavy rains and loud winds blow hard over the wide land")
+    fill = lambda seed: " ".join(  # noqa: E731
+        ["the", "and"]
+        + [f"w{seed}x{i}q{(seed * 7 + i) % 97}" for i in range(58)]
+    )
+    rows = [
+        (1, "en", "srcA", p1),                         # survivor
+        (2, "en", "srcA", p1),                         # exact dup of 1
+        (3, "en", "srcA", p3),
+        # 4 ~ 3 near-dup: final word of the last repetition changed
+        (4, "en", "srcA", p3[: -len("reef")] + "bay"),
+        (5, "en", "srcA", p5),                         # shares src0 4-gram
+        (6, "en", "srcA", p6),                         # embedding ~ src0
+        (7, "en", "srcB", p7),
+        (8, "en", "srcB", "too short to pass gopher"),  # gopher drop
+        # fillers: unique rare bigrams -> highest bits -> tercile tail
+        (10, "en", "srcB", fill(1)),
+        (11, "en", "srcB", fill(2)),
+        (12, "en", "srcB", fill(3)),
+        (900, "en", "src0", "alpha beta gamma delta epsilon benchmark "
+                            "holdout sentence for the eval set"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    unit = [0.0] * 7
+    emb_rows = []
+    for i, (d, *_), in enumerate(rows):
+        v = list(unit)
+        if d == 900:
+            v[0] = 1.0
+        elif d == 6:
+            v[0] = 0.98
+            v[1] = 0.199
+        else:
+            v[1 + i % 6] = 1.0
+        emb_rows.append((d, v))
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    return docs, emb
+
+
+def test_curation_funnel_every_stage_drops_its_plant(spark):
+    from flink_1_3_2_hopsworks_spark.curation import STAGES, curation_funnel
+
+    docs, emb = _funnel_corpus(spark)
+    out = curation_funnel(
+        docs, emb, ngram_n=4, persist_signatures=False
+    ).collect()
+    n = {r["stage"]: r["n_docs"] for r in out}
+    assert [r["stage"] for r in out] == list(STAGES)
+    # monotone funnel
+    counts = [r["n_docs"] for r in out]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert n["input"] == 11                      # src0 excluded
+    assert n["gopher_rules"] == 10               # doc 8
+    assert n["perplexity_tercile"] < n["gopher_rules"]  # filler tail
+    assert n["exact_dedup"] == n["perplexity_tercile"] - 1   # doc 2
+    assert n["near_dedup_star"] == n["exact_dedup"] - 1      # doc 4
+    assert n["decontaminate_ngram"] == n["near_dedup_star"] - 1   # doc 5
+    assert n["decontaminate_semantic"] == n["decontaminate_ngram"] - 1  # 6
+    tok = {r["stage"]: r["n_tokens"] for r in out}
+    ck = {r["stage"]: r["id_checksum"] for r in out}
+    assert tok["shuffle_shard"] == tok["temperature_mixture"]
+    assert n["shuffle_shard"] == n["temperature_mixture"]
+    # the shard row's checksum binds the (doc, shard) assignment
+    if n["temperature_mixture"] > 0:
+        assert ck["shuffle_shard"] != ck["temperature_mixture"]
+
+
+def test_curation_verdicts_monotone_and_keeper_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.curation import curation_verdicts
+
+    docs, emb = _funnel_corpus(spark)
+    v = curation_verdicts(
+        docs, emb, ngram_n=4, persist_signatures=False
+    ).collect()
+    for r in v:
+        flags = [r[f"s{i}"] for i in range(10)]
+        # cumulative verdicts: once dropped, never resurrected
+        assert all(a or not b for a, b in zip(flags, flags[1:])), r
+        assert (r["shard"] is not None) == r["s9"], r
+    by_id = {r["doc_id"]: r for r in v}
+    assert by_id[2]["s3"] and not by_id[2]["s4"]   # exact-dup loser
+    assert by_id[1]["s4"]                          # min-id keeper survives
+    assert by_id[4]["s4"] and not by_id[4]["s5"]   # near-dup loser
+    assert by_id[3]["s5"]                          # near-dup anchor kept
+    assert by_id[5]["s5"] and not by_id[5]["s6"]   # ngram-contaminated
+    assert by_id[6]["s6"] and not by_id[6]["s7"]   # semantically close
+
+
+def test_minhash_star_id_filter_equals_prejoin(spark):
+    """id_filter semi-joins the slim signature table — must emit exactly
+    the edges of running star edges on the pre-joined subset (signatures
+    are per-doc independent, so anchors/buckets coincide)."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    subset = docs.filter("doc_id % 3 != 1").select("doc_id")
+    kw = dict(threshold=0.8, portable=True, recall_floor=None, persist=False)
+    a = minhash_star_edges(
+        docs, "doc_id", "text", id_filter=subset, **kw
+    ).collect()
+    b = minhash_star_edges(
+        docs.join(subset, "doc_id"), "doc_id", "text", **kw
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert len(a) > 0
