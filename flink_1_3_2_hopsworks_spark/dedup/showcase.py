@@ -940,3 +940,46 @@ def pipe_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return curation_funnel(docs, emb, ngram_n=4)
+
+
+def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image near-dup CLUSTERS — the dedup machinery connected
+    to the binary-column plumbing: each doc id derives a deterministic
+    32×32 BMP (multimodal/synth.py: 16 patterns × 3 variants — base,
+    brightness-shifted copy, locally-edited copy), genuinely encoded to
+    BMP bytes, decoded by the pure-numpy codec, and aHash-fingerprinted in
+    one Arrow kernel; then the EXISTING simhash star machinery (a 64-bit
+    perceptual hash is a simhash-shaped fingerprint) blocks on 16-bit
+    chunks, Hamming-verifies (<= 3) against bucket-min anchors, and
+    connected components resolve per-image verdicts. Brightness copies
+    collide at Hamming 0 (exact star); local edits land at 1–10 bits, so
+    some variants cluster and some correctly don't. Output:
+    (doc_id, fingerprint, canonical_id, kept). The oracle joins ids to the
+    FROZEN (pattern, variant) → aHash table (regenerable pure-numpy model,
+    gate_model.py discipline) and replays blocking + Hamming + the
+    transitive closure in SQL — a hash match proves the whole
+    encode→decode→hash→cluster round-trip."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        image_ahash_fingerprints,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = image_ahash_fingerprints(image_twin(docs, "doc_id"), "doc_id")
+    edges = simhash_star_edges(
+        fps, "doc_id", "simhash", max_distance=3, fingerprints=fps
+    )
+    verdicts = resolve_duplicate_clusters(
+        docs.select("doc_id"), edges, "doc_id"
+    )
+    return (
+        fps.join(verdicts, "doc_id")
+        .select(
+            "doc_id",
+            F.col("simhash").alias("fingerprint"),
+            "canonical_id",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )

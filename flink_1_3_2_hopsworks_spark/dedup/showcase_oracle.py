@@ -2026,3 +2026,89 @@ def _curation_e2e_oracle(
 
 
 ORACLE["pipe_curation_e2e"] = _curation_e2e_oracle()
+
+
+def _mm_image_near_dups_oracle(
+    n_patterns: int = 16,
+    n_variants: int = 3,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays mm_image_near_dups from the FROZEN (pattern, variant) →
+    aHash table (multimodal/synth.py frozen_ahash_table — the payloads
+    depend only on (k, v), so the 48 fingerprints are a regenerable
+    pure-numpy model): ids join the frozen fingerprints, then the simhash
+    star machinery replays exactly like dd_simhash_stars' oracle — 16-bit
+    chunk blocking (the & 65535 mask makes arithmetic vs logical shift
+    irrelevant), bucket cap, min-id anchors, XOR-popcount Hamming verify,
+    the Hamming-0 canonical star, and a recursive-CTE transitive closure."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_ahash_table,
+    )
+
+    values = ",\n            ".join(
+        f"({k}, {v}, {fp}::BIGINT)"
+        for k, v, fp in frozen_ahash_table(n_patterns, n_variants)
+    )
+    return f"""
+    WITH RECURSIVE fpmap(k, v, fp) AS (
+        VALUES {values}
+    ), fps AS MATERIALIZED (
+        SELECT d.doc_id, m.fp AS simhash
+        FROM (
+            SELECT doc_id, doc_id % {n_patterns} AS k,
+                (doc_id // {n_patterns}) % {n_variants} AS v
+            FROM documents
+        ) d JOIN fpmap m USING (k, v)
+    ), chunked AS (
+        SELECT doc_id, simhash, ci,
+            (simhash >> (ci * 16)) & 65535 AS cv
+        FROM fps CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+    ), capped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY ci, cv) AS bsize
+            FROM chunked
+        ) WHERE bsize <= {max_bucket}
+    ), anchors AS (
+        SELECT ci, cv, MIN(doc_id) AS aid FROM capped GROUP BY ci, cv
+    ), anch AS (
+        SELECT a.ci, a.cv, a.aid, f.simhash AS afp
+        FROM anchors a JOIN fps f ON f.doc_id = a.aid
+    ), stars AS (
+        SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b
+        FROM capped c
+        JOIN anch n ON c.ci = n.ci AND c.cv = n.cv AND c.doc_id > n.aid
+        WHERE BIT_COUNT(XOR(n.afp, c.simhash)) <= {max_distance}
+    ), exact AS (
+        SELECT min_id AS id_a, doc_id AS id_b
+        FROM (
+            SELECT doc_id,
+                MIN(doc_id) OVER (PARTITION BY simhash) AS min_id
+            FROM fps
+        ) WHERE doc_id <> min_id
+    ), edges AS MATERIALIZED (
+        SELECT * FROM stars UNION SELECT * FROM exact
+    ), sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ), verts AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), reach(root, node) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.root, sym.dst
+        FROM reach JOIN sym ON sym.src = reach.node
+    ), comp AS (
+        SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+    )
+    SELECT f.doc_id, f.simhash AS fingerprint,
+        CAST(COALESCE(c.component, f.doc_id) AS BIGINT) AS canonical_id,
+        COALESCE(c.component, f.doc_id) = f.doc_id AS kept
+    FROM fps f
+    LEFT JOIN comp c ON c.id = f.doc_id
+    ORDER BY f.doc_id
+    """
+
+
+ORACLE["mm_image_near_dups"] = _mm_image_near_dups_oracle()

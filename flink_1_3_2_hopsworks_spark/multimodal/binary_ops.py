@@ -295,3 +295,33 @@ def sample_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(
         run, FRAMES_SCHEMA
     )
+
+
+def image_ahash_fingerprints(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual 64-bit aHash fingerprint per image: one Arrow-batched
+    pass (mapInPandas) decoding each BMP payload with the pure-numpy codec
+    and hashing the pixels (codecs.ahash64). Output ``(id, simhash)`` —
+    the column is named ``simhash`` because a 64-bit perceptual hash IS a
+    simhash-shaped fingerprint: feed the result straight into
+    ``dedup.simhash.simhash_star_edges(fingerprints=...)`` for linear
+    image near-dup clustering (blocking, Hamming verify, star reduction
+    and caps all reused verbatim).
+
+    Scale shape: narrow map over the scan — payload bytes never shuffle;
+    the only thing that leaves the kernel is (id, 64-bit hash)."""
+    schema = f"{id_col} {dict(media.dtypes)[id_col]}, simhash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flink_1_3_2_hopsworks_spark.multimodal.codecs import ahash64
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = [
+                ahash64(decode_image(bytes(p))) for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)

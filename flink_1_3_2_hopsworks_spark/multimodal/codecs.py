@@ -133,3 +133,26 @@ def audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
          for s in np.array_split(samples, dim)],
         dtype=np.float32,
     )
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """Average-hash (aHash) perceptual fingerprint of an (H, W, C) image:
+    grayscale → 8×8 block means → bit j set iff block j's mean exceeds the
+    global mean of the 64 block means. Returned as a SIGNED 64-bit int
+    (Spark LongType / DuckDB BIGINT compatible). Brightness-invariant by
+    construction (a constant offset shifts every mean equally), which is
+    exactly the perceptual property that makes it a near-dup fingerprint:
+    re-encoded/brightness-shifted copies collide at Hamming 0, small local
+    edits flip a few block bits."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    bh, bw = h // 8, w // 8
+    if bh == 0 or bw == 0:
+        raise ValueError(f"image too small for an 8x8 aHash grid: {h}x{w}")
+    blocks = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    m = blocks.mean()
+    bits = (blocks > m).flatten()
+    val = 0
+    for j, b in enumerate(bits):
+        val |= int(b) << j
+    return val - (1 << 64) if val >= (1 << 63) else val

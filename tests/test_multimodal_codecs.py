@@ -135,3 +135,63 @@ def test_fake_stays_total_over_malformed_sniffable_payloads():
         decode_audio(bad_wav, fake=False)
     with pytest.raises(Exception):
         decode_image(bad_bmp, fake=False)
+
+
+# --------------------------------------------------- image near-dup (aHash)
+
+
+def test_ahash_brightness_invariant_and_edit_sensitive():
+    """aHash contract behind the image near-dup gate: brightness-shifted
+    copies collide at Hamming 0 for EVERY pattern; a 4×4 local edit flips
+    a small, nonzero number of block bits."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import ahash64
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_image
+
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    for k in range(16):
+        f0 = ahash64(synth_image(k, 0))
+        assert ahash64(synth_image(k, 1)) == f0, k
+        d = ham(f0, ahash64(synth_image(k, 2)))
+        assert 1 <= d <= 10, (k, d)
+
+
+def test_image_near_dup_pipeline_clusters_planted_copies(spark):
+    """Planted media end-to-end: real BMP encode → decode → aHash kernel →
+    simhash star machinery. The brightness copy (Hamming 0) and the small
+    local edit (pattern 1: Hamming 3) cluster with their base; the large
+    edit (pattern 15: Hamming 10) and a different pattern stay apart."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        image_ahash_fingerprints,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import encode_bmp
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_image
+
+    rows = [
+        (1, encode_bmp(synth_image(1, 0))),   # base A
+        (2, encode_bmp(synth_image(1, 1))),   # brightness copy of A
+        (3, encode_bmp(synth_image(1, 2))),   # local edit of A (h=3)
+        (4, encode_bmp(synth_image(15, 0))),  # base B
+        (5, encode_bmp(synth_image(15, 2))),  # heavy edit of B (h=10)
+        (6, encode_bmp(synth_image(7, 0))),   # unrelated pattern
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = image_ahash_fingerprints(media, "media_id")
+    edges = simhash_star_edges(
+        fps, "media_id", "simhash", max_distance=3, fingerprints=fps
+    )
+    out = {
+        r["media_id"]: r
+        for r in resolve_duplicate_clusters(
+            media.select("media_id"), edges, "media_id"
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["canonical_id"] == 1
+    assert not out[2]["kept"] and out[2]["canonical_id"] == 1
+    assert not out[3]["kept"] and out[3]["canonical_id"] == 1
+    assert out[4]["kept"] and out[5]["kept"] and out[6]["kept"]
