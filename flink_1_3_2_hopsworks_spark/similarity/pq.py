@@ -282,3 +282,42 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
+
+
+def ivfpq_append_batch(
+    batch: DataFrame,
+    store_ids: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — O(batch), store untouched.
+
+    The 100 TB serving store is the ``_cell``-partitioned code table
+    ``pq_encode`` emits (see ``ivfpq_topk``'s deployment note). Ingesting
+    a new crawl batch must not re-encode the store: this assigns cells and
+    codes for ONLY the batch (the same fused Arrow kernel, so appended
+    rows are bit-identical to what a full rebuild would produce — frozen
+    models make encoding per-row deterministic), after dropping ids the
+    store already holds (re-crawled items; id-level upsert-skip
+    semantics).
+
+    Plan shape (the incremental_ingest probe applied to the ANN store):
+    the store side is ONLY scanned for its id column — its (tiny,
+    batch-bounded) intersection with the broadcast batch-id set comes
+    back as a broadcast anti-join, so neither the store nor the batch
+    ever shuffles, and the ONE Python crossing is the encode kernel over
+    the surviving batch rows. Returns the rows to append, ready for
+    ``write_partitioned(..., ["_cell"])``.
+    """
+    new_ids = batch.select(id_col).distinct()
+    collisions = (
+        store_ids.select(id_col)
+        .join(F.broadcast(new_ids), id_col, "left_semi")
+        .distinct()
+    )
+    fresh = batch.join(F.broadcast(collisions), id_col, "left_anti")
+    return pq_encode(
+        fresh, id_col, vec_col, codebooks, cell_centroids=coarse_centroids
+    )

@@ -147,3 +147,32 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, query_text string",
     )
     return bm25_topk(docs, queries, "doc_id", "text", k=5)
+
+
+def pipe_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (similarity/pq.py
+    ivfpq_append_batch): embeddings with vec_id < 400 play the existing
+    ``_cell``-partitioned IVF-PQ store, vec_id >= 350 the new crawl batch
+    (the 350–399 overlap models re-crawled items and is skipped by the
+    broadcast id probe). Only the 100 surviving batch vectors pass the
+    fused cell+code Arrow kernel — the store contributes nothing but a
+    scanned id column (plan-audited: one MapInPandas, no store-side
+    kernel, broadcast-only joins). Output: the rows appended to the store.
+    Full SQL oracle replays the id anti-probe, the frozen-coarse cell
+    argmax, and the per-subspace code argmin. Store-vs-rebuilt-index
+    equivalence is pytest-pinned (tests/test_similarity_pq.py)."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_append_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_append_batch(
+        emb.filter(F.col("vec_id") >= 350),
+        emb.filter(F.col("vec_id") < 400).select("vec_id"),
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+        "vec_id",
+        "embedding",
+    ).orderBy("vec_id")

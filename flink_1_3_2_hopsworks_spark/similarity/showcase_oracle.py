@@ -372,3 +372,83 @@ _BM25_SQL = r"""
 """
 
 ORACLE["sim_bm25_topk"] = _BM25_SQL
+
+
+def _incremental_ann_oracle(
+    store_max: int = 400, batch_min: int = 350
+) -> str:
+    """Replays similarity/pq.py ivfpq_append_batch: batch ids minus store
+    ids (the broadcast upsert-skip probe), then the frozen-coarse cell
+    argmax and per-subspace PQ code argmin for ONLY the survivors — the
+    appended store rows (vec_id, _cell, code_0..code_{M-1})."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import _sqnorms
+
+    cent_values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(FROZEN_CENTROIDS)
+    )
+    m = len(FROZEN_PQ_CODEBOOKS)
+    d = len(FROZEN_PQ_CODEBOOKS[0][0])
+    pq_values = ",\n                ".join(
+        "({s}, {j}, [{cv}]::DOUBLE[], {sq})".format(
+            s=s, j=j,
+            cv=", ".join(repr(x) for x in c),
+            sq=repr(sq),
+        )
+        for s, book in enumerate(FROZEN_PQ_CODEBOOKS)
+        for j, (c, sq) in enumerate(zip(book, _sqnorms(book)))
+    )
+    code_cols = ",\n            ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN code END) AS INTEGER) AS code_{s}"
+        for s in range(m)
+    )
+    return f"""
+        WITH cent(cell, ccv) AS (
+            VALUES {cent_values}
+        ), pqcent(s, code, cv, sqn) AS (
+            VALUES {pq_values}
+        ), fresh AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings b
+            WHERE vec_id >= {batch_min}
+              AND NOT EXISTS (
+                SELECT 1 FROM embeddings s
+                WHERE s.vec_id < {store_max} AND s.vec_id = b.vec_id
+              )
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY LIST_COSINE_SIMILARITY(v, ccv) DESC, cell ASC
+                ) AS rn
+                FROM fresh CROSS JOIN cent
+            ) WHERE rn = 1
+        ), subs AS (
+            SELECT vec_id, s, v[s * {d} + 1 : s * {d} + {d}] AS sub
+            FROM fresh CROSS JOIN (SELECT UNNEST(RANGE(0, {m})) AS s)
+        ), picked AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, p.s, p.code, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, p.s
+                    ORDER BY p.sqn - 2 * LIST_INNER_PRODUCT(sub, p.cv), p.code
+                ) AS rn
+                FROM subs JOIN pqcent p USING (s)
+            ) WHERE rn = 1
+        ), codesw AS (
+            SELECT vec_id,
+            {code_cols}
+            FROM picked GROUP BY vec_id
+        )
+        SELECT f.vec_id, CAST(a.cell AS INTEGER) AS _cell, c.* EXCLUDE (vec_id)
+        FROM fresh f
+        JOIN assigned a USING (vec_id)
+        JOIN codesw c USING (vec_id)
+        ORDER BY f.vec_id
+    """
+
+
+ORACLE["pipe_incremental_ann_ingest"] = _incremental_ann_oracle()

@@ -223,3 +223,60 @@ def test_ivfpq_plan_prunes_on_cell_equijoin(spark):
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     ]
     assert any(re.search(r"_cell", ln) for ln in join_lines), join_lines
+
+
+def test_ivfpq_append_batch_equals_full_rebuild(spark):
+    """Incremental maintenance contract: the existing store rows plus the
+    appended batch rows must equal re-encoding the union corpus from
+    scratch (frozen models make encoding per-row deterministic), and
+    re-crawled ids must be skipped, not re-encoded."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import (
+        ivfpq_append_batch,
+        pq_encode,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store_corpus = emb.filter("vec_id < 40")
+    batch = emb.filter("vec_id >= 30")  # 30-39 re-crawled, 40+ fresh
+    enc = lambda df: pq_encode(  # noqa: E731
+        df, "vec_id", "embedding", FROZEN_PQ_CODEBOOKS,
+        cell_centroids=FROZEN_CENTROIDS,
+    )
+    appended = ivfpq_append_batch(
+        batch, store_corpus.select("vec_id"),
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding",
+    )
+    ids = [r["vec_id"] for r in appended.select("vec_id").collect()]
+    assert min(ids) == 40  # re-crawled overlap skipped
+    store_rows = {tuple(r) for r in enc(store_corpus).collect()}
+    rebuilt = {tuple(r) for r in enc(emb).collect()}
+    incremental = store_rows | {tuple(r) for r in appended.collect()}
+    assert incremental == rebuilt
+
+
+def test_ivfpq_append_batch_plan_is_batch_only(spark):
+    """Plan pin: ONE Arrow kernel (the batch encode) — the store side is a
+    scanned id column feeding broadcast joins, never a kernel or a
+    shuffle of store rows."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_append_batch
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ivfpq_append_batch(
+        emb.filter("vec_id >= 30"), emb.filter("vec_id < 40").select("vec_id"),
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
