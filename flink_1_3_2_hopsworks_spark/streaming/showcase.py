@@ -521,3 +521,20 @@ def ev_window_cogroup_agg_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_value",
         "purchase_value",
     )
+
+
+def ev_curation_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming curation pipeline (streaming/curation.py
+    curation_stream — rule filter → fingerprint dedup keeping the first
+    record → hourly funnel stats). The twin makes the stream's per-window
+    output oracle-checkable: the streaming query (tested in
+    tests/test_streaming.py, measured in scripts/stream_scale.py) emits
+    exactly these rows for every watermark-closed pane. ``props`` plays
+    the document payload; decimal-exact value sums keep the aggregate
+    order-independent."""
+    from flink_1_3_2_hopsworks_spark.streaming.curation import (
+        curation_batch_twin,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return curation_batch_twin(events).orderBy("window_start")

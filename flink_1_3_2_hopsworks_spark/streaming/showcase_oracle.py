@@ -325,3 +325,28 @@ ORACLE: dict[str, str] = {
 # The fused-JVM coGroup gate computes the SAME pane statistics as the
 # full-pane operator gate — sharing the oracle is the equivalence claim.
 ORACLE["ev_window_cogroup_agg_fused"] = ORACLE["ev_window_cogroup_click_purchase"]
+
+ORACLE["ev_curation_stream_stats"] = """
+    WITH kept AS (
+        SELECT ts, event_id, value,
+            MD5(REGEXP_REPLACE(LOWER(TRIM(props)), '\\s+', ' ', 'g')) AS fp
+        FROM events
+        WHERE event_type <> 'error' AND value >= 5.0
+    ), firsts AS (
+        SELECT ts, value FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY ts ASC, event_id ASC, value ASC
+            ) AS rn FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT
+        STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        STRFTIME(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR,
+                 '%Y-%m-%d %H:%M:%S') AS window_end,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38, 2))) AS DOUBLE)
+            AS total_value
+    FROM firsts
+    GROUP BY 1, 2
+    ORDER BY 1
+"""

@@ -188,11 +188,29 @@ def op_windowed_join(spark, sf_dir: str) -> dict:
     return r
 
 
+def op_curation_stream(spark, sf_dir: str) -> dict:
+    """Streaming curation pipeline (streaming/curation.py): rule filter →
+    fingerprint dedup (dropDuplicatesWithinWatermark state ∝ distinct
+    payloads in the horizon) → hourly funnel stats — the incremental twin
+    of the batch curation family, two chained stateful operators in one
+    append query."""
+    from flink_1_3_2_hopsworks_spark.streaming.curation import (
+        curation_stream,
+    )
+
+    stream, src = _stream(spark, sf_dir)
+    out = curation_stream(stream, watermark="10 minutes")
+    r = _run(spark, out)
+    shutil.rmtree(src, ignore_errors=True)
+    return r
+
+
 OPS = {
     "cep_signup_purchase_stream": op_cep,
     "windowed_cogroup_stream": op_windowed_cogroup,
     "windowed_cogroup_agg_stream": op_windowed_cogroup_agg,
     "windowed_stream_join": op_windowed_join,
+    "curation_stream": op_curation_stream,
 }
 
 

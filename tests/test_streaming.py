@@ -310,3 +310,53 @@ def test_kafka_value_projection(spark):
         raw, "event_id long, event_type string, value double"
     ).collect()[0]
     assert (out["event_id"], out["event_type"], out["value"]) == (7, "click", 1.5)
+
+
+def test_curation_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming curation pipeline (rules → fingerprint dedup → windowed
+    funnel stats) emits exactly the batch twin's rows for every window
+    the final watermark closes. Duplicate payloads share (window, value)
+    so the winner inside a micro-batch is irrelevant; the hour-3 sentinel
+    advances the watermark past hours 0–1 without emitting its own
+    (still-open) window."""
+    from flink_1_3_2_hopsworks_spark.streaming.curation import (
+        curation_batch_twin,
+        curation_stream,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.sources import file_stream
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 00:05:00", 1, "click", 10.0, '{"k": 1}'),
+        (2, "2024-01-01 00:07:00", 2, "click", 10.0, '{"k": 1}'),  # dup A
+        (3, "2024-01-01 00:10:00", 3, "view", 7.5, '{"k": 2}'),
+        (4, "2024-01-01 00:12:00", 4, "view", 7.5, '{"k": 2}'),   # dup B
+        (5, "2024-01-01 00:20:00", 5, "error", 99.0, '{"k": 3}'),  # rule drop
+        (6, "2024-01-01 00:30:00", 6, "click", 1.0, '{"k": 4}'),   # rule drop
+        (7, "2024-01-01 01:15:00", 7, "click", 20.0, '{"k": 5}'),
+        (8, "2024-01-01 03:59:00", 8, "click", 30.0, '{"k": 9}'),  # sentinel
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    staging = str(tmp_path / "cur_stream")
+    batch.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(staging)
+
+    out = curation_stream(
+        file_stream(spark, staging, EVENTS_SCHEMA), watermark="10 minutes"
+    )
+    out._append_only = True  # append sink: emit only watermark-closed panes
+    got = {
+        r["window_start"]: (r["n_docs"], r["total_value"])
+        for r in run_available_now(spark, out, "curation_stream")
+    }
+    want = {
+        r["window_start"]: (r["n_docs"], r["total_value"])
+        for r in curation_batch_twin(batch).collect()
+        # the sentinel's window is still open at the final watermark
+        if r["window_end"] <= "2024-01-01 03:49:00"
+    }
+    assert got == want
+    assert got["2024-01-01 00:00:00"] == (2, 17.5)
+    assert got["2024-01-01 01:00:00"] == (1, 20.0)
