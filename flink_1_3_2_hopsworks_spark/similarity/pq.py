@@ -247,11 +247,17 @@ def ivfpq_topk(
     partition pruning IS the inverted file; the full-width corpus is
     never re-scanned.
 
-    Variant note (documented divergence): codes quantize the RAW vector,
-    not the residual (vec − coarse centroid) of the original IVFADC —
-    residual encoding needs per-cell codebooks trained jointly with the
-    quantizer; raw-vector codes let one frozen codebook serve any coarse
-    geometry (the composition is what prunes). Deterministic end-to-end
+    Variant note (documented divergence, now MEASURED): codes quantize the
+    RAW vector, not the residual (vec − coarse centroid) of the original
+    IVFADC — residual encoding needs per-cell codebooks trained jointly
+    with the quantizer; raw-vector codes let one frozen codebook serve any
+    coarse geometry (the composition is what prunes). The round-9 A/B
+    (tests/test_similarity_pq.py::test_residual_vs_raw_pq_recall_ab, equal
+    M=8/K=16 budget on the gate corpus) measured residual-trained codes at
+    LOWER recall@10 than the frozen raw codes (0.305 vs 0.335) despite a
+    slightly lower reconstruction MSE — the corpus is near-isotropic, so
+    the coarse cells explain little variance and residual rotation spends
+    the same budget on a harder distribution. Deterministic end-to-end
     given both frozen models — the registry gate hash-matches a DuckDB
     oracle; recall vs flat PQ is pytest-covered.
     """
