@@ -101,6 +101,7 @@ def curation_verdicts(
     near_dup_threshold: float = 0.8,
     ngram_n: int = 5,
     semantic_threshold: float = 0.30,
+    max_semantic_probes: int = 100,
     temperature: float = 2.0,
     n_shards: int = 8,
     salt: str = "cur9",
@@ -119,7 +120,6 @@ def curation_verdicts(
         benchmark_ngram_overlap,
         embedding_decontaminate,
     )
-    from flink_1_3_2_hopsworks_spark.dedup.exact import dedup_documents
     from flink_1_3_2_hopsworks_spark.dedup.minhash import minhash_star_edges
     from flink_1_3_2_hopsworks_spark.dedup.neardup import (
         resolve_duplicate_clusters,
@@ -162,17 +162,25 @@ def curation_verdicts(
     ngram = benchmark_ngram_overlap(
         corpus, benchmark, id_col, text_col, n=ngram_n
     ).select(_id, F.col("contaminated").alias("_ng_bad"))
+    # A real benchmark suite is FIXED-size; this synthetic benchmark is a
+    # corpus SLICE (grows linearly with sf), which would make the probe
+    # kernel quadratic — cap at the max_semantic_probes smallest ids
+    # (deterministic, oracle-replayable). Measured: the uncapped funnel
+    # timed out at sf10 (475k docs x 25k probes); capped it is linear.
+    sem_probes = (
+        embeddings.join(
+            benchmark.select(_id.alias(embedding_id_col)), embedding_id_col
+        )
+        .select(F.col(embedding_id_col).alias("probe_id"), embedding_col)
+        .orderBy("probe_id")
+        .limit(max_semantic_probes)
+    )
     sem_bad = (
         embedding_decontaminate(
             embeddings.join(
                 corpus.select(_id.alias(embedding_id_col)), embedding_id_col
             ),
-            embeddings.join(
-                benchmark.select(_id.alias(embedding_id_col)),
-                embedding_id_col,
-            ).select(
-                F.col(embedding_id_col).alias("probe_id"), embedding_col
-            ),
+            sem_probes,
             embedding_id_col,
             embedding_col,
             threshold=semantic_threshold,

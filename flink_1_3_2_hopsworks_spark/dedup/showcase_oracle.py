@@ -1781,6 +1781,7 @@ ORACLE["text_zipf_fit"] = r"""
 def _curation_e2e_oracle(
     ngram_n: int = 4,
     semantic_threshold: float = 0.30,
+    max_semantic_probes: int = 100,
     temperature: float = 2.0,
     n_shards: int = 8,
     salt: str = "cur9",
@@ -1941,6 +1942,7 @@ def _curation_e2e_oracle(
             SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS pv
             FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
             WHERE d.source = 'src0'
+            ORDER BY e.vec_id LIMIT {max_semantic_probes}
         ) p ON LIST_COSINE_SIMILARITY(p.pv, c.cv) >= {semantic_threshold}
     ), d AS MATERIALIZED (
         SELECT s.doc_id, s.lang, s.ntok, s.fp, s.c4, g.gok, b.bits,
