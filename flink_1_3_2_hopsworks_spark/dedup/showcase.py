@@ -983,3 +983,44 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO near-dup clusters — the WAV twin of
+    mm_image_near_dups: each doc id derives a deterministic 1-second
+    PCM-16 clip (multimodal/synth.py: 16 amplitude-envelope patterns × 3
+    variants — base, half-gain remaster, two-frame local edit), genuinely
+    encoded to WAV bytes, decoded by the stdlib codec, and
+    energy-fingerprinted in one Arrow kernel (codecs.energyhash64 —
+    gain-invariant, Haitsma–Kalker-style); then the SAME simhash star
+    machinery blocks, Hamming-verifies (<= 4: the edits measure 2–7 bits,
+    so some variants cluster and some correctly don't), and connected
+    components resolve per-clip verdicts. Output:
+    (doc_id, fingerprint, canonical_id, kept). Oracle: frozen
+    (pattern, variant) → fingerprint model (computed THROUGH the PCM-16
+    quantization round-trip) + the shared blocking/Hamming/closure
+    replay."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        audio_energy_fingerprints,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import audio_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = audio_energy_fingerprints(audio_twin(docs, "doc_id"), "doc_id")
+    edges = simhash_star_edges(
+        fps, "doc_id", "simhash", max_distance=4, fingerprints=fps
+    )
+    verdicts = resolve_duplicate_clusters(
+        docs.select("doc_id"), edges, "doc_id"
+    )
+    return (
+        fps.join(verdicts, "doc_id")
+        .select(
+            "doc_id",
+            F.col("simhash").alias("fingerprint"),
+            "canonical_id",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )

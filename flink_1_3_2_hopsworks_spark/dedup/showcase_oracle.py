@@ -2030,27 +2030,23 @@ def _curation_e2e_oracle(
 ORACLE["pipe_curation_e2e"] = _curation_e2e_oracle()
 
 
-def _mm_image_near_dups_oracle(
+def _mm_frozen_fp_star_oracle(
+    frozen_table,
     n_patterns: int = 16,
     n_variants: int = 3,
     max_distance: int = 3,
     max_bucket: int = 1000,
 ) -> str:
-    """Replays mm_image_near_dups from the FROZEN (pattern, variant) →
-    aHash table (multimodal/synth.py frozen_ahash_table — the payloads
-    depend only on (k, v), so the 48 fingerprints are a regenerable
-    pure-numpy model): ids join the frozen fingerprints, then the simhash
-    star machinery replays exactly like dd_simhash_stars' oracle — 16-bit
-    chunk blocking (the & 65535 mask makes arithmetic vs logical shift
-    irrelevant), bucket cap, min-id anchors, XOR-popcount Hamming verify,
-    the Hamming-0 canonical star, and a recursive-CTE transitive closure."""
-    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
-        frozen_ahash_table,
-    )
-
+    """Shared replay for the multimodal near-dup gates (image aHash /
+    audio energy hash): the payloads depend only on (pattern, variant),
+    so the 48 fingerprints are a FROZEN regenerable pure-numpy model —
+    ids join the frozen fingerprints, then the simhash star machinery
+    replays exactly like dd_simhash_stars' oracle — 16-bit chunk blocking
+    (the & 65535 mask makes arithmetic vs logical shift irrelevant),
+    bucket cap, min-id anchors, XOR-popcount Hamming verify, the
+    Hamming-0 canonical star, and a recursive-CTE transitive closure."""
     values = ",\n            ".join(
-        f"({k}, {v}, {fp}::BIGINT)"
-        for k, v, fp in frozen_ahash_table(n_patterns, n_variants)
+        f"({k}, {v}, {fp}::BIGINT)" for k, v, fp in frozen_table
     )
     return f"""
     WITH RECURSIVE fpmap(k, v, fp) AS (
@@ -2113,4 +2109,18 @@ def _mm_image_near_dups_oracle(
     """
 
 
-ORACLE["mm_image_near_dups"] = _mm_image_near_dups_oracle()
+def _register_mm_oracles() -> None:
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_ahash_table,
+        frozen_audiofp_table,
+    )
+
+    ORACLE["mm_image_near_dups"] = _mm_frozen_fp_star_oracle(
+        frozen_ahash_table(), max_distance=3
+    )
+    ORACLE["mm_audio_near_dups"] = _mm_frozen_fp_star_oracle(
+        frozen_audiofp_table(), max_distance=4
+    )
+
+
+_register_mm_oracles()

@@ -325,3 +325,31 @@ def image_ahash_fingerprints(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
 
     return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def audio_energy_fingerprints(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual 64-bit energy fingerprint per audio clip — the WAV twin
+    of :func:`image_ahash_fingerprints`: one Arrow pass decoding each
+    PCM-16 payload (stdlib codec) and hashing the frame-energy envelope
+    (codecs.energyhash64). Output ``(id, simhash)`` feeds
+    ``simhash_star_edges(fingerprints=...)`` unchanged."""
+    schema = f"{id_col} {dict(media.dtypes)[id_col]}, simhash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+            decode_wav,
+            energyhash64,
+        )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = [
+                energyhash64(decode_wav(bytes(p))[0])
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)

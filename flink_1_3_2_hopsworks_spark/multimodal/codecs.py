@@ -156,3 +156,24 @@ def ahash64(pixels: np.ndarray) -> int:
     for j, b in enumerate(bits):
         val |= int(b) << j
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def energyhash64(samples: np.ndarray) -> int:
+    """Energy-envelope perceptual fingerprint of a mono audio clip — the
+    audio twin of :func:`ahash64`: 64 equal frames → mean energy per frame
+    → bit f set iff frame f's energy exceeds the mean of the 64 frame
+    energies. Returned as a SIGNED 64-bit int. Gain-invariant by
+    construction (uniform scaling multiplies every energy equally — the
+    audio analogue of aHash's brightness invariance); localized amplitude
+    edits flip a few frame bits. Haitsma–Kalker-style robust hashing
+    reduced to the repo's 64-bit star-dedup shape."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x) // 64
+    if n == 0:
+        raise ValueError(f"clip too short for a 64-frame fingerprint: {len(x)}")
+    e = (x[: n * 64].reshape(64, n) ** 2).mean(axis=1)
+    m = e.mean()
+    val = 0
+    for j, b in enumerate(e > m):
+        val |= int(b) << j
+    return val - (1 << 64) if val >= (1 << 63) else val

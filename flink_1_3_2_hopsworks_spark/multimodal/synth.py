@@ -82,3 +82,78 @@ def image_twin(
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return ids.select(id_col).mapInPandas(kernel, schema)
+
+
+AUDIO_RATE = 8000
+_FRAME = AUDIO_RATE // 64
+
+
+def synth_audio(k: int, v: int) -> np.ndarray:
+    """The deterministic 1-second mono clip for (pattern k, variant v) —
+    a 440 Hz carrier under a k-dependent 64-frame amplitude ENVELOPE (the
+    audio transliteration of synth_image's pixel formula; a stationary
+    tone has constant frame energy and would collide across patterns):
+
+    - v0: amplitude of frame f = 0.1 + 0.8·((f·(k+3) + 2k+1) mod 156)/156;
+    - v1: v0 at half gain — a remastered/normalized copy whose energy
+      fingerprint is IDENTICAL (the hash is mean-relative);
+    - v2: v0 with the first two frames forced to 0.95 amplitude — a local
+      edit flipping 2–7 fingerprint bits over the 16 patterns (some
+      variants cluster at max_distance=4, some correctly don't).
+    """
+    t = np.arange(AUDIO_RATE) / AUDIO_RATE
+    amp = np.repeat(
+        0.1 + 0.8 * (((np.arange(64) * (k + 3) + (2 * k + 1)) % 156) / 156.0),
+        _FRAME,
+    )
+    x = amp * np.sin(2 * np.pi * 440.0 * t)
+    if v == 1:
+        x = 0.5 * x
+    elif v == 2:
+        x = x.copy()
+        x[: 2 * _FRAME] = 0.95 * np.sin(2 * np.pi * 440.0 * t[: 2 * _FRAME])
+    return x
+
+
+def frozen_audiofp_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, energyhash64)] through the REAL PCM-16 encode→decode
+    round-trip (quantization included — the frozen values are what the
+    pipeline must reproduce, not the pre-quantization ideal)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav,
+        energyhash64,
+    )
+
+    out = []
+    for k in range(n_patterns):
+        for v in range(n_variants):
+            samples, _ = decode_wav(encode_wav(synth_audio(k, v), AUDIO_RATE))
+            out.append((k, v, energyhash64(samples)))
+    return out
+
+
+def audio_twin(
+    ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
+) -> DataFrame:
+    """(id, payload) — the deterministic WAV per id (same (k, v) mapping
+    as image_twin), encoded in an Arrow-batched kernel."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import encode_wav
+
+    schema = f"{id_col} {dict(ids.dtypes)[id_col]}, payload binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                k = int(i) % n_patterns
+                v = (int(i) // n_patterns) % n_variants
+                if (k, v) not in cache:
+                    cache[(k, v)] = encode_wav(synth_audio(k, v), AUDIO_RATE)
+                payloads.append(cache[(k, v)])
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(kernel, schema)

@@ -195,3 +195,74 @@ def test_image_near_dup_pipeline_clusters_planted_copies(spark):
     assert not out[2]["kept"] and out[2]["canonical_id"] == 1
     assert not out[3]["kept"] and out[3]["canonical_id"] == 1
     assert out[4]["kept"] and out[5]["kept"] and out[6]["kept"]
+
+
+def test_energyhash_gain_invariant_and_edit_sensitive():
+    """energyhash64 contract behind the audio near-dup gate: half-gain
+    remasters collide at Hamming 0 for EVERY pattern (through the PCM-16
+    quantization round-trip); the two-frame local edit flips a small,
+    nonzero number of frame bits."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav,
+        energyhash64,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        AUDIO_RATE,
+        synth_audio,
+    )
+
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    fp = lambda k, v: energyhash64(  # noqa: E731
+        decode_wav(encode_wav(synth_audio(k, v), AUDIO_RATE))[0]
+    )
+    for k in range(16):
+        f0 = fp(k, 0)
+        assert fp(k, 1) == f0, k
+        d = ham(f0, fp(k, 2))
+        assert 1 <= d <= 8, (k, d)
+
+
+def test_audio_near_dup_pipeline_clusters_planted_copies(spark):
+    """Planted clips end-to-end: real WAV encode → decode → energy hash →
+    simhash star machinery. The half-gain remaster (Hamming 0) and the
+    small edit (pattern 10: Hamming 2 <= 4) cluster with their base; the
+    larger edit (pattern 9: Hamming 7) and an unrelated pattern stay
+    apart."""
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        audio_energy_fingerprints,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import encode_wav
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        AUDIO_RATE,
+        synth_audio,
+    )
+
+    wav = lambda k, v: encode_wav(synth_audio(k, v), AUDIO_RATE)  # noqa: E731
+    rows = [
+        (1, wav(10, 0)),   # base A
+        (2, wav(10, 1)),   # half-gain remaster of A
+        (3, wav(10, 2)),   # small edit of A (h=2)
+        (4, wav(9, 0)),    # base B
+        (5, wav(9, 2)),    # larger edit of B (h=7 > 4)
+        (6, wav(3, 0)),    # unrelated pattern
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = audio_energy_fingerprints(media, "media_id")
+    edges = simhash_star_edges(
+        fps, "media_id", "simhash", max_distance=4, fingerprints=fps
+    )
+    out = {
+        r["media_id"]: r
+        for r in resolve_duplicate_clusters(
+            media.select("media_id"), edges, "media_id"
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["canonical_id"] == 1
+    assert not out[2]["kept"] and out[2]["canonical_id"] == 1
+    assert not out[3]["kept"] and out[3]["canonical_id"] == 1
+    assert out[4]["kept"] and out[5]["kept"] and out[6]["kept"]
