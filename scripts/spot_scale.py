@@ -97,6 +97,7 @@ NAMES = [
     "mm_image_near_dups",
     "pipe_incremental_ann_ingest",
     "ev_curation_stream_stats",
+    "mm_audio_near_dups",
 ]
 
 SF1_DIR = os.path.join(REPO, ".scaledata", "sf1")
