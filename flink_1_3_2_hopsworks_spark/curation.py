@@ -71,20 +71,11 @@ STAGES = (
 
 
 def _h32(*cols: Column, salt: str) -> Column:
-    """The repo-standard portable salted 32-bit hash (operators/sampling.py
-    scheme): first 8 hex chars of md5(key|salt) as a bigint — replayable
-    in any engine."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(salt))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    """The repo-standard portable salted 32-bit hash — the single shared
+    definition lives in operators/sampling.py (salted_h32)."""
+    from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
+
+    return salted_h32(*cols, salt=salt)
 
 
 def curation_verdicts(

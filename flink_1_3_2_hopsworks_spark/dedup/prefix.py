@@ -70,6 +70,12 @@ def prefix_containment_pairs(
     (``on_over_budget="warn"``) when it exceeds the budget, pointing at a
     lower ``max_bucket`` / higher ``prefix_k``. ``None`` keeps it lazy.
     """
+    # Validate unconditionally: a typo'd on_over_budget must fail at the
+    # call site, not months later when someone first sets a budget.
+    if on_over_budget not in ("raise", "warn"):
+        raise ValueError(
+            f"on_over_budget must be 'raise' or 'warn', got {on_over_budget!r}"
+        )
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.filter(
@@ -94,10 +100,6 @@ def prefix_containment_pairs(
     capped = keyed.join(oversized, "_pk", "left_anti")
 
     if candidate_budget is not None:
-        if on_over_budget not in ("raise", "warn"):
-            raise ValueError(
-                f"on_over_budget must be 'raise' or 'warn', got {on_over_budget!r}"
-            )
         est = (
             bucket_sizes.filter(F.col("_bs") <= max_bucket)
             .agg(

@@ -966,7 +966,10 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = image_ahash_fingerprints(image_twin(docs, "doc_id"), "doc_id")
+    # Persist: the star machinery references the fingerprint frame ~5x
+    # (chunk explode, anchors, canonical star, final join) — without the
+    # pin each reference re-runs the full codec round-trip per doc.
+    fps = image_ahash_fingerprints(image_twin(docs, "doc_id"), "doc_id").persist()
     edges = simhash_star_edges(
         fps, "doc_id", "simhash", max_distance=3, fingerprints=fps
     )
@@ -1007,7 +1010,10 @@ def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_3_2_hopsworks_spark.multimodal.synth import audio_twin
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = audio_energy_fingerprints(audio_twin(docs, "doc_id"), "doc_id")
+    # Persist: the star machinery references the fingerprint frame ~5x
+    # (chunk explode, anchors, canonical star, final join) — without the
+    # pin each reference re-runs the full codec round-trip per doc.
+    fps = audio_energy_fingerprints(audio_twin(docs, "doc_id"), "doc_id").persist()
     edges = simhash_star_edges(
         fps, "doc_id", "simhash", max_distance=4, fingerprints=fps
     )

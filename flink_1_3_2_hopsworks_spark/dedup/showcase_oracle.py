@@ -1758,23 +1758,28 @@ ORACLE["text_zipf_fit"] = r"""
             SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS syy
         FROM pts
     )
+    -- mirrors lm.py zipf_fit's degenerate-input guard: varx=0 -> slope
+    -- 0.0 / intercept mean(y) / r2 NULL; vary=0 -> r2 NULL.
     SELECT CAST(n AS BIGINT) AS n_terms,
-        ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (n * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
-        ROUND((CAST(sy AS DOUBLE)
-               - ((n * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (n * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                 * CAST(sx AS DOUBLE)) / n, 4) AS intercept,
-        ROUND(POW(n * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
-              / ((n * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * (n * CAST(syy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
-    FROM sums
+        ROUND(slope, 4) AS slope,
+        ROUND((sy - slope * sx) / n, 4) AS intercept,
+        CASE WHEN varx = 0 OR vary = 0 THEN NULL
+             ELSE ROUND(POW(cov, 2) / (varx * vary), 4) END AS r2
+    FROM (
+        SELECT n, sx, sy,
+            n * sxy - sx * sy AS cov,
+            n * sxx - sx * sx AS varx,
+            n * syy - sy * sy AS vary,
+            CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                 ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+        FROM (
+            SELECT n,
+                CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+                CAST(syy AS DOUBLE) AS syy
+            FROM sums
+        )
+    )
 """
 
 

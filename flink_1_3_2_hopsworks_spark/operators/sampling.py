@@ -17,6 +17,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def salted_h32(*cols, salt: str):
+    """THE repo-standard portable draw/shard hash: the first 32 bits of
+    md5(col|col|...|salt) as a bigint in [0, 2^32). Every sampler, the
+    sharder, and the curation funnel's checksums use exactly this scheme —
+    one definition so the engine and every DuckDB oracle can never drift
+    (SQL replay: ('0x' || SUBSTR(MD5(CONCAT_WS('|', ..., salt)), 1, 8))::BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[c.cast("string") for c in cols], F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def sample(
     df: DataFrame,
     fraction: float,
@@ -76,21 +97,7 @@ def mixture_sample_hashed(
     Pure filter — a narrow map over the scan, no shuffle, no RNG state;
     at 100 TB this costs exactly one pass and composes with predicate
     pushdown (the md5 filter sits above the pruned scan)."""
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(c).cast("string") for c in key_cols],
-                    F.lit(salt),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h32 = salted_h32(*[F.col(c) for c in key_cols], salt=salt)
     threshold = F.lit(int(default_rate * (1 << 32)))
     for stratum, rate in rates.items():
         threshold = F.when(
@@ -233,19 +240,7 @@ def token_mixture_resample(
         .select(stratum_col, "rate")
     )
 
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.col(id_col).cast("string"), F.lit(salt)
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h32 = salted_h32(F.col(id_col), salt=salt)
     return (
         rows.join(F.broadcast(rates), stratum_col)
         .filter(h32 < F.col("rate") * F.lit(float(1 << 32)))
@@ -310,19 +305,7 @@ def temperature_resample(
     )
     rates = totals.withColumn("rate", rate).select(stratum_col, "rate")
 
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.col(id_col).cast("string"), F.lit(salt)
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h32 = salted_h32(F.col(id_col), salt=salt)
     return (
         rows.join(F.broadcast(rates), stratum_col)
         .filter(h32 < F.col("rate") * F.lit(float(1 << 32)))

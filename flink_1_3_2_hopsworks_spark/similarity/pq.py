@@ -324,6 +324,15 @@ def ivfpq_append_batch(
         .distinct()
     )
     fresh = batch.join(F.broadcast(collisions), id_col, "left_anti")
+    # The store invariant is ONE code row per id — a batch carrying the
+    # same id twice (crawler retry inside one batch) must not append two.
+    # min-struct keeps a deterministic representative (arrays order
+    # lexicographically in Spark).
+    fresh = (
+        fresh.groupBy(id_col)
+        .agg(F.min(F.struct(vec_col)).alias("_r"))
+        .select(id_col, F.col(f"_r.{vec_col}").alias(vec_col))
+    )
     return pq_encode(
         fresh, id_col, vec_col, codebooks, cell_centroids=coarse_centroids
     )

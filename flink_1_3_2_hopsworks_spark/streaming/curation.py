@@ -80,7 +80,18 @@ def curation_batch_twin(
     in batch that is the (ts, id)-argmin per fingerprint, then the same
     windowed statistics. With in-order replay and a single availableNow
     batch, the streaming query emits exactly these rows for every window
-    the final watermark closes."""
+    the final watermark closes.
+
+    Equivalence SCOPE (the dedup-horizon caveat): this twin dedups
+    GLOBALLY, while the stream's dropDuplicatesWithinWatermark evicts a
+    fingerprint's state once the watermark passes it — a payload recurring
+    MORE than the watermark delay later (event time, across micro-batches)
+    passes the stream again but not the twin. That is the documented
+    idle-state-retention trade every bounded-state streaming dedup makes
+    (state ∝ churn, not history); backfills that must match a long-horizon
+    stream exactly should replay with a watermark ≥ the recurrence horizon
+    (a single availableNow batch behaves as watermark = ∞ within the
+    batch, which is how the equivalence test and the gate hold exactly)."""
     kept = events.filter(
         rules if rules is not None else _default_rules()
     ).withColumn("_fp", fingerprint(text_col))

@@ -345,7 +345,8 @@ def test_residual_vs_raw_pq_recall_ab():
         return np.array(out)
 
     recon_raw = recon(encode(X, B), B)
-    recon_res = recon(encode(resid, kmeans_books(resid)), kmeans_books(resid)) + C[cell]
+    books_res = kmeans_books(resid)
+    recon_res = recon(encode(resid, books_res), books_res) + C[cell]
 
     cos_true = (X @ X.T) / np.maximum(np.outer(xn, xn), 1e-12)
 
@@ -365,3 +366,27 @@ def test_residual_vs_raw_pq_recall_ab():
     # measured at pin time: raw 0.335, residual 0.305
     assert r_raw >= r_res, (r_raw, r_res)
     assert r_raw > 0.3
+
+
+def test_ivfpq_append_batch_dedupes_within_batch(spark):
+    """A batch carrying the same id twice (crawler retry inside one batch)
+    must append exactly ONE code row for that id — the store invariant is
+    one row per id."""
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_append_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch = emb.filter("vec_id >= 40").unionByName(
+        emb.filter("vec_id = 45")  # planted within-batch duplicate id
+    )
+    out = ivfpq_append_batch(
+        batch, emb.filter("vec_id < 40").select("vec_id"),
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS, "vec_id", "embedding",
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    assert ids.count(45) == 1
