@@ -345,3 +345,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")) >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def item_set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard pairs over arbitrary ITEM sets — the generic core of
+    this module applied to pre-hashed items (video frame hashes, feature
+    ids, cluster members) instead of text grams: one distinct
+    (id, item) projection, an inverted-index self-join on the item
+    (``max_bucket`` anti-joins away degenerate hot items — a capped item
+    can no longer witness a pair, the same documented recall trade as
+    every other cap here), per-pair intersection counts, and the
+    |A∩B| / (|A| + |B| − |A∩B|) verify against per-id set sizes carried
+    on the pair rows. Output ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Scale shape: shuffles carry only (item, id) and (id_a, id_b) rows;
+    work ∝ Σ bucket² over under-cap items — selective item keys (64-bit
+    perceptual hashes) keep buckets at true-duplicate size."""
+    items = df.select(
+        F.col(id_col).alias("_id"), F.col(item_col).alias("_it")
+    ).distinct()
+    sizes = items.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    hot = (
+        items.groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_b"))
+        .filter(F.col("_b") > max_bucket)
+        .select("_it")
+    )
+    capped = items.join(hot, "_it", "left_anti")
+    inter = (
+        capped.select(F.col("_id").alias("id_a"), "_it")
+        .join(capped.select(F.col("_id").alias("id_b"), "_it"), "_it")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1030,3 +1030,47 @@ def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO near-dup clusters — frame-level composition over
+    the image machinery: each doc id derives a deterministic 8-frame BMV1
+    container (multimodal/synth.py synth_video: 16 base videos × 3
+    variants — base, re-encode whose per-frame aHashes are identical,
+    partial copy sharing 7 of 8 frames), genuinely encoded and demuxed
+    (codecs.encode_bmv/decode_bmv), every frame BMP-decoded and aHashed in
+    one executor-side fan-out kernel; then EXACT frame-set Jaccard ≥ 0.6
+    via the inverted-index self-join on the frame hash
+    (dedup/ngram.py item_set_jaccard_pairs — selective 64-bit keys keep
+    buckets at true-duplicate size) and connected components resolve
+    per-video verdicts. Output: (doc_id, frameset_fp, canonical_id, kept)
+    — frameset_fp binds each video's exact distinct-frame-hash set. The
+    oracle joins ids to the FROZEN (video, variant) → frame-hash set
+    model and replays sets → inverted join → Jaccard → closure."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import item_set_jaccard_pairs
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        video_frame_hashes,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import video_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Persist: the set-similarity join references the frame table four
+    # ways (sizes, two join sides, the fingerprint aggregate) — without
+    # the pin each re-runs the demux+decode+hash kernel.
+    frames = video_frame_hashes(video_twin(docs, "doc_id"), "doc_id").persist()
+    pairs = item_set_jaccard_pairs(
+        frames, "doc_id", "simhash", threshold=0.6
+    )
+    verdicts = resolve_duplicate_clusters(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+    framesets = frames.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_set("simhash")))
+        ).alias("frameset_fp")
+    )
+    return (
+        framesets.join(verdicts, "doc_id")
+        .select("doc_id", "frameset_fp", "canonical_id", "kept")
+        .orderBy("doc_id")
+    )

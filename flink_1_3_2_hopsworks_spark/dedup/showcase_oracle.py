@@ -2129,3 +2129,80 @@ def _register_mm_oracles() -> None:
 
 
 _register_mm_oracles()
+
+
+def _mm_video_near_dups_oracle(
+    n_patterns: int = 16,
+    n_variants: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays mm_video_near_dups from the FROZEN (video, variant) →
+    frame-hash set model (multimodal/synth.py frozen_video_frame_table):
+    ids join their frozen frame sets, then the exact set-Jaccard replay —
+    inverted self-join on the frame hash, hot-item cap, intersection
+    counts over set sizes, threshold — and the recursive-CTE closure."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_video_frame_table,
+    )
+
+    values = ",\n            ".join(
+        f"({k}, {v}, {fh}::BIGINT)"
+        for k, v, fh in frozen_video_frame_table(n_patterns, n_variants)
+    )
+    return f"""
+    WITH RECURSIVE fmap(k, v, fh) AS (
+        VALUES {values}
+    ), vids AS MATERIALIZED (
+        SELECT d.doc_id, m.fh
+        FROM (
+            SELECT doc_id, doc_id % {n_patterns} AS k,
+                (doc_id // {n_patterns}) % {n_variants} AS v
+            FROM documents
+        ) d JOIN fmap m USING (k, v)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM vids GROUP BY doc_id
+    ), capped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY fh) AS b FROM vids
+        ) WHERE b <= {max_bucket}
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM capped a JOIN capped b
+            ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 4) >= {threshold}
+    ), sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), verts AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), reach(root, node) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.root, sym.dst
+        FROM reach JOIN sym ON sym.src = reach.node
+    ), comp AS (
+        SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+    ), fsets AS (
+        SELECT doc_id,
+            MD5(STRING_AGG(CAST(fh AS VARCHAR), ',' ORDER BY fh))
+                AS frameset_fp
+        FROM vids GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.frameset_fp,
+        CAST(COALESCE(c.component, f.doc_id) AS BIGINT) AS canonical_id,
+        COALESCE(c.component, f.doc_id) = f.doc_id AS kept
+    FROM fsets f
+    LEFT JOIN comp c ON c.id = f.doc_id
+    ORDER BY f.doc_id
+    """
+
+
+ORACLE["mm_video_near_dups"] = _mm_video_near_dups_oracle()

@@ -353,3 +353,39 @@ def audio_energy_fingerprints(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
 
     return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def video_frame_hashes(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame perceptual hashes for BMV1 video payloads: one Arrow pass
+    demuxes the container (codecs.decode_bmv), decodes each BMP frame, and
+    aHashes it. Output ``(id, frame_idx, simhash)`` — executor-side
+    fan-out (the sample_frames shape), frames never reach the driver.
+    Feed the distinct per-video hash SETS to exact set-similarity
+    (dedup.ngram.item_set_jaccard_pairs) for video near-dup detection:
+    re-encodes collide frame-for-frame (aHash brightness invariance) and
+    partial copies surface as high frame-set Jaccard."""
+    schema = f"{id_col} {dict(media.dtypes)[id_col]}, frame_idx int, simhash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+            ahash64,
+            decode_bmp,
+            decode_bmv,
+        )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, hashes = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                for f, frame in enumerate(decode_bmv(bytes(p))):
+                    ids.append(i)
+                    idxs.append(f)
+                    hashes.append(ahash64(decode_bmp(frame)))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "simhash": hashes}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)

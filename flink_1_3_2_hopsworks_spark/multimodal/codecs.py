@@ -177,3 +177,38 @@ def energyhash64(samples: np.ndarray) -> int:
     for j, b in enumerate(e > m):
         val |= int(b) << j
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+_BMV_MAGIC = b"BMV1"
+
+
+def is_bmv(payload: bytes | None) -> bool:
+    return bool(payload) and payload[:4] == _BMV_MAGIC
+
+
+def encode_bmv(frames: list[bytes]) -> bytes:
+    """Multi-frame container for BMP sequences — the repo's deterministic
+    stand-in for a video file that can be encoded AND decoded for real
+    in-container (no ffmpeg): magic 'BMV1' + uint32 frame count + per
+    frame (uint32 length + BMP bytes). Real codec plumbing end-to-end;
+    swap for ffmpeg demuxing where available."""
+    out = [_BMV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_bmv(payload: bytes) -> list[bytes]:
+    """Frame payloads (BMP bytes each) from a BMV1 container."""
+    if not is_bmv(payload):
+        raise ValueError("not a BMV1 payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames = []
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(payload[off:off + ln])
+        off += ln
+    return frames

@@ -157,3 +157,80 @@ def audio_twin(
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return ids.select(id_col).mapInPandas(kernel, schema)
+
+
+VIDEO_FRAMES = 8
+
+
+def synth_video(k: int, v: int, n_patterns: int = 16) -> list[np.ndarray]:
+    """The deterministic frame sequence for (video k, variant v): frame f
+    is the synthetic image pattern q = k·VIDEO_FRAMES + f (the image
+    formula generalizes to any q, giving each video its own footage):
+
+    - v0: the 8 base frames;
+    - v1: every frame brightness-shifted (+20) — a re-encode whose
+      per-frame aHashes are IDENTICAL;
+    - v2: frame 0 replaced with pattern q = n_patterns·VIDEO_FRAMES + k —
+      a partial copy sharing 7 of 8 frames (frame-set Jaccard 7/9 ≈ 0.78).
+
+    A handful of pattern pairs collide in aHash (e.g. videos 4 and 14
+    share three frame hashes, Jaccard 0.23) — far below the 0.6 operating
+    point, and the oracle replays the SAME frozen hashes, so correctness
+    never depends on distinctness.
+    """
+    qs = [k * VIDEO_FRAMES + f for f in range(VIDEO_FRAMES)]
+    if v == 2:
+        qs[0] = n_patterns * VIDEO_FRAMES + k
+    return [synth_image(q, 1 if v == 1 else 0) for q in qs]
+
+
+def frozen_video_frame_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, frame_ahash)] — the DISTINCT frame-hash set per synthetic
+    video, through the real BMP round-trip (regenerable pure-numpy
+    model; the video near-dup oracle joins ids to these sets)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        ahash64,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    out = []
+    for k in range(n_patterns):
+        for v in range(n_variants):
+            hashes = {
+                ahash64(decode_bmp(encode_bmp(fr)))
+                for fr in synth_video(k, v, n_patterns)
+            }
+            out += [(k, v, h) for h in sorted(hashes)]
+    return out
+
+
+def video_twin(
+    ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
+) -> DataFrame:
+    """(id, payload) — the deterministic BMV1 container per id (same
+    (k, v) mapping as image_twin/audio_twin), encoded in an Arrow kernel."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_bmv,
+    )
+
+    schema = f"{id_col} {dict(ids.dtypes)[id_col]}, payload binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                k = int(i) % n_patterns
+                v = (int(i) // n_patterns) % n_variants
+                if (k, v) not in cache:
+                    cache[(k, v)] = encode_bmv(
+                        [encode_bmp(fr) for fr in synth_video(k, v, n_patterns)]
+                    )
+                payloads.append(cache[(k, v)])
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(kernel, schema)

@@ -266,3 +266,83 @@ def test_audio_near_dup_pipeline_clusters_planted_copies(spark):
     assert not out[2]["kept"] and out[2]["canonical_id"] == 1
     assert not out[3]["kept"] and out[3]["canonical_id"] == 1
     assert out[4]["kept"] and out[5]["kept"] and out[6]["kept"]
+
+
+def test_bmv_container_roundtrip():
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmv,
+        encode_bmp,
+        encode_bmv,
+        is_bmv,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_video
+
+    frames = [encode_bmp(fr) for fr in synth_video(3, 0)]
+    payload = encode_bmv(frames)
+    assert is_bmv(payload) and not is_bmv(frames[0])
+    assert decode_bmv(payload) == frames
+
+
+def test_video_near_dup_pipeline_clusters_planted_copies(spark):
+    """Planted videos end-to-end: BMV demux → per-frame BMP decode →
+    aHash → exact frame-set Jaccard >= 0.6 → clusters. The re-encode
+    (identical frame hashes) and the partial copy (7/8 shared frames,
+    J = 7/9) cluster with their base; an unrelated video stays apart."""
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import item_set_jaccard_pairs
+    from flink_1_3_2_hopsworks_spark.multimodal.binary_ops import (
+        video_frame_hashes,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_bmv,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_video
+
+    bmv = lambda k, v: encode_bmv(  # noqa: E731
+        [encode_bmp(fr) for fr in synth_video(k, v)]
+    )
+    rows = [
+        (1, bmv(3, 0)),   # base A
+        (2, bmv(3, 1)),   # re-encode of A (same frame hashes)
+        (3, bmv(3, 2)),   # partial copy of A (7/8 frames)
+        (4, bmv(9, 0)),   # unrelated video
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    frames = video_frame_hashes(media, "media_id")
+    pairs = item_set_jaccard_pairs(frames, "media_id", "simhash", threshold=0.6)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - round(7 / 9, 4)) < 1e-9
+    assert (1, 4) not in got and (3, 4) not in got
+    out = {
+        r["media_id"]: r
+        for r in resolve_duplicate_clusters(
+            media.select("media_id"), pairs, "media_id"
+        ).collect()
+    }
+    assert out[1]["kept"] and not out[2]["kept"] and not out[3]["kept"]
+    assert out[2]["canonical_id"] == 1 and out[3]["canonical_id"] == 1
+    assert out[4]["kept"]
+
+
+def test_item_set_jaccard_cap_semantics(spark):
+    """A hot item shared by everything must not explode the join: capped
+    away it can no longer witness pairs (the documented recall trade),
+    while Jaccard still divides by the FULL set sizes."""
+    from flink_1_3_2_hopsworks_spark.dedup.ngram import item_set_jaccard_pairs
+
+    rows = (
+        [(i, 999) for i in range(6)]   # hot item in every set
+        + [(1, 10), (2, 10), (1, 11), (2, 11)]  # real overlap between 1,2
+    )
+    df = spark.createDataFrame(rows, "id long, item long")
+    pairs = item_set_jaccard_pairs(
+        df, "id", "item", threshold=0.5, max_bucket=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # 999 capped away: ids 1,2 share {10,11} of their {10,11,999} sets ->
+    # J computed on FULL set sizes = 2/(3+3-2) = 0.5
+    assert got == {(1, 2): 0.5}
