@@ -38,6 +38,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -45,6 +46,11 @@ def bm25_topk(
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); query terms are
     deduplicated (short-query convention). Output:
     ``(query_id, id, score, rank)`` — rank by (score desc, id asc).
+
+    ``exclude_self=True`` drops (query, doc) pairs whose ids are equal
+    BEFORE ranking (gap-free ranks) — the "more like this" convention when
+    queries are corpus documents themselves, e.g. under
+    ``similarity.hybrid.rrf_fuse``.
     """
     base = docs.select(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
@@ -100,8 +106,11 @@ def bm25_topk(
         df_t.join(F.broadcast(qterms.select("_t").distinct()), "_t")
         .select("_t", "_df")
     )
+    pairs = postings.join(F.broadcast(qterms), "_t")
+    if exclude_self:
+        pairs = pairs.filter(F.col("_id") != F.col("_qid"))
     contrib = (
-        postings.join(F.broadcast(qterms), "_t")
+        pairs
         .join(F.broadcast(qdf), "_t")
         .crossJoin(F.broadcast(stats))
         .select(

@@ -176,3 +176,38 @@ def pipe_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
     ).orderBy("vec_id")
+
+
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval (similarity/hybrid.py rrf_fuse) —
+    the fusion step every production retrieval stack runs on top of its
+    two indexes: documents 0-4 act as "more like this" probes, BM25 ranks
+    by their full text (self excluded pre-ranking, gap-free) and exact
+    cosine ranks by their embedding (doc_id ≡ vec_id in the testdata),
+    then reciprocal-rank fusion (1/(60+rank), 6-dp DECIMAL exact sums)
+    merges the two top-10 lists into one top-10 per query. Fusion cost is
+    bounded by |queries| x k — all corpus-scale work stays inside the two
+    gated retrievers and their scan/broadcast contracts. Full SQL oracle
+    replays the BM25 chain, the cosine chain, and the fusion."""
+    from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
+    from flink_1_3_2_hopsworks_spark.similarity.hybrid import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes_txt = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(
+        docs, probes_txt, "doc_id", "text", k=10, exclude_self=True
+    )
+    sem = brute_force_topk(
+        emb, _queries_from_corpus(emb), "vec_id", "embedding", k=10
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            sem.select("query_id", "doc_id", "rank"),
+        ],
+        id_col="doc_id",
+        k=10,
+    )

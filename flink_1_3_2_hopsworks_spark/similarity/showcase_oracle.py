@@ -452,3 +452,91 @@ def _incremental_ann_oracle(
 
 
 ORACLE["pipe_incremental_ann_ingest"] = _incremental_ann_oracle()
+
+
+_HYBRID_RRF_SQL = r"""
+    WITH queries AS (
+        SELECT doc_id AS query_id, text AS query_text
+        FROM documents WHERE doc_id < 5
+    ), toks AS (
+        SELECT doc_id,
+            UNNEST(LIST_FILTER(
+                STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                x -> x <> '')) AS t
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dft AS (
+        SELECT t, COUNT(*) AS df FROM postings GROUP BY t
+    ), stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ), qterms AS (
+        SELECT DISTINCT query_id, UNNEST(LIST_FILTER(
+            STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(query_text, ''))), '\s+'),
+            x -> x <> '')) AS t
+        FROM queries
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+            ROUND(
+                LN(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                * (p.tf * 2.2)
+                / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                6) AS c
+        FROM postings p
+        JOIN qterms q ON p.t = q.t AND p.doc_id <> q.query_id
+        JOIN dl d ON p.doc_id = d.doc_id
+        JOIN dft f ON p.t = f.t
+        CROSS JOIN stats s
+    ), lexscored AS (
+        SELECT query_id, doc_id, SUM(CAST(c AS DECIMAL(38, 6))) AS s
+        FROM contrib GROUP BY query_id, doc_id
+    ), lexranked AS (
+        SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+            ) AS rank
+        FROM lexscored
+    ), qv AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 5
+    ), cv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), semscored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+            LIST_COSINE_SIMILARITY(q.v, c.v) AS cos
+        FROM cv c CROSS JOIN qv q
+        WHERE c.vec_id <> q.query_id
+    ), semranked AS (
+        SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, doc_id ASC
+            ) AS rank
+        FROM semscored
+    ), fuse AS (
+        SELECT query_id, doc_id, rank FROM lexranked WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id, rank FROM semranked WHERE rank <= 10
+    ), contribs AS (
+        SELECT query_id, doc_id,
+            CAST(ROUND(1.0 / (60.0 + rank), 6) AS DECIMAL(38, 6)) AS c
+        FROM fuse
+    ), fused AS (
+        SELECT query_id, doc_id, SUM(c) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM contribs GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, s, n_lists,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+            ) AS INTEGER) AS rank
+        FROM fused
+    )
+    SELECT query_id, doc_id, ROUND(CAST(s AS DOUBLE), 6) AS rrf_score,
+        n_lists, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+ORACLE["sim_hybrid_rrf_topk"] = _HYBRID_RRF_SQL
