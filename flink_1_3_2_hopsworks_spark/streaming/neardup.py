@@ -1,0 +1,126 @@
+"""Streaming NEAR-duplicate ingestion — the continuous form of
+dedup/incremental.py.
+
+A crawl feed never re-dedups the corpus per batch; it dedups each arriving
+micro-batch against the persisted MinHash signature STORE, emits one
+verdict per document, and appends the survivors' signatures so later
+batches dedup against everything accepted so far. This module wires that
+loop as a Structured Streaming query over ``foreachBatch``:
+
+    source stream ──▶ foreachBatch ──▶ verdicts  (one row per doc)
+                          │  ▲
+                          ▼  │ read
+                    signature store  (parquet, appended per batch)
+
+Why ``foreachBatch`` and not a stream-static join: the verdict requires
+EXISTS semantics over LSH-bucket candidates (any candidate above the
+estimator threshold) plus within-batch clustering — a stateful self-join
+no append-mode operator expresses. The batch library operator
+(``incremental_near_ingest``) already implements exactly that contract
+with the store on the scanned side, so each micro-batch runs it verbatim
+— the reference's externalized-keyed-state shape (state lives in the
+store, not executor memory; analogue: flink-streaming-java
+functions/source/ContinuousFileMonitoringFunction feeding a keyed
+stateful chain).
+
+State & scale contract:
+- ZERO Spark streaming state. Dedup state is the signature store —
+  ``num_hashes`` longs per accepted doc, readable/bucketable by any later
+  batch or backfill, shared with the BATCH ingest path (one store serves
+  both).
+- Per batch, the store is only ever SCANNED (broadcast batch-key probe —
+  incremental_near_ingest's audited contract); shuffle volume is
+  O(|micro-batch|), independent of store size.
+- Exactly-once: verdicts and store appends land under
+  ``batch_id=<epoch>`` partition directories written with overwrite — a
+  replayed epoch overwrites its own output instead of duplicating it
+  (idempotent sink, the foreachBatch discipline Structured Streaming
+  documents for exactly-once file sinks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+    incremental_near_ingest,
+    minhash_signature_store,
+)
+
+
+def _read_store(spark, store_path: str):
+    """The signature store as a DataFrame, or ``None`` on the very first
+    batch (no store written yet)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException:  # PATH_NOT_FOUND on the first batch
+        return None
+
+
+def near_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    verdict_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> StreamingQuery:
+    """Start the continuous near-dedup ingestion loop over ``stream``
+    (a streaming DataFrame carrying ``id_col`` and ``text_col``).
+
+    Each micro-batch: verdict per doc — ``(id_col, kept, reason,
+    batch_id)`` with reason ∈ {kept, corpus_near_dup, batch_near_dup} —
+    written under ``verdict_path/batch_id=N``; survivors' MinHash
+    signatures appended under ``store_path/batch_id=N``. The store and
+    every batch share one hash family (enforced by the store's parameter
+    stamp; a mismatch raises rather than silently reading as "no
+    duplicates").
+    """
+    spark = stream.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        store = _read_store(spark, store_path)
+        if store is None:
+            # First batch: an empty store with the right schema so the
+            # within-batch half still runs under the same code path.
+            store = minhash_signature_store(
+                batch.limit(0), id_col, text_col,
+                shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+            )
+        verdicts = incremental_near_ingest(
+            batch, store, id_col, text_col,
+            threshold=threshold, shingle_k=shingle_k, num_hashes=num_hashes,
+            bands=bands, max_bucket=max_bucket, portable=portable,
+        ).persist()
+        try:
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdict_path}/batch_id={batch_id}"
+            )
+            survivors = batch.join(
+                verdicts.filter(F.col("kept")).select(id_col), id_col
+            )
+            minhash_signature_store(
+                survivors, id_col, text_col,
+                shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+            ).write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}"
+            )
+        finally:
+            verdicts.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,12 +205,57 @@ def op_curation_stream(spark, sf_dir: str) -> dict:
     return r
 
 
+def op_near_ingest_stream(spark, sf_dir: str) -> dict:
+    """Streaming near-dedup ingestion (streaming/neardup.py): foreachBatch
+    MinHash ingest against the growing signature store — ZERO Spark
+    streaming state (dedup state lives in the store), so the metric is
+    pure per-batch throughput of signature + star-dedup + store append.
+    Fresh store/verdict/checkpoint dirs per run (a reused store would
+    measure a different, smaller problem)."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        near_ingest_stream,
+    )
+
+    stream, src = _stream(spark, sf_dir)
+    docs = stream.select(
+        F.col("event_id").alias("doc_id"), F.col("props").alias("text")
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="near_ingest_", dir=base)
+    t0 = time.time()
+    q = near_ingest_stream(
+        docs,
+        store_path=f"{work}/store",
+        verdict_path=f"{work}/verdicts",
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination()
+    wall = round(time.time() - t0, 3)
+    rows = sum(p["numInputRows"] for p in q.recentProgress)
+    proc_ms = sum(
+        p["durationMs"].get("triggerExecution", 0) for p in q.recentProgress
+    )
+    q.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    proc_s = proc_ms / 1000.0
+    return {
+        "events": rows,
+        "proc_sec": round(proc_s, 3),
+        "wall_sec": wall,
+        "events_per_sec": round(rows / proc_s) if proc_s else None,
+        "state_rows_peak": 0,
+        "state_bytes_peak": 0,
+    }
+
+
 OPS = {
     "cep_signup_purchase_stream": op_cep,
     "windowed_cogroup_stream": op_windowed_cogroup,
     "windowed_cogroup_agg_stream": op_windowed_cogroup_agg,
     "windowed_stream_join": op_windowed_join,
     "curation_stream": op_curation_stream,
+    "near_ingest_stream": op_near_ingest_stream,
 }
 
 
@@ -223,8 +268,17 @@ def main() -> None:
     # dominates at high partition counts.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
+    # Optional name filters: re-measure only the named ops, merging into
+    # the existing artifact section (same contract as spot_scale --names).
+    name_filters = sys.argv[1:]
+    ops = {
+        n: f
+        for n, f in OPS.items()
+        if not name_filters or any(s in n for s in name_filters)
+    }
+
     results: dict[str, dict[str, dict]] = {}
-    for name, fn in OPS.items():
+    for name, fn in ops.items():
         results[name] = {}
         for tag, d in SCALES.items():
             fn(spark, d)  # warm (codegen + python workers), untimed
@@ -243,6 +297,11 @@ def main() -> None:
     path = os.path.join(REPO, "SCALE_SF1.json")
     with open(path) as f:
         artifact = json.load(f)
+    prior_ops = (
+        artifact.get("stream_stateful", {}).get("ops", {})
+        if name_filters
+        else {}
+    )
     artifact["stream_stateful"] = {
         "what": (
             "stateful streaming ops replayed via file source + availableNow "
@@ -251,7 +310,7 @@ def main() -> None:
             "stateOperators; min-of-2 after an untimed warm run"
         ),
         "cpu_probe_sec": _cpu_probe(),
-        "ops": results,
+        "ops": {**prior_ops, **results},
     }
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
