@@ -789,6 +789,57 @@ def pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
 
 
+def pipe_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot MERGE (functions/text.py snapshot_upsert) — the
+    apply-the-delta step after pipe_corpus_diff's audit: store = docs with
+    id%10 != 9, delta = revised texts (id%10 == 7 → ' rev2' suffix),
+    identical re-crawls (id%10 == 6), brand-new ids (id%10 == 9), and
+    tombstones (id%10 == 5) — all slices scale with the corpus, so the
+    decade row measures the real shape. Output: the new snapshot as
+    (doc_id, fp, action) with action ∈ kept/unchanged/updated/inserted
+    (deletes vanish). Store-side contract: scanned twice (anti + semi
+    against the broadcast delta id set), never shuffled; total shuffle
+    O(|delta|). Full SQL oracle replays both probes, the fingerprint
+    compare, and the union."""
+    from flink_1_3_2_hopsworks_spark.functions.text import (
+        fingerprint,
+        snapshot_upsert,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 10
+    store = docs.filter(cls != 9).select("doc_id", "text")
+    delta = (
+        docs.filter(cls == 7)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+            F.lit(False).alias("_del"),
+        )
+        .unionByName(
+            docs.filter(cls == 6).select(
+                "doc_id", "text", F.lit(False).alias("_del")
+            )
+        )
+        .unionByName(
+            docs.filter(cls == 9).select(
+                "doc_id", "text", F.lit(False).alias("_del")
+            )
+        )
+        .unionByName(
+            docs.filter(cls == 5).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(True).alias("_del"),
+            )
+        )
+    )
+    snap = snapshot_upsert(store, delta, "doc_id", "text", delete_col="_del")
+    return snap.select(
+        "doc_id", fingerprint("text").alias("fp"), "action"
+    ).orderBy("doc_id")
+
+
 def pipe_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality bucketing (Wenzek et al. 2020): an
     add-k bigram LM trained on the lang='en' reference slice scores

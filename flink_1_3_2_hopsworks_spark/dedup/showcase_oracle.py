@@ -2206,3 +2206,46 @@ def _mm_video_near_dups_oracle(
 
 
 ORACLE["mm_video_near_dups"] = _mm_video_near_dups_oracle()
+
+
+def _snapshot_upsert_oracle() -> str:
+    """Replays the pipe_snapshot_upsert gate: store = id%10 != 9; delta =
+    rev2 updates (7), identical re-crawls (6), inserts (9), tombstones (5);
+    anti/semi probe split + fingerprint compare, deletes dropped."""
+    fp = "MD5(REGEXP_REPLACE(LOWER(TRIM({t})), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH store AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+        ), delta AS (
+            SELECT doc_id, text || ' rev2' AS text, FALSE AS del
+            FROM documents WHERE doc_id % 10 = 7
+            UNION ALL
+            SELECT doc_id, text, FALSE FROM documents WHERE doc_id % 10 = 6
+            UNION ALL
+            SELECT doc_id, text, FALSE FROM documents WHERE doc_id % 10 = 9
+            UNION ALL
+            SELECT doc_id, NULL, TRUE FROM documents WHERE doc_id % 10 = 5
+        ), live AS (
+            SELECT doc_id, text FROM delta WHERE NOT del
+        ), kept AS (
+            SELECT s.doc_id, s.text, 'kept' AS action FROM store s
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM delta)
+        ), matched AS (
+            SELECT s.doc_id, {fp.format(t="s.text")} AS fo
+            FROM store s
+            WHERE s.doc_id IN (SELECT doc_id FROM delta)
+        ), upserts AS (
+            SELECT l.doc_id, l.text,
+                CASE WHEN m.fo IS NULL THEN 'inserted'
+                     WHEN m.fo = {fp.format(t="l.text")} THEN 'unchanged'
+                     ELSE 'updated' END AS action
+            FROM live l LEFT JOIN matched m USING (doc_id)
+        ), snap AS (
+            SELECT * FROM kept UNION ALL SELECT * FROM upserts
+        )
+        SELECT doc_id, {fp.format(t="text")} AS fp, action
+        FROM snap ORDER BY doc_id
+    """
+
+
+ORACLE["pipe_snapshot_upsert"] = _snapshot_upsert_oracle()

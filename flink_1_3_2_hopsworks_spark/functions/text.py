@@ -956,3 +956,54 @@ def corpus_diff(old, new, id_col: str, text_col: str) -> "DataFrame":
             .alias("status"),
         )
     )
+
+
+def snapshot_upsert(
+    store,
+    delta,
+    id_col: str,
+    text_col: str,
+    delete_col: str | None = None,
+) -> "DataFrame":
+    """Apply a crawl delta to a corpus snapshot — the MERGE-INTO (SCD-1)
+    corpus-maintenance op: delta rows upsert by id, rows flagged in
+    ``delete_col`` tombstone, everything else carries over. Output is the
+    NEW snapshot, one row per surviving id: ``(id_col, text_col, action)``
+    with action ∈ {'kept', 'unchanged', 'updated', 'inserted'}
+    ('unchanged' = re-crawled with an identical normalized-text
+    fingerprint — the re-crawl audit signal 'updated' would overstate).
+    Delta ids must be unique (one verdict per id; enforce upstream with
+    e.g. a max-ts window if a feed can repeat ids).
+
+    Scale shape (store = the 100 TB side, delta = a crawl increment): NO
+    full-outer shuffle of the store. Carried-over rows are a LEFT ANTI
+    against the BROADCAST delta id set (map-side probe on the scan);
+    matched store rows — bounded by |delta| — come back from a LEFT SEMI
+    scan as slim (id, fingerprint) and broadcast onto the delta to split
+    inserted/updated/unchanged. The store is scanned twice and never
+    shuffled; total shuffle volume is O(|delta|) — the same contract as
+    dedup/incremental.py. With a date-partitioned store, swap the final
+    union for a partition-overwrite write of only the partitions the
+    delta touches.
+    """
+    if delete_col is not None:
+        live = delta.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    else:
+        live = delta
+    live = live.select(id_col, text_col)
+    d_ids = delta.select(id_col).distinct()
+    kept = store.select(id_col, text_col).join(
+        F.broadcast(d_ids), id_col, "left_anti"
+    ).withColumn("action", F.lit("kept"))
+    matched = store.join(F.broadcast(d_ids), id_col, "left_semi").select(
+        id_col, fingerprint(text_col).alias("_fo")
+    )
+    upserts = live.join(F.broadcast(matched), id_col, "left").select(
+        id_col,
+        text_col,
+        F.when(F.col("_fo").isNull(), F.lit("inserted"))
+        .when(F.col("_fo") == fingerprint(text_col), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+    return kept.unionByName(upserts)

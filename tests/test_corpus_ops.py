@@ -854,3 +854,48 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert got[(4, 0)] == ("", 0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", 4, overlap=4)
+
+
+# ------------------------------------------------------------ snapshot upsert
+
+
+def test_snapshot_upsert_actions_and_tombstones(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import snapshot_upsert
+
+    store = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, "beta revised", False),   # updated
+            (3, "  GAMMA ", False),       # unchanged (normalized fp equal)
+            (4, None, True),              # tombstone
+            (5, "epsilon", False),        # inserted
+            (9, None, True),              # delete of absent id: no row
+        ],
+        "doc_id long, text string, del boolean",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["action"])
+        for r in snapshot_upsert(
+            store, delta, "doc_id", "text", delete_col="del"
+        ).collect()
+    }
+    assert out == {
+        1: ("alpha", "kept"),
+        2: ("beta revised", "updated"),
+        3: ("  GAMMA ", "unchanged"),
+        5: ("epsilon", "inserted"),
+    }
+
+
+def test_snapshot_upsert_without_delete_col(spark):
+    from flink_1_3_2_hopsworks_spark.functions.text import snapshot_upsert
+
+    store = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    delta = spark.createDataFrame([(1, "b")], "doc_id long, text string")
+    rows = snapshot_upsert(store, delta, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["text"], r["action"]) for r in rows] == [
+        (1, "b", "updated")
+    ]

@@ -644,3 +644,18 @@ def test_minhash_id_filter_keeps_text_out_of_exchanges(spark):
         if "Exchange" in ln:
             assert not re.search(r"\btext#", ln), ln
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_upsert_store_side_never_shuffles(spark):
+    """Snapshot MERGE: both store probes (the 100-TB side) must stream
+    map-side — the anti join that carries rows over and the semi join that
+    fetches matched fingerprints are BROADCAST joins whose streamed side
+    is the bare store scan, no Exchange anywhere on it."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import pipe_snapshot_upsert
+
+    plan = plan_of(pipe_snapshot_upsert(spark, SF))
+    for marker in ("LeftAnti", "LeftSemi"):
+        assert marker in plan
+        store_side = streamed_side_of_broadcast_join(plan, marker)
+        assert "Exchange" not in store_side
+        assert "Scan parquet" in store_side
