@@ -98,6 +98,9 @@ NAMES = [
     "pipe_incremental_ann_ingest",
     "ev_curation_stream_stats",
     "mm_audio_near_dups",
+    "mm_video_near_dups",
+    "sim_hybrid_rrf_topk",
+    "pipe_snapshot_upsert",
 ]
 
 SF1_DIR = os.path.join(REPO, ".scaledata", "sf1")
