@@ -122,6 +122,50 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def exact_shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold_num/threshold_den pairs over the SAME
+    character-``shingle_k`` shingle sets MinHash estimates on — the ground
+    truth for recall evaluation of the LSH geometry (dd_minhash_recall).
+    Inverted-index intersections over distinct shingles; the threshold is
+    the integer cross-multiplication ``den·|A∩B| >= num·|A∪B|`` (no float
+    boundary). Output: (id_a, id_b) with id_a < id_b.
+
+    Quadratic by output like every exact pair listing — an EVALUATION
+    query for gate-scale corpora; MinHash is the scale path.
+    """
+    sh = _shingles(df, id_col, text_col, shingle_k).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        sh.select(F.col("_id").alias("id_a"), "_shingle")
+        .join(sh.select(F.col("_id").alias("id_b"), "_shingle"), "_shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    union_sz = F.col("_sza") + F.col("_szb") - F.col("_i")
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .filter(
+            F.col("_i") * threshold_den >= union_sz * threshold_num
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def _shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:

@@ -161,6 +161,58 @@ def dd_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision evaluation of the MinHash estimator pair set (the
+    r=8 production geometry, portable hashes) against EXACT character-
+    5-shingle Jaccard truth at the same threshold — the text-side twin of
+    dd_embedding_recall and sim_recall_eval: the metric a pipeline tracks
+    when tuning bands/num_hashes (scripts/probe_minhash_params.py explores
+    the same trade offline). Truth is exact-by-construction: distinct
+    shingle sets, inverted-index pair intersections, and the integer
+    cross-multiplied threshold compare (10·|A∩B| >= 8·|A∪B| — no float
+    boundary). An EVALUATION query, quadratic-by-output on purpose,
+    gate-scale by design like its two siblings. One row:
+    (n_true, n_found, n_hit, recall, precision).
+    Deterministic end-to-end, so the DuckDB oracle replays shingling, the
+    64 affine permutations, banding, the cap, the estimator, the exact
+    truth, and both divisions."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        exact_shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    found = minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.8, portable=True,
+        recall_floor=None,
+    ).select("id_a", "id_b")
+    truth = exact_shingle_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=5, threshold_num=8, threshold_den=10
+    )
+    hit = found.join(truth, ["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_true",
+        "n_found",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit") / F.col("n_true")
+            ),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_found") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit") / F.col("n_found")
+            ),
+            4,
+        ).alias("precision"),
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token/char counts, punctuation ratio,
     average token length — all JVM-side expressions."""

@@ -2249,3 +2249,61 @@ def _snapshot_upsert_oracle() -> str:
 
 
 ORACLE["pipe_snapshot_upsert"] = _snapshot_upsert_oracle()
+
+
+def _minhash_recall_oracle(
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays dd_minhash_recall: the estimator pair set vs EXACT
+    distinct-shingle Jaccard truth (integer cross-multiplied threshold),
+    then recall/precision."""
+    agree = _minhash_agree(num_hashes)
+    prefix = _minhash_cte_prefix(shingle_k, num_hashes, bands, max_bucket)
+    return f"""
+        WITH {prefix},
+        found AS (
+            SELECT id_a, id_b FROM (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM capped a
+                JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.id < b.id
+            ) cand
+            JOIN sig sa ON sa.id = id_a
+            JOIN sig sb ON sb.id = id_b
+            WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+        ), dsh AS (
+            SELECT DISTINCT id, s FROM sh
+        ), sizes AS (
+            SELECT id, COUNT(*) AS sz FROM dsh GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM dsh a JOIN dsh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        ), truth AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes za ON za.id = id_a
+            JOIN sizes zb ON zb.id = id_b
+            WHERE i * 10 >= (za.sz + zb.sz - i) * 8
+        ), hit AS (
+            SELECT f.id_a, f.id_b FROM found f JOIN truth t
+                ON f.id_a = t.id_a AND f.id_b = t.id_b
+        )
+        SELECT
+            (SELECT COUNT(*) FROM truth) AS n_true,
+            (SELECT COUNT(*) FROM found) AS n_found,
+            (SELECT COUNT(*) FROM hit) AS n_hit,
+            ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+                ELSE (SELECT COUNT(*) FROM hit) * 1.0
+                     / (SELECT COUNT(*) FROM truth) END, 4) AS recall,
+            ROUND(CASE WHEN (SELECT COUNT(*) FROM found) = 0 THEN 1.0
+                ELSE (SELECT COUNT(*) FROM hit) * 1.0
+                     / (SELECT COUNT(*) FROM found) END, 4) AS precision
+    """
+
+
+ORACLE["dd_minhash_recall"] = _minhash_recall_oracle()

@@ -727,3 +727,40 @@ def test_minhash_recall_floor_warning(spark):
         _w.simplefilter("error")
         minhash_near_dups(docs, "doc_id", "text", threshold=0.95)
         minhash_near_dups(docs, "doc_id", "text", threshold=0.8, recall_floor=None)
+
+
+def test_exact_shingle_jaccard_pairs_threshold_boundary(spark):
+    """The integer cross-multiplied threshold is exact at the boundary:
+    identical docs (J=1) pass, disjoint docs never pair, and a constructed
+    J=0.5 pair flips in/out exactly at num/den = 1/2."""
+    from flink_1_3_2_hopsworks_spark.dedup.minhash import (
+        exact_shingle_jaccard_pairs,
+    )
+
+    # k=1 shingles on single-char-per-token strings make set algebra
+    # transparent: doc1={a,b}, doc2={b,c} -> J = 1/3; doc3=doc1 -> J=1.
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "bc"), (3, "ab")], "doc_id long, text string"
+    )
+    at = lambda num, den: {
+        (r["id_a"], r["id_b"])
+        for r in exact_shingle_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=1,
+            threshold_num=num, threshold_den=den,
+        ).collect()
+    }
+    assert at(1, 1) == {(1, 3)}                      # only the exact dup
+    assert at(1, 3) == {(1, 2), (1, 3), (2, 3)}      # J=1/3 passes at 1/3
+    assert at(34, 100) == {(1, 3)}                   # and fails just above
+
+
+def test_minhash_recall_gate_consistency(spark):
+    """Gate invariants at sf0.001: one row, n_hit <= min(n_true, n_found),
+    both ratios in [0, 1], and recall = n_hit/n_true when n_true > 0."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase import dd_minhash_recall
+
+    r = dd_minhash_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_hit"] <= min(r["n_true"], r["n_found"])
+    assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+    if r["n_true"]:
+        assert r["recall"] == round(r["n_hit"] / r["n_true"], 4)
