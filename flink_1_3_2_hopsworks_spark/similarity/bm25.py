@@ -39,6 +39,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     exclude_self: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -51,6 +52,13 @@ def bm25_topk(
     BEFORE ranking (gap-free ranks) — the "more like this" convention when
     queries are corpus documents themselves, e.g. under
     ``similarity.hybrid.rrf_fuse``.
+
+    The df and N/avgdl statistics DERIVE from the postings table, which is
+    pinned (``persist=True``, library-internal cache caller-owned — the
+    minhash signature-table contract) so the corpus text is scanned ONCE;
+    without the pin Catalyst recomputes the token explode per consumer
+    (three text scans — measured). Pass ``persist=False`` in shared-cache
+    test sessions.
     """
     base = docs.select(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
@@ -66,14 +74,15 @@ def bm25_topk(
     postings = toks.groupBy("_id", "_t").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
+    if persist:
+        postings = postings.persist()
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    stats = (
-        base.select(F.size("_toks").alias("_l"))
-        .filter(F.col("_l") > 0)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            (F.sum("_l").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
-        )
+    # N and avgdl from the pinned postings (docs with >= 1 token have
+    # >= 1 posting row; empty docs were excluded before, too).
+    dl = postings.groupBy("_id").agg(F.first("_dl").alias("_l"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_l").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
     )
 
     qterms = (

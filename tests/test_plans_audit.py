@@ -659,3 +659,17 @@ def test_snapshot_upsert_store_side_never_shuffles(spark):
         store_side = streamed_side_of_broadcast_join(plan, marker)
         assert "Exchange" not in store_side
         assert "Scan parquet" in store_side
+
+
+def test_bm25_postings_pin_single_text_scan(spark):
+    """BM25's df/N/avgdl statistics derive from the PINNED postings table:
+    all three consumers must read the cache (InMemoryTableScan), not
+    re-run the token explode over the text scan — without the pin the
+    corpus text is scanned three times (measured; see bm25_topk's
+    docstring)."""
+    from flink_1_3_2_hopsworks_spark.similarity.showcase import sim_bm25_topk
+
+    df = sim_bm25_topk(spark, SF)
+    df.count()  # materialize the cache so the plan resolves to cache reads
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") == 3
