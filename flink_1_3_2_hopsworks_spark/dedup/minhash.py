@@ -129,6 +129,7 @@ def exact_shingle_jaccard_pairs(
     shingle_k: int = 5,
     threshold_num: int = 8,
     threshold_den: int = 10,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold_num/threshold_den pairs over the SAME
     character-``shingle_k`` shingle sets MinHash estimates on — the ground
@@ -138,9 +139,14 @@ def exact_shingle_jaccard_pairs(
     boundary). Output: (id_a, id_b) with id_a < id_b.
 
     Quadratic by output like every exact pair listing — an EVALUATION
-    query for gate-scale corpora; MinHash is the scale path.
+    query for gate-scale corpora; MinHash is the scale path. The distinct
+    shingle table is referenced three times (two join sides + sizes), so
+    it is pinned by default (library-internal cache caller-owned — the
+    signature-table contract; ``persist=False`` in shared-cache tests).
     """
     sh = _shingles(df, id_col, text_col, shingle_k).distinct()
+    if persist:
+        sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
         sh.select(F.col("_id").alias("id_a"), "_shingle")

@@ -984,7 +984,9 @@ def snapshot_upsert(
     shuffled; total shuffle volume is O(|delta|) — the same contract as
     dedup/incremental.py. With a date-partitioned store, swap the final
     union for a partition-overwrite write of only the partitions the
-    delta touches.
+    delta touches. The delta plan is referenced three times (two broadcast
+    id probes + the upsert payload); persist a delta that is itself
+    expensive to recompute.
     """
     if delete_col is not None:
         live = delta.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
