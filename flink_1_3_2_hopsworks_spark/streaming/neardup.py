@@ -89,6 +89,11 @@ def near_ingest_stream(
     spark = stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # Pin the micro-batch: the ingest references it several times
+        # (signatures, bucket probe, within-batch star, survivor join) and
+        # a foreachBatch frame is NOT cached — without the pin every
+        # reference re-reads the source files (measured 4x input rows).
+        batch = batch.persist()
         store = _read_store(spark, store_path)
         if store is None:
             # First batch: an empty store with the right schema so the
@@ -117,6 +122,7 @@ def near_ingest_stream(
             )
         finally:
             verdicts.unpersist()
+            batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_process)
