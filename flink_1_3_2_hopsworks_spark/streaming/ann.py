@@ -1,0 +1,73 @@
+"""Streaming ANN index maintenance — the continuous form of
+``similarity/pq.py ivfpq_append_batch``.
+
+The embedding side of the crawl loop (streaming/neardup.py is the text
+side): each arriving micro-batch of vectors is encoded into the
+``_cell``-partitioned IVF-PQ store — cells and codes from the FROZEN
+coarse centroids / codebooks, so appended rows are bit-identical to a
+full rebuild — after a broadcast id probe skips re-crawled items already
+in the store. The serving structure (``ivfpq_topk`` over the partitioned
+code table) never rebuilds.
+
+State & scale contract (mirrors near_ingest_stream):
+- ZERO Spark streaming state; index state is the store itself.
+- Per batch the store contributes ONLY a scanned id column (broadcast
+  anti probe); the one Python crossing is the fused cell+code Arrow
+  kernel over the surviving batch rows — O(|micro-batch|).
+- Exactly-once: appends land under ``batch_id=<epoch>`` partition
+  directories written with overwrite (idempotent on replay), with
+  ``_cell`` as the inner partition column so serving keeps its
+  partition-pruning = inverted-file property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_append_batch
+
+
+def ann_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> StreamingQuery:
+    """Start the continuous IVF-PQ ingestion loop over ``stream`` (a
+    streaming DataFrame carrying ``id_col`` and ``vec_col``). Each
+    micro-batch appends its surviving rows' (id, cell, codes) under
+    ``store_path/batch_id=N`` partitioned by ``cell_col``."""
+    spark = stream.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        # Pin: the append references the batch twice (id probe + encode);
+        # an unpinned foreachBatch frame re-reads the source per reference.
+        batch = batch.persist()
+        try:
+            try:
+                store_ids = spark.read.parquet(store_path).select(id_col)
+            except AnalysisException:  # first batch: no store yet
+                store_ids = batch.limit(0).select(id_col)
+            appended = ivfpq_append_batch(
+                batch, store_ids, coarse_centroids, codebooks,
+                id_col, vec_col,
+            )
+            appended.write.mode("overwrite").partitionBy(cell_col).parquet(
+                f"{store_path}/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
