@@ -1091,6 +1091,31 @@ def mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image curation funnel (multimodal/curation.py) — the
+    binary-column twin of pipe_curation_e2e over the deterministic BMP
+    corpus (multimodal/synth.py image_twin of the doc ids): decode-validate
+    → brightness/contrast quality rules (the C4/Gopher analogue for
+    images) → exact perceptual dedup (aHash collisions — brightness-
+    shifted re-encodes land at Hamming 0) → star near-dup clustering
+    (Hamming <= 3) → shuffle-shard, as ONE plan over the pinned slim
+    signal frame from a single decode pass (payloads never shuffle, never
+    decode twice). Output: the auditable funnel — per-stage survivor
+    count, byte total, and salted-h32 survivor-set checksum (the shard
+    row binds (id, shard)). The oracle joins ids to the FROZEN
+    (pattern, variant) → (brightness, contrast, aHash, bytes) model —
+    same shared stats definition + codec round-trip as the live kernel —
+    and replays rules, min-id collapse, the survivor-restricted star
+    closure, and the shard in SQL."""
+    from flink_1_3_2_hopsworks_spark.multimodal.curation import (
+        image_curation_funnel,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_curation_funnel(image_twin(docs, "doc_id"), "doc_id")
+
+
 def mm_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal AUDIO near-dup clusters — the WAV twin of
     mm_image_near_dups: each doc id derives a deterministic 1-second

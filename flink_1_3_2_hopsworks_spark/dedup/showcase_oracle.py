@@ -2307,3 +2307,122 @@ def _minhash_recall_oracle(
 
 
 ORACLE["dd_minhash_recall"] = _minhash_recall_oracle()
+
+
+def _mm_curation_funnel_oracle(
+    n_patterns: int = 16,
+    n_variants: int = 3,
+    min_brightness: float = 105.0,
+    max_brightness: float = 137.0,
+    min_contrast: float = 40.0,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    n_shards: int = 8,
+    salt: str = "mmcur9",
+) -> str:
+    """Replays the image curation funnel (multimodal/curation.py) from the
+    FROZEN (pattern, variant) -> (brightness, contrast, aHash, bytes)
+    model (synth.frozen_image_stats_table — same shared stats definition
+    and codec round-trip as the live kernel): rules → min-id-per-hash
+    exact perceptual dedup → the simhash star replay restricted to the
+    survivor set → closure → shard, then the six funnel arms."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_image_stats_table,
+    )
+
+    values = ",\n            ".join(
+        f"({k}, {v}, {m!r}, {s!r}, {fp}::BIGINT, {nb})"
+        for k, v, m, s, fp, nb in frozen_image_stats_table(
+            n_patterns, n_variants
+        )
+    )
+
+    def h32(key_sql: str) -> str:
+        return f"('0x' || SUBSTR(MD5({key_sql}), 1, 8))::BIGINT"
+
+    ck = h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}ck')")
+    ck_sh = h32(
+        "CONCAT_WS('|', CAST(doc_id AS VARCHAR), "
+        f"CAST(shard AS VARCHAR), '{salt}ck')"
+    )
+    shard = (
+        h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}sh')")
+        + f" % {n_shards}"
+    )
+    stages = [
+        ("input", "d"), ("decoded", "d"), ("quality_rules", "s2"),
+        ("exact_perceptual_dedup", "s3"), ("near_dup_star", "s4"),
+        ("shuffle_shard", "s5"),
+    ]
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_images,"
+        f" CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_bytes,"
+        f" CAST(COALESCE(SUM({ck_sh if name == 'shuffle_shard' else ck}), 0)"
+        f" AS BIGINT) AS id_checksum FROM {rel}"
+        for i, (name, rel) in enumerate(stages)
+    )
+    return f"""
+    WITH RECURSIVE model(k, v, mean, std, fp, nb) AS (
+        VALUES {values}
+    ), d AS MATERIALIZED (
+        SELECT i.doc_id, m.mean, m.std, m.fp AS simhash, m.nb
+        FROM (
+            SELECT doc_id, doc_id % {n_patterns} AS k,
+                (doc_id // {n_patterns}) % {n_variants} AS v
+            FROM documents
+        ) i JOIN model m USING (k, v)
+    ), s2 AS MATERIALIZED (
+        SELECT * FROM d
+        WHERE mean >= {min_brightness!r} AND mean <= {max_brightness!r}
+          AND std >= {min_contrast!r}
+    ), keep3 AS (
+        SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY simhash
+    ), s3 AS MATERIALIZED (
+        SELECT s2.* FROM s2 JOIN keep3 USING (doc_id)
+    ), chunked AS (
+        SELECT doc_id, simhash, ci,
+            (simhash >> (ci * 16)) & 65535 AS cv
+        FROM s3 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+    ), capped AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY ci, cv) AS bsize
+            FROM chunked
+        ) WHERE bsize <= {max_bucket}
+    ), anchors AS (
+        SELECT ci, cv, MIN(doc_id) AS aid FROM capped GROUP BY ci, cv
+    ), anch AS (
+        SELECT a.ci, a.cv, a.aid, f.simhash AS afp
+        FROM anchors a JOIN s3 f ON f.doc_id = a.aid
+    ), stars AS (
+        SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b
+        FROM capped c
+        JOIN anch n ON c.ci = n.ci AND c.cv = n.cv AND c.doc_id > n.aid
+        WHERE BIT_COUNT(XOR(n.afp, c.simhash)) <= {max_distance}
+    ), sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM stars
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM stars
+    ), verts AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), reach(root, node) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.root, sym.dst
+        FROM reach JOIN sym ON sym.src = reach.node
+    ), comp AS (
+        SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+    ), s4 AS MATERIALIZED (
+        SELECT s3.* FROM s3
+        LEFT JOIN comp c ON c.id = s3.doc_id
+        WHERE COALESCE(c.component, s3.doc_id) = s3.doc_id
+    ), s5 AS (
+        SELECT s4.*, {shard} AS shard FROM s4
+    )
+    SELECT * FROM (
+        {arms}
+    ) ORDER BY stage_idx
+    """
+
+
+ORACLE["mm_curation_funnel"] = _mm_curation_funnel_oracle()

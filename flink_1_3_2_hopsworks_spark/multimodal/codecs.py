@@ -124,6 +124,17 @@ def image_features(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
     return (thumb.flatten() / 255.0).astype(np.float32)
 
 
+def image_quality_stats(pixels: np.ndarray) -> tuple[float, float]:
+    """(mean_brightness, contrast) of an (H, W, C) image, both rounded to
+    4 dp — the image-quality-rule signals. ONE shared definition so the
+    live kernel (multimodal/curation.py) and the frozen oracle model
+    (synth.frozen_image_stats_table) can never drift: grayscale = per-pixel
+    channel mean (float64), brightness = its mean, contrast = its
+    population std."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    return round(float(g.mean()), 4), round(float(g.std()), 4)
+
+
 def audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
     """dim-dim feature vector: per-segment RMS energy over dim segments."""
     if samples.size == 0:

@@ -59,6 +59,28 @@ def frozen_ahash_table(n_patterns: int = 16, n_variants: int = 3):
     ]
 
 
+def frozen_image_stats_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, mean_brightness, contrast, ahash64, n_bytes)] for every
+    synthetic (pattern, variant) — the frozen quality+fingerprint model
+    the multimodal-curation oracle joins against. Stats come from the
+    SAME shared definition the live kernel uses
+    (codecs.image_quality_stats), through the same BMP encode→decode
+    round-trip, so live values match these literals bit-for-bit."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmp,
+        image_quality_stats,
+    )
+
+    rows = []
+    for k in range(n_patterns):
+        for v in range(n_variants):
+            payload = encode_bmp(synth_image(k, v))
+            pixels = decode_bmp(payload)
+            mean, std = image_quality_stats(pixels)
+            rows.append((k, v, mean, std, ahash64(pixels), len(payload)))
+    return rows
+
+
 def image_twin(
     ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
 ) -> DataFrame:

@@ -101,6 +101,7 @@ NAMES = [
     "mm_video_near_dups",
     "sim_hybrid_rrf_topk",
     "pipe_snapshot_upsert",
+    "mm_curation_funnel",
 ]
 
 SF1_DIR = os.path.join(REPO, ".scaledata", "sf1")

@@ -346,3 +346,62 @@ def test_item_set_jaccard_cap_semantics(spark):
     # 999 capped away: ids 1,2 share {10,11} of their {10,11,999} sets ->
     # J computed on FULL set sizes = 2/(3+3-2) = 0.5
     assert got == {(1, 2): 0.5}
+
+
+# ------------------------------------------------------- image curation funnel
+
+
+def test_image_curation_verdicts_stage_semantics(spark):
+    """Planted corpus: a corrupt payload fails decode, a flat image fails
+    contrast, a brightness-shifted copy collapses at exact-perceptual
+    dedup, a locally-edited copy clusters at the star stage, and a clean
+    distinct image survives to the shard."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import encode_bmp
+    from flink_1_3_2_hopsworks_spark.multimodal.curation import (
+        image_curation_verdicts,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_image
+
+    base = synth_image(3, 0)            # mean 115.51, std 44.66 -> passes
+    flat = np.full((32, 32, 3), 120, dtype=np.uint8)   # std 0 -> contrast fail
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(synth_image(3, 1)))),  # +20 copy: same aHash
+        (3, bytearray(encode_bmp(synth_image(3, 2)))),  # local edit: near-dup
+        (4, bytearray(encode_bmp(flat))),
+        (5, bytearray(b"not a bmp")),
+        (6, bytearray(encode_bmp(synth_image(7, 0)))),  # distinct survivor
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in image_curation_verdicts(media, "doc_id").collect()
+    }
+    assert not got[5]["s1"]                       # corrupt: decode fail
+    assert got[4]["s1"] and not got[4]["s2"]      # flat: contrast rule
+    assert got[1]["simhash"] == got[2]["simhash"]  # brightness invariance
+    assert got[1]["s3"] and not got[2]["s3"]      # min-id wins the collapse
+    assert got[3]["s3"] and not got[3]["s4"]      # edited copy: star cluster
+    assert got[1]["s4"] and got[6]["s5"]
+    assert got[6]["shard"] is not None and got[2]["shard"] is None
+
+
+def test_image_curation_funnel_monotone_and_checksums(spark):
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.multimodal.curation import (
+        image_curation_funnel,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = image_curation_funnel(image_twin(docs, "doc_id"), "doc_id").collect()
+    assert [r["stage"] for r in rows][0] == "input"
+    counts = [r["n_images"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == docs.count() and counts[-1] > 0
+    # Shard-stage survivor set == near-dup-stage set, but the checksum
+    # binds the shard assignment, so it must differ.
+    assert rows[-1]["n_images"] == rows[-2]["n_images"]
+    assert rows[-1]["id_checksum"] != rows[-2]["id_checksum"]
