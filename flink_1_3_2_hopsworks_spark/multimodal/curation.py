@@ -131,7 +131,9 @@ def image_curation_verdicts(
 
     # Fuzzy near-dup star over the exact survivors (anchors must be
     # survivors, so the fingerprint frame is the survivor-filtered pin).
-    fps3 = d2.filter(s3).select(id_col, "simhash")
+    # Pinned: the star machinery + cluster resolution reference it ~4
+    # times, each of which would otherwise replay the keepers shuffle.
+    fps3 = materialize(d2.filter(s3).select(id_col, "simhash"))
     edges = simhash_star_edges(
         fps3, id_col, "simhash", max_distance=max_distance,
         fingerprints=fps3,

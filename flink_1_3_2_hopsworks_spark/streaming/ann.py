@@ -42,28 +42,11 @@ def ann_ingest_stream(
     streaming DataFrame carrying ``id_col`` and ``vec_col``). Each
     micro-batch appends its surviving rows' (id, cell, codes) under
     ``store_path/batch_id=N`` partitioned by ``cell_col``."""
-    spark = stream.sparkSession
-
     def _process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        # Pin: the append references the batch twice (id probe + encode);
-        # an unpinned foreachBatch frame re-reads the source per reference.
-        batch = batch.persist()
-        try:
-            try:
-                store_ids = spark.read.parquet(store_path).select(id_col)
-            except AnalysisException:  # first batch: no store yet
-                store_ids = batch.limit(0).select(id_col)
-            appended = ivfpq_append_batch(
-                batch, store_ids, coarse_centroids, codebooks,
-                id_col, vec_col,
-            )
-            appended.write.mode("overwrite").partitionBy(cell_col).parquet(
-                f"{store_path}/batch_id={batch_id}"
-            )
-        finally:
-            batch.unpersist()
+        ingest_vector_batch(
+            batch, batch_id, store_path, coarse_centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -71,3 +54,47 @@ def ann_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_vector_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> None:
+    """One epoch of the ANN ingestion loop (the foreachBatch body, exposed
+    so crash-replay behavior is directly testable). Idempotent per
+    ``batch_id``: the store-id read excludes this epoch's own (possibly
+    uncommitted) append — a replayed epoch that saw its own rows would
+    anti-join every id away as a 're-crawl' and overwrite its partition
+    with an EMPTY frame, silently deleting the epoch's vectors."""
+    from pyspark.errors import AnalysisException
+
+    import pyspark.sql.functions as F
+
+    spark = batch.sparkSession
+    # Pin: the append references the batch twice (id probe + encode);
+    # an unpinned foreachBatch frame re-reads the source per reference.
+    batch = batch.persist()
+    try:
+        try:
+            store_ids = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select(id_col)
+            )
+        except AnalysisException:  # first batch: no store yet
+            store_ids = batch.limit(0).select(id_col)
+        appended = ivfpq_append_batch(
+            batch, store_ids, coarse_centroids, codebooks,
+            id_col, vec_col,
+        )
+        appended.write.mode("overwrite").partitionBy(cell_col).parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+    finally:
+        batch.unpersist()

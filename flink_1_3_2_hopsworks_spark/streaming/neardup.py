@@ -50,15 +50,20 @@ from flink_1_3_2_hopsworks_spark.dedup.incremental import (
 )
 
 
-def _read_store(spark, store_path: str):
+def _read_store(spark, store_path: str, before_batch_id: int):
     """The signature store as a DataFrame, or ``None`` on the very first
-    batch (no store written yet)."""
+    batch (no store written yet). ONLY epochs before ``before_batch_id``
+    are visible: a REPLAYED epoch (crash after its store append, before
+    the checkpoint commit) must not read its own uncommitted append —
+    every unique doc would match its own signature, flip to
+    corpus_near_dup, and overwrite the partition with zero survivors."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(store_path)
+        store = spark.read.parquet(store_path)
     except AnalysisException:  # PATH_NOT_FOUND on the first batch
         return None
+    return store.filter(F.col("batch_id") < before_batch_id)
 
 
 def near_ingest_stream(
@@ -89,40 +94,12 @@ def near_ingest_stream(
     spark = stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        # Pin the micro-batch: the ingest references it several times
-        # (signatures, bucket probe, within-batch star, survivor join) and
-        # a foreachBatch frame is NOT cached — without the pin every
-        # reference re-reads the source files (measured 4x input rows).
-        batch = batch.persist()
-        store = _read_store(spark, store_path)
-        if store is None:
-            # First batch: an empty store with the right schema so the
-            # within-batch half still runs under the same code path.
-            store = minhash_signature_store(
-                batch.limit(0), id_col, text_col,
-                shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
-            )
-        verdicts = incremental_near_ingest(
-            batch, store, id_col, text_col,
-            threshold=threshold, shingle_k=shingle_k, num_hashes=num_hashes,
-            bands=bands, max_bucket=max_bucket, portable=portable,
-        ).persist()
-        try:
-            verdicts.write.mode("overwrite").parquet(
-                f"{verdict_path}/batch_id={batch_id}"
-            )
-            survivors = batch.join(
-                verdicts.filter(F.col("kept")).select(id_col), id_col
-            )
-            minhash_signature_store(
-                survivors, id_col, text_col,
-                shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
-            ).write.mode("overwrite").parquet(
-                f"{store_path}/batch_id={batch_id}"
-            )
-        finally:
-            verdicts.unpersist()
-            batch.unpersist()
+        ingest_batch(
+            batch, batch_id, store_path, verdict_path,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+            max_bucket=max_bucket, portable=portable,
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -130,3 +107,58 @@ def near_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    verdict_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> None:
+    """One epoch of the ingestion loop (the foreachBatch body, exposed so
+    crash-replay behavior is directly testable). Idempotent per
+    ``batch_id``: the store read excludes this epoch's own (possibly
+    uncommitted) append, and both writes overwrite their own partition."""
+    spark = batch.sparkSession
+    # Pin the micro-batch: the ingest references it several times
+    # (signatures, bucket probe, within-batch star, survivor join) and
+    # a foreachBatch frame is NOT cached — without the pin every
+    # reference re-reads the source files (measured 4x input rows).
+    batch = batch.persist()
+    store = _read_store(spark, store_path, batch_id)
+    if store is None:
+        # First batch: an empty store with the right schema so the
+        # within-batch half still runs under the same code path.
+        store = minhash_signature_store(
+            batch.limit(0), id_col, text_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        )
+    verdicts = incremental_near_ingest(
+        batch, store, id_col, text_col,
+        threshold=threshold, shingle_k=shingle_k, num_hashes=num_hashes,
+        bands=bands, max_bucket=max_bucket, portable=portable,
+    ).persist()
+    try:
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdict_path}/batch_id={batch_id}"
+        )
+        survivors = batch.join(
+            verdicts.filter(F.col("kept")).select(id_col), id_col
+        )
+        minhash_signature_store(
+            survivors, id_col, text_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        ).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+    finally:
+        verdicts.unpersist()
+        batch.unpersist()

@@ -168,15 +168,23 @@ def main() -> None:
         results[tag] = t
 
     if merge:
+        remeasured = set(names)
         with open(os.path.join(REPO, "SCALE_SF10.json")) as f:
-            prior = json.load(f)["queries"]
-        for n, row in prior.items():
-            if n in names:
+            prior_art = json.load(f)
+        for n, row in prior_art["queries"].items():
+            if n in remeasured:
                 continue
             if row.get("sf1") is not None:
                 results["sf1"].setdefault(n, row["sf1"])
             if row.get("sf10") is not None:
                 results["sf10"].setdefault(n, row["sf10"])
+        # A partial merge must not erase the full sweep's timeout verdicts
+        # for names it didn't re-measure (they feed super_linear below).
+        for tag in timeouts:
+            prior_t = prior_art.get("timeouts", {}).get(tag, [])
+            timeouts[tag] = sorted(
+                set(timeouts[tag]) | {n for n in prior_t if n not in remeasured}
+            )
     all_names = sorted(set(results["sf1"]) | set(results["sf10"]))
     ratios = {
         n: round(results["sf10"][n] / results["sf1"][n], 2)

@@ -90,3 +90,31 @@ def test_ann_ingest_stream_matches_full_rebuild(spark, tmp_path):
     # Restart with no new files: nothing appended.
     _run(spark, src, tmp_path)
     assert spark.read.parquet(str(tmp_path / "store")).count() == 100
+
+
+def test_ingest_vector_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash-after-append replay: epoch N re-runs after its own append is
+    already on disk. The store-id read must exclude the epoch's own
+    partition — otherwise the anti-probe treats every batch id as a
+    re-crawl and overwrites the partition with an EMPTY frame, deleting
+    the epoch's vectors."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.ann import ingest_vector_batch
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "store")
+    for i, cond in enumerate([F.col("vec_id") < 30, F.col("vec_id") >= 470]):
+        ingest_vector_batch(
+            emb.filter(cond), i, store, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS
+        )
+    assert spark.read.parquet(store).count() == 60
+    ingest_vector_batch(  # replay epoch 1 with its append already on disk
+        emb.filter(F.col("vec_id") >= 470), 1, store,
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+    )
+    got = spark.read.parquet(store)
+    assert got.count() == 60
+    assert got.filter(F.col("batch_id") == 1).count() == 30

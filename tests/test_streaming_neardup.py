@@ -127,3 +127,33 @@ def test_near_ingest_stream_matches_sequential_batch_replay(spark, tmp_path):
             minhash_signature_store(survivors, "doc_id", "text")
         ).localCheckpoint()
     assert got == EXPECTED
+
+
+def test_ingest_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash-after-append replay: epoch N re-runs AFTER its own store
+    append already landed (commit marker missing). The store read must
+    exclude the epoch's own partition — otherwise every unique doc matches
+    its own signature, flips to corpus_near_dup, and the survivor append
+    is overwritten with zero rows."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    store, verdicts = str(tmp_path / "store"), str(tmp_path / "verdicts")
+    batches = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in BATCHES
+    ]
+    for i, b in enumerate(batches):
+        ingest_batch(b, i, store, verdicts)
+
+    def snapshot():
+        v = {
+            r["doc_id"]: (r["kept"], r["reason"])
+            for r in spark.read.parquet(verdicts).collect()
+        }
+        s = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+        return v, s
+
+    before = snapshot()
+    assert before[0] == EXPECTED and before[1] == [1, 3, 12, 22]
+    ingest_batch(batches[2], 2, store, verdicts)  # replay the last epoch
+    assert snapshot() == before
