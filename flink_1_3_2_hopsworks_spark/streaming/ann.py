@@ -82,11 +82,12 @@ def ingest_vector_batch(
     batch = batch.persist()
     try:
         try:
-            store_ids = (
-                spark.read.parquet(store_path)
-                .filter(F.col("batch_id") < batch_id)
-                .select(id_col)
-            )
+            store = spark.read.parquet(store_path)
+            if "batch_id" in store.columns:
+                # Exclude this epoch's own (possibly uncommitted) append;
+                # a store seeded outside the loop has no epoch partitions.
+                store = store.filter(F.col("batch_id") < batch_id)
+            store_ids = store.select(id_col)
         except AnalysisException:  # first batch: no store yet
             store_ids = batch.limit(0).select(id_col)
         appended = ivfpq_append_batch(

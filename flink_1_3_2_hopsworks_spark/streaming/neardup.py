@@ -63,6 +63,11 @@ def _read_store(spark, store_path: str, before_batch_id: int):
         store = spark.read.parquet(store_path)
     except AnalysisException:  # PATH_NOT_FOUND on the first batch
         return None
+    if "batch_id" not in store.columns:
+        # A store seeded outside the loop (e.g. a batch-path
+        # minhash_signature_store dump) has no epoch partitions — and no
+        # own-epoch contamination to exclude.
+        return store
     return store.filter(F.col("batch_id") < before_batch_id)
 
 
