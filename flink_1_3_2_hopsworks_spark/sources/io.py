@@ -157,6 +157,88 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def zorder_value(cols, bits: int = 16):
+    """Interleaved-bit (Morton) z-value over normalized rank columns —
+    pure codegen'd shift/or terms, no Python. Each input column must
+    already be an integer rank in ``[0, 2**bits)``; z-ordering by raw
+    values goes through :func:`write_zordered`, which builds the ranks
+    from a one-row min/max aggregate."""
+    import pyspark.sql.functions as F
+
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 12,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: rows are range-partitioned and
+    sorted by the Morton interleave of the (min/max-normalized) z-order
+    columns, so each output file covers a SMALL bounding box in the
+    multi-column space and parquet row-group min/max statistics prune
+    scans filtered on ANY of the columns — the multi-dimensional
+    complement of ``write_bucketed_table`` (which co-locates joins on one
+    key set) and the standard big-table layout lever at 100 TB (a sort by
+    colA alone leaves colB footprints full-range; the interleave shrinks
+    both). Skew note: min/max normalization is distribution-agnostic;
+    heavily skewed columns keep pruning on the others because the
+    interleave bounds every dimension independently.
+
+    Cost: one slim min/max aggregate (broadcast back as a one-row cross
+    join) + one range shuffle on the z-value — the same shuffle any
+    clustered write pays. NULLs rank 0 (sort first, prune like a value).
+    """
+    import pyspark.sql.functions as F
+
+    max_rank = (1 << bits) - 1
+    aggs = []
+    for c in zorder_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    ranks = []
+    for c in zorder_cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        ranks.append(
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - mn) / span * F.lit(max_rank)
+                ),
+                F.lit(0),
+            ).cast("long")
+        )
+    zed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_z", zorder_value(ranks, bits))
+        .drop(*[f"_mn_{c}" for c in zorder_cols],
+              *[f"_mx_{c}" for c in zorder_cols])
+    )
+    (
+        zed.repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append",
     batch_size: int = 1000, properties: dict[str, str] | None = None,
