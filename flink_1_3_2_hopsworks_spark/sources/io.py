@@ -157,16 +157,29 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
-def zorder_value(cols, bits: int = 16):
+def zorder_value(cols, bits: int = 12):
     """Interleaved-bit (Morton) z-value over normalized rank columns —
     pure codegen'd shift/or terms, no Python. Each input column must
     already be an integer rank in ``[0, 2**bits)``; z-ordering by raw
     values goes through :func:`write_zordered`, which builds the ranks
-    from a one-row min/max aggregate."""
+    from a one-row min/max aggregate.
+
+    ``bits * len(cols)`` must stay within the 63 value bits of a signed
+    long: Spark's ``shiftleft`` wraps shift amounts mod 64 (high bits
+    would silently collide with low bits) and bit 63 is the sign (rows
+    carrying it would sort FIRST) — either way the clustering silently
+    degrades, so this raises instead."""
     import pyspark.sql.functions as F
 
-    z = F.lit(0).cast("long")
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_value needs bits*len(cols) <= 63 (got {bits}*{n}="
+            f"{bits * n}): Spark shiftleft wraps mod 64 and bit 63 is the "
+            "sign bit — lower bits (write_zordered default 12 supports up "
+            "to 5 columns) or drop columns."
+        )
+    z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
             z = z.bitwiseOR(

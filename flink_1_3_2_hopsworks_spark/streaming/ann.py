@@ -83,11 +83,19 @@ def ingest_vector_batch(
     try:
         try:
             store = spark.read.parquet(store_path)
-            if "batch_id" in store.columns:
-                # Exclude this epoch's own (possibly uncommitted) append;
-                # a store seeded outside the loop has no epoch partitions.
-                store = store.filter(F.col("batch_id") < batch_id)
-            store_ids = store.select(id_col)
+            if "batch_id" not in store.columns:
+                raise ValueError(
+                    f"store at {store_path!r} is not epoch-partitioned "
+                    "(no batch_id partition column). Seed stores with "
+                    "seed_code_store(...) — a root-level code dump is "
+                    "silently DROPPED by parquet partition discovery as "
+                    "soon as the first batch_id=N directory is written, "
+                    "so seed ids would be re-appended as duplicates."
+                )
+            # Exclude this epoch's own (possibly uncommitted) append.
+            store_ids = store.filter(
+                F.col("batch_id") < batch_id
+            ).select(id_col)
         except AnalysisException:  # first batch: no store yet
             store_ids = batch.limit(0).select(id_col)
         appended = ivfpq_append_batch(
@@ -99,3 +107,25 @@ def ingest_vector_batch(
         )
     finally:
         batch.unpersist()
+
+
+def seed_code_store(
+    corpus: DataFrame,
+    store_path: str,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> None:
+    """Seed the ANN loop's store by encoding an EXISTING corpus before the
+    stream starts: codes land under the reserved ``batch_id=-1`` epoch
+    (visible to every epoch, including epoch-0 crash replays reading
+    ``batch_id < 0``), partitioned by ``cell_col`` like every append."""
+    from flink_1_3_2_hopsworks_spark.similarity.pq import pq_encode
+
+    pq_encode(
+        corpus, id_col, vec_col, codebooks, cell_centroids=coarse_centroids
+    ).write.mode("overwrite").partitionBy(cell_col).parquet(
+        f"{store_path}/batch_id=-1"
+    )

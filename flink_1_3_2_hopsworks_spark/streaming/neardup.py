@@ -56,7 +56,16 @@ def _read_store(spark, store_path: str, before_batch_id: int):
     are visible: a REPLAYED epoch (crash after its store append, before
     the checkpoint commit) must not read its own uncommitted append —
     every unique doc would match its own signature, flip to
-    corpus_near_dup, and overwrite the partition with zero survivors."""
+    corpus_near_dup, and overwrite the partition with zero survivors.
+
+    Stores must be FULLY epoch-partitioned (every row under some
+    ``batch_id=N``; seeds under ``batch_id=-1`` via
+    :func:`seed_signature_store`). A root-level dump is rejected loudly:
+    Spark's partition discovery silently DROPS root files once the first
+    ``batch_id=N`` directory lands, so a mixed layout would make the seed
+    invisible from epoch 1 on — duplicates of the seed corpus would pass
+    as 'kept' with no error.
+    """
     from pyspark.errors import AnalysisException
 
     try:
@@ -64,11 +73,33 @@ def _read_store(spark, store_path: str, before_batch_id: int):
     except AnalysisException:  # PATH_NOT_FOUND on the first batch
         return None
     if "batch_id" not in store.columns:
-        # A store seeded outside the loop (e.g. a batch-path
-        # minhash_signature_store dump) has no epoch partitions — and no
-        # own-epoch contamination to exclude.
-        return store
+        raise ValueError(
+            f"store at {store_path!r} is not epoch-partitioned (no "
+            "batch_id partition column). Seed stores with "
+            "seed_signature_store(...) — a root-level signature dump is "
+            "silently DROPPED by parquet partition discovery as soon as "
+            "the first batch_id=N directory is written."
+        )
     return store.filter(F.col("batch_id") < before_batch_id)
+
+
+def seed_signature_store(
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    portable: bool = False,
+) -> None:
+    """Seed the ingestion loop's store with an EXISTING corpus before the
+    stream starts: signatures land under the reserved ``batch_id=-1``
+    partition, visible to every epoch (and to epoch-0 crash replays,
+    which read ``batch_id < 0``)."""
+    minhash_signature_store(
+        docs, id_col, text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+    ).write.mode("overwrite").parquet(f"{store_path}/batch_id=-1")
 
 
 def near_ingest_stream(
@@ -96,7 +127,6 @@ def near_ingest_stream(
     stamp; a mismatch raises rather than silently reading as "no
     duplicates").
     """
-    spark = stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(

@@ -47,6 +47,12 @@ def main() -> None:
     passes = 1
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if not os.path.isdir(SF10_DIR):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "gen_scale_data.py"), "10"],
+            check=True,
+        )
     if not os.path.isdir(SF30_DIR):
         subprocess.run(
             [sys.executable,

@@ -173,3 +173,18 @@ def test_write_zordered_shrinks_rowgroup_bounding_boxes(spark, tmp_path):
     assert back.agg({"value": "sum"}).collect()[0][0] == _pytest.approx(
         df.agg({"value": "sum"}).collect()[0][0]
     )
+
+
+def test_zorder_value_rejects_bit_overflow(spark):
+    """bits*len(cols) > 63 would wrap Spark's shiftleft mod 64 / hit the
+    sign bit and silently destroy the clustering — rejected loudly."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.sources.io import zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col(f"c{i}") for i in range(6)], bits=12)
+    # 5 cols x 12 bits = 60: fine.
+    zorder_value([F.col(f"c{i}") for i in range(5)], bits=12)

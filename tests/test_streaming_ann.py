@@ -118,3 +118,39 @@ def test_ingest_vector_batch_crash_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(store)
     assert got.count() == 60
     assert got.filter(F.col("batch_id") == 1).count() == 30
+
+
+def test_seed_code_store_skips_seed_ids_every_epoch(spark, tmp_path):
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.ann import (
+        ingest_vector_batch,
+        seed_code_store,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "store")
+    seed_code_store(
+        emb.filter(F.col("vec_id") < 20), store,
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+    )
+    # Epoch 0 overlaps the seed; epoch 1 overlaps the seed AND epoch 0.
+    ingest_vector_batch(
+        emb.filter(F.col("vec_id") < 30), 0, store,
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+    )
+    ingest_vector_batch(
+        emb.filter(F.col("vec_id") < 40), 1, store,
+        FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+    )
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == 40  # one code row per id, seed included
+    by_batch = {
+        r["batch_id"]: r["n"]
+        for r in store_df.groupBy("batch_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_batch == {-1: 20, 0: 10, 1: 10}

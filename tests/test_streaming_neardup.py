@@ -157,3 +157,57 @@ def test_ingest_batch_crash_replay_is_idempotent(spark, tmp_path):
     assert before[0] == EXPECTED and before[1] == [1, 3, 12, 22]
     ingest_batch(batches[2], 2, store, verdicts)  # replay the last epoch
     assert snapshot() == before
+
+
+def test_seeded_store_visible_in_every_epoch_and_root_dump_rejected(
+    spark, tmp_path
+):
+    """Seeds live under the reserved batch_id=-1 epoch: visible to epoch 0
+    AND later epochs (a root-level dump would be silently dropped by
+    parquet partition discovery once batch_id=N dirs exist — that layout
+    is rejected loudly instead)."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        minhash_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        ingest_batch,
+        seed_signature_store,
+    )
+
+    store, verdicts = str(tmp_path / "store"), str(tmp_path / "verdicts")
+    seed_signature_store(
+        spark.createDataFrame([(100, BASE)], "doc_id long, text string"),
+        store,
+    )
+    ingest_batch(
+        spark.createDataFrame([(1, BASE), (2, NOVEL)], "doc_id long, text string"),
+        0, store, verdicts,
+    )
+    ingest_batch(
+        spark.createDataFrame([(11, BASE), (12, FRESH)], "doc_id long, text string"),
+        1, store, verdicts,
+    )
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    # Seed dups are caught in epoch 0 AND epoch 1 (the seed partition
+    # stays visible after batch_id=N dirs land).
+    assert got == {
+        1: "corpus_near_dup", 2: "kept",
+        11: "corpus_near_dup", 12: "kept",
+    }
+
+    # A root-level (epoch-less) dump is rejected with guidance.
+    import pytest
+
+    bad = str(tmp_path / "bad_store")
+    minhash_signature_store(
+        spark.createDataFrame([(100, BASE)], "doc_id long, text string"),
+        "doc_id", "text",
+    ).write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="seed_signature_store"):
+        ingest_batch(
+            spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+            0, bad, str(tmp_path / "bad_verdicts"),
+        )
