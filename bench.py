@@ -138,6 +138,30 @@ def stream_replay(spark, sf_dir: str) -> tuple[int, float, float]:
     return rows, proc_ms / 1000.0, wall
 
 
+def _load_gate(threshold: float = 2.0, max_wait_s: int = 240) -> dict:
+    """Measurement-hygiene gate: wait (bounded) for the host to go quiet
+    before the timed section. Round 9's artifact shifted +15% UNIFORMLY —
+    including untouched pure-SQL queries — with loadavg 2.74/4.62/7.78 at
+    bench start; that is host contention contaminating the 2× criterion,
+    not a plan regression. Refusing outright would leave the driver with
+    no artifact, so this waits up to ``max_wait_s`` for 1-min loadavg to
+    drop below ``threshold`` and ANNOTATES the outcome either way; a run
+    recorded with ``quiet=false`` is flagged as contaminated and should be
+    judged by the probe-scaled comparison in BENCH_NOTES, not raw wall."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < max_wait_s:
+        time.sleep(10)
+        waited += 10
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": waited,
+        "loadavg_1min_at_measure": round(load, 2),
+        "quiet": load <= threshold,
+    }
+
+
 def _cpu_probe() -> float:
     """Seconds for a fixed SINGLE-THREADED workload (10M-iteration python
     loop): the machine-speed denominator for cross-round artifact
@@ -171,6 +195,10 @@ def main() -> None:
     # phantom 1.68× "regression" that was concurrent load; round-4 measured
     # uniform +10-60% ambient drift between same-code runs minutes apart).
     loadavg_start = os.getloadavg()
+    # Quiet-host gate BEFORE the probe and the timed loops (r9 watch-item
+    # #1): bounded wait for 1-min loadavg <= 2, outcome annotated in both
+    # the notes and the metric line.
+    load_gate = _load_gate()
     # Fixed-work CPU probe: normalizes cross-round comparisons. Round-5
     # measured the SAME code 25-35% slower than the round-4 artifact on
     # every query including trivial untouched ones (fn_string_ops +34%) —
@@ -222,6 +250,7 @@ def main() -> None:
     notes = {
         "timing": "min of 3 back-to-back passes per query",
         "loadavg_at_start": [round(x, 2) for x in loadavg_start],
+        "load_gate": load_gate,
         "cpu_probe_sec": cpu_probe_s,
         "cpu_probe_ref": (
             "fixed 10M-iteration single-thread loop; r5 reference ~0.80s. "
@@ -258,6 +287,7 @@ def main() -> None:
                 "stream_replay_events_per_sec": round(rows / proc_s) if proc_s else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpu_probe_sec": cpu_probe_s,
+                "load_gate_quiet": load_gate["quiet"],
                 "notes_file": "BENCH_NOTES.md",
             }
         ),

@@ -326,6 +326,38 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         8,
     ),
+    # r09 cohort (overrides earlier entries — CORRECTNESS_r09.json proved
+    # all 50 of these green on rows+schema+hash: the 15 round-9/late-r8
+    # gates plus the then-stalest r05-era names). The six r05-proven
+    # stragglers the r09 artifact did not reach — pipe_dataset_card,
+    # pipe_lang_mixture, sim_recall_eval, text_decontaminate,
+    # text_repetition_stats, text_unigram_rarity — keep their round-5
+    # stamp above and therefore head the round-10 artifact.
+    **dict.fromkeys(
+        [
+            "dd_minhash_recall", "dd_prefix_dups",
+            "dd_semantic_contamination",
+            "ev_curation_stream_stats", "ev_window_cogroup_agg_fused",
+            "fn_array_ops", "fn_case_when", "fn_json_ops", "fn_math_ops",
+            "fn_native_extras", "fn_string_ops", "fn_temporal_ops",
+            "mm_audio_near_dups", "mm_curation_funnel",
+            "mm_image_near_dups", "mm_video_near_dups",
+            "op_anti_join", "op_bloom_filter_join", "op_cogroup",
+            "op_cross_join", "op_cube", "op_distinct",
+            "op_first_n_per_group", "op_grouping_sets", "op_intersect",
+            "op_kmv_distinct", "op_max_by", "op_min_by", "op_minus",
+            "op_outer_join", "op_over_range_trailing",
+            "op_over_rows_moving_sum", "op_over_unbounded_running",
+            "op_ranking_functions", "op_rollup", "op_salted_aggregate",
+            "op_salted_join", "op_sampled_percentiles", "op_semi_join",
+            "op_top_k", "op_union_distinct", "op_zip_with_index",
+            "pipe_curation_e2e", "pipe_incremental_ann_ingest",
+            "pipe_lm_perplexity_filter", "pipe_snapshot_upsert",
+            "q8_national_market_share", "q9_product_type_profit",
+            "sim_hybrid_rrf_topk", "text_zipf_fit",
+        ],
+        9,
+    ),
 }
 
 

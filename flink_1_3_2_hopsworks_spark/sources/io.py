@@ -211,42 +211,80 @@ def write_zordered(
     heavily skewed columns keep pruning on the others because the
     interleave bounds every dimension independently.
 
-    Cost: one slim min/max aggregate (broadcast back as a one-row cross
-    join) + one range shuffle on the z-value — the same shuffle any
-    clustered write pays. NULLs rank 0 (sort first, prune like a value).
+    Cost: one slim min/max aggregate (a one-row collect — bounded by
+    construction) + one range shuffle on the z-value — the same shuffle
+    any clustered write pays. NULLs rank 0 (sort first, prune like a
+    value). Non-numeric z-order columns raise up front, and an all-NULL
+    column on a non-empty frame raises rather than silently collapsing
+    that dimension to a constant (which would degrade clustering with no
+    error — the silent-degradation mode the bits guard exists to stop).
     """
     import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    rankable = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+        T.TimestampType, T.DateType,
+    )
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in zorder_cols:
+        if c not in by_name:
+            raise ValueError(f"z-order column {c!r} not in {df.columns}")
+        if not isinstance(by_name[c], rankable):
+            raise ValueError(
+                f"z-order column {c!r} has non-rankable type "
+                f"{by_name[c].simpleString()}: cast it to a numeric/"
+                "timestamp type first — a failed double cast would rank "
+                "every row 0 and silently collapse that dimension."
+            )
+
+    def _rankable(c):
+        t = by_name[c]
+        col = F.col(c)
+        if isinstance(t, T.DateType):
+            col = col.cast("timestamp")
+        return col.cast("double")
 
     max_rank = (1 << bits) - 1
-    aggs = []
-    for c in zorder_cols:
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(zorder_cols):
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            F.min(_rankable(c)).alias(f"mn{i}"),
+            F.max(_rankable(c)).alias(f"mx{i}"),
         ]
-    bounds = df.agg(*aggs)
+    row = df.agg(*aggs).collect()[0]
+    if row["n"] == 0:
+        df.write.mode(mode).parquet(path)
+        return
     ranks = []
-    for c in zorder_cols:
-        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
-        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+    for i, c in enumerate(zorder_cols):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL on a non-empty "
+                "frame — its dimension would collapse to a constant. "
+                "Drop it from zorder_cols or fill it first."
+            )
+        span = (mx - mn) if mx > mn else 1.0
         ranks.append(
             F.coalesce(
-                F.floor(
-                    (F.col(c).cast("double") - mn) / span * F.lit(max_rank)
-                ),
+                F.floor((_rankable(c) - F.lit(mn)) / F.lit(span)
+                        * F.lit(max_rank)),
                 F.lit(0),
             ).cast("long")
         )
-    zed = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_z", zorder_value(ranks, bits))
-        .drop(*[f"_mn_{c}" for c in zorder_cols],
-              *[f"_mx_{c}" for c in zorder_cols])
-    )
+    zcol = "__zord_z"
+    if zcol in df.columns:
+        raise ValueError(
+            f"column name {zcol!r} is reserved by write_zordered; "
+            "rename it before writing."
+        )
     (
-        zed.repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zcol, zorder_value(ranks, bits))
+        .repartitionByRange(num_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode(mode)
         .parquet(path)
     )

@@ -76,6 +76,10 @@ def ingest_vector_batch(
 
     import pyspark.sql.functions as F
 
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        _is_path_not_found,
+    )
+
     spark = batch.sparkSession
     # Pin: the append references the batch twice (id probe + encode);
     # an unpinned foreachBatch frame re-reads the source per reference.
@@ -96,7 +100,12 @@ def ingest_vector_batch(
             store_ids = store.filter(
                 F.col("batch_id") < batch_id
             ).select(id_col)
-        except AnalysisException:  # first batch: no store yet
+        except AnalysisException as e:
+            # ONLY missing-path means 'first batch: no store yet' — a
+            # corrupt/unreadable store must raise, not read as empty
+            # (empty store_ids would re-append every re-crawled id).
+            if not _is_path_not_found(e):
+                raise
             store_ids = batch.limit(0).select(id_col)
         appended = ivfpq_append_batch(
             batch, store_ids, coarse_centroids, codebooks,

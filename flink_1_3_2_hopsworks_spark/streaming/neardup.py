@@ -50,6 +50,22 @@ from flink_1_3_2_hopsworks_spark.dedup.incremental import (
 )
 
 
+def _is_path_not_found(exc) -> bool:
+    """True only for the missing-root-path AnalysisException. The ingest
+    loops treat that ONE condition as 'first batch: no store yet';
+    every other AnalysisException (corrupt footer, schema merge
+    conflict, permission shape) must propagate — swallowing it would
+    silently present an unreadable store as empty, and every re-crawled
+    id would be re-appended as a duplicate."""
+    getter = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    cond = getter() if getter is not None else None
+    if cond is not None:
+        return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
 def _read_store(spark, store_path: str, before_batch_id: int):
     """The signature store as a DataFrame, or ``None`` on the very first
     batch (no store written yet). ONLY epochs before ``before_batch_id``
@@ -70,8 +86,10 @@ def _read_store(spark, store_path: str, before_batch_id: int):
 
     try:
         store = spark.read.parquet(store_path)
-    except AnalysisException:  # PATH_NOT_FOUND on the first batch
-        return None
+    except AnalysisException as e:
+        if _is_path_not_found(e):  # first batch: no store yet
+            return None
+        raise
     if "batch_id" not in store.columns:
         raise ValueError(
             f"store at {store_path!r} is not epoch-partitioned (no "
@@ -167,21 +185,27 @@ def ingest_batch(
     # (signatures, bucket probe, within-batch star, survivor join) and
     # a foreachBatch frame is NOT cached — without the pin every
     # reference re-reads the source files (measured 4x input rows).
+    # The finally covers EVERYTHING after the pin — a store-layout
+    # ValueError or plan-build failure must not leak the cached batch
+    # (ann.py's ingest_vector_batch has the same shape).
     batch = batch.persist()
-    store = _read_store(spark, store_path, batch_id)
-    if store is None:
-        # First batch: an empty store with the right schema so the
-        # within-batch half still runs under the same code path.
-        store = minhash_signature_store(
-            batch.limit(0), id_col, text_col,
-            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
-        )
-    verdicts = incremental_near_ingest(
-        batch, store, id_col, text_col,
-        threshold=threshold, shingle_k=shingle_k, num_hashes=num_hashes,
-        bands=bands, max_bucket=max_bucket, portable=portable,
-    ).persist()
+    verdicts = None
     try:
+        store = _read_store(spark, store_path, batch_id)
+        if store is None:
+            # First batch: an empty store with the right schema so the
+            # within-batch half still runs under the same code path.
+            store = minhash_signature_store(
+                batch.limit(0), id_col, text_col,
+                shingle_k=shingle_k, num_hashes=num_hashes,
+                portable=portable,
+            )
+        verdicts = incremental_near_ingest(
+            batch, store, id_col, text_col,
+            threshold=threshold, shingle_k=shingle_k,
+            num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
+            portable=portable,
+        ).persist()
         verdicts.write.mode("overwrite").parquet(
             f"{verdict_path}/batch_id={batch_id}"
         )
@@ -195,5 +219,6 @@ def ingest_batch(
             f"{store_path}/batch_id={batch_id}"
         )
     finally:
-        verdicts.unpersist()
+        if verdicts is not None:
+            verdicts.unpersist()
         batch.unpersist()
