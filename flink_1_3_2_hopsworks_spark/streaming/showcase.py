@@ -538,3 +538,37 @@ def ev_curation_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return curation_batch_twin(events).orderBy("window_start")
+
+
+def ev_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-replay twin of the streaming END-TO-END curation funnel
+    (streaming/funnel.py curation_funnel_stream — rules → exact-fingerprint
+    dedup → MinHash near-dedup ingest, per-epoch funnel rows, each stage's
+    survivors appended to that stage's persisted store). The documents
+    table plays the crawl feed split into three epochs (doc_id % 3); the
+    gate RUNS the real foreachBatch body sequentially (funnel_replay — the
+    documented backfill path), so the oracle checks the exact store-probe /
+    keeper / star-closure algebra every epoch executes against state built
+    by the epochs before it. The streaming query emits exactly these rows
+    for an in-order replay (pytest-pinned in tests/test_streaming_funnel.py
+    along with crash-replay idempotency). Output is 12 rows (3 epochs × 4
+    stages), materialized so the epoch stores can be cleaned up."""
+    import shutil
+    import tempfile
+
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import funnel_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e) for e in range(3)
+    ]
+    base = tempfile.mkdtemp(prefix="funnel_gate_")
+    try:
+        rows = funnel_replay(batches, base).collect()  # 12 rows — bounded
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, stage_idx int, stage string, n_docs long, "
+        "n_tokens long, id_checksum long",
+    ).orderBy("batch_id", "stage_idx")

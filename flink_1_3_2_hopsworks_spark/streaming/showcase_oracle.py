@@ -326,6 +326,162 @@ ORACLE: dict[str, str] = {
 # full-pane operator gate — sharing the oracle is the equivalence claim.
 ORACLE["ev_window_cogroup_agg_fused"] = ORACLE["ev_window_cogroup_click_purchase"]
 
+def _curation_funnel_stream_oracle(
+    n_epochs: int = 3,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    salt: str = "fun10",
+) -> str:
+    """Replays streaming/funnel.py's sequential epoch loop in one SQL
+    statement, composing the existing oracle algebra:
+
+    - exact dedup across epochs collapses to keep-the-(epoch,id)-argmin
+      per fingerprint: the fingerprint store before epoch e contains fp X
+      iff some rule survivor carried X in an epoch < e (the min-id keeper
+      of X's first epoch always enters the store), so a doc survives iff
+      it is first for its fp in (epoch, id) order — no unrolling needed.
+    - near dedup genuinely unrolls per epoch (the store's CONTENTS depend
+      on earlier near verdicts): each epoch replays the incremental-ingest
+      oracle (_incremental_near_oracle's shape) — store-side bucket cap →
+      estimator probe → survivor star edges → per-epoch recursive-CTE
+      closure — with store_e = the kept sets of epochs < e. Signatures
+      and band buckets are computed ONCE over the exact-dedup survivors
+      (they depend only on text), so the unroll shares one materialized
+      sig/bucket table.
+    - funnel arms: (epochs × stages) UNION arms emit count, token sum,
+      and the salted-h32 survivor checksum per stage, exactly like the
+      batch funnel oracle."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase_oracle import (
+        _minhash_agree,
+        _minhash_cte_prefix,
+    )
+
+    agree = _minhash_agree(num_hashes)
+    est = f"({agree}) / {float(num_hashes)} >= {threshold}"
+    mh = _minhash_cte_prefix(
+        shingle_k,
+        num_hashes,
+        bands,
+        max_bucket,
+        source="(SELECT d.doc_id, d.text FROM documents d "
+        "JOIN s2 ON d.doc_id = s2.doc_id)",
+        materialized=True,
+    )
+    epoch_ctes = []
+    for e in range(n_epochs):
+        if e == 0:
+            store = "SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE"
+        else:
+            store = "\n            UNION ALL\n            ".join(
+                f"SELECT id FROM k{j}" for j in range(e)
+            )
+        epoch_ctes.append(f"""b{e} AS (
+            SELECT doc_id AS id FROM s2 WHERE ep = {e}
+        ), st{e} AS (
+            {store}
+        ), stc{e} AS (
+            SELECT * FROM (
+                SELECT bu.*, COUNT(*) OVER (PARTITION BY band, bucket) AS cbs
+                FROM buckets bu JOIN st{e} USING (id)
+            ) WHERE cbs <= {max_bucket}
+        ), bb{e} AS (
+            SELECT bu.* FROM buckets bu JOIN b{e} USING (id)
+        ), cd{e} AS (
+            SELECT DISTINCT bb.id
+            FROM stc{e} cb
+            JOIN bb{e} bb ON cb.band = bb.band AND cb.bucket = bb.bucket
+            JOIN sig sa ON sa.id = cb.id
+            JOIN sig sb ON sb.id = bb.id
+            WHERE {est}
+        ), svc{e} AS (
+            SELECT * FROM (
+                SELECT sv.*, COUNT(*) OVER (PARTITION BY band, bucket) AS sbs
+                FROM (
+                    SELECT * FROM bb{e}
+                    WHERE id NOT IN (SELECT id FROM cd{e})
+                ) sv
+            ) WHERE sbs <= {max_bucket}
+        ), an{e} AS (
+            SELECT band, bucket, MIN(id) AS aid
+            FROM svc{e} GROUP BY band, bucket
+        ), ed{e} AS MATERIALIZED (
+            SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+            FROM an{e} a
+            JOIN svc{e} c ON a.band = c.band AND a.bucket = c.bucket
+                         AND c.id > a.aid
+            JOIN sig sa ON sa.id = a.aid
+            JOIN sig sb ON sb.id = c.id
+            WHERE {est}
+        ), sy{e} AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM ed{e}
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM ed{e}
+        ), rc{e}(root, node) AS (
+            SELECT DISTINCT src, src FROM sy{e}
+            UNION
+            SELECT rc{e}.root, sy{e}.dst
+            FROM rc{e} JOIN sy{e} ON sy{e}.src = rc{e}.node
+        ), cp{e} AS (
+            SELECT root AS id, MIN(node) AS component FROM rc{e} GROUP BY root
+        ), k{e} AS MATERIALIZED (
+            SELECT b.id FROM b{e} b
+            LEFT JOIN cd{e} cd ON cd.id = b.id
+            LEFT JOIN cp{e} c ON c.id = b.id
+            WHERE cd.id IS NULL AND COALESCE(c.component, b.id) = b.id
+        )""")
+    ck = (
+        "('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), "
+        f"'{salt}ck')), 1, 8))::BIGINT"
+    )
+    arms = []
+    for e in range(n_epochs):
+        rels = [
+            ("input", f"(SELECT * FROM sigd WHERE ep = {e})"),
+            ("rules", f"(SELECT * FROM s1 WHERE ep = {e})"),
+            ("exact_dedup", f"(SELECT * FROM s2 WHERE ep = {e})"),
+            ("near_dedup", f"(SELECT s2.* FROM s2 JOIN k{e} ON s2.doc_id = k{e}.id)"),
+        ]
+        for i, (name, rel) in enumerate(rels):
+            arms.append(
+                f"SELECT {e} AS batch_id, {i} AS stage_idx,"
+                f" '{name}' AS stage,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
+                f" CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,"
+                f" CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS id_checksum"
+                f" FROM {rel}"
+            )
+    arms_sql = "\n        UNION ALL\n        ".join(arms)
+    epochs_sql = ", ".join(epoch_ctes)
+    return f"""
+    WITH RECURSIVE sigd AS MATERIALIZED (
+        SELECT doc_id, doc_id % {n_epochs} AS ep,
+            CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')), '\\s+'))
+            END AS ntok,
+            MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
+            NOT (LOWER(COALESCE(text, '')) LIKE '%lorem ipsum%'
+                 OR COALESCE(text, '') LIKE '%{{%') AS c4
+        FROM documents
+    ), s1 AS MATERIALIZED (
+        SELECT * FROM sigd WHERE c4
+    ), s2 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY ep, doc_id
+            ) AS rn FROM s1
+        ) WHERE rn = 1
+    ), {mh}, {epochs_sql}
+    SELECT * FROM (
+        {arms_sql}
+    ) ORDER BY batch_id, stage_idx
+    """
+
+
+ORACLE["ev_curation_funnel_stream"] = _curation_funnel_stream_oracle()
+
 ORACLE["ev_curation_stream_stats"] = """
     WITH kept AS (
         SELECT ts, event_id, value,
