@@ -1202,3 +1202,35 @@ def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frameset_fp", "canonical_id", "kept")
         .orderBy("doc_id")
     )
+
+
+def mm_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal similarity SEARCH — "top-10 images like this one" through
+    the EXISTING IVF-PQ serve path (the bridge from the perceptual-hash
+    dedup family into the embedding ANN stack): each doc id derives its
+    deterministic BMP (multimodal/synth.py), the payload decodes and
+    embeds in one Arrow kernel (codecs.image_descriptor — centered
+    block-mean luminance, the continuous relaxation of aHash, so
+    brightness re-encodes land at cosine 1.0 and local edits nearby),
+    docs 0–4's images act as probes, and similarity/pq.py ivfpq_topk
+    serves them under the FROZEN descriptor-space models
+    (multimodal/embed.py — deterministic Lloyd's on the frozen
+    48-descriptor table, regenerated at import). The oracle joins ids to
+    the frozen descriptor table and replays cell assignment → nprobe
+    probing → per-subspace argmin encode → the explicit left-to-right ADC
+    chain → rank. Planted-neighbor recall is pytest-covered
+    (tests/test_multimodal_embed.py)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import image_topk
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = image_twin(docs, "doc_id")
+    probes = image_twin(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id")
+        ),
+        "query_id",
+    )
+    return image_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

@@ -2131,6 +2131,135 @@ def _register_mm_oracles() -> None:
 _register_mm_oracles()
 
 
+def _mm_embed_topk_oracle(
+    k: int = 10,
+    nprobe: int = 2,
+    n_queries: int = 5,
+    n_patterns: int = 16,
+    n_variants: int = 3,
+) -> str:
+    """Replays mm_embed_topk: ids join the FROZEN (pattern, variant) →
+    descriptor table (multimodal/synth.py frozen_descriptor_table —
+    regenerated through the real BMP round-trip), then the IVF-PQ serve
+    replay under the frozen descriptor-space models
+    (multimodal/embed.py): cosine cell assignment + nprobe probing,
+    per-subspace argmin encode (ties ORDER BY dist, code), the explicit
+    left-to-right ADC chain (pinning the engine's s-ascending sum), and
+    the (cosine DESC, id ASC) rank — the _ivfpq_topk_oracle chain with
+    the vector relation swapped for the frozen-descriptor join."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import (
+        DESCRIPTOR_DIM,
+        mm_coarse_centroids,
+        mm_codebooks,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_descriptor_table,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import _sqnorms
+
+    desc_values = ",\n                ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            dk, dv, ", ".join(repr(x) for x in d)
+        )
+        for dk, dv, d in frozen_descriptor_table(n_patterns, n_variants)
+    )
+    cent_values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(mm_coarse_centroids())
+    )
+    books = [[list(c) for c in b] for b in mm_codebooks()]
+    m = len(books)
+    d = DESCRIPTOR_DIM // m
+    pq_values = ",\n                ".join(
+        "({s}, {j}, [{cv}]::DOUBLE[], {sq})".format(
+            s=s, j=j, cv=", ".join(repr(x) for x in c), sq=repr(sq)
+        )
+        for s, book in enumerate(books)
+        for j, (c, sq) in enumerate(zip(book, _sqnorms(book)))
+    )
+    num_chain = "\n                + ".join(
+        f"LIST_INNER_PRODUCT(q.qv[{s * d + 1}:{s * d + d}], c.cvs[{s + 1}])"
+        for s in range(m)
+    )
+    xsq_chain = " + ".join(f"c.sqns[{s + 1}]" for s in range(m))
+    return f"""
+        WITH dmap(dk, dv, dvec) AS (
+            VALUES {desc_values}
+        ), cent(cell, ccv) AS (
+            VALUES {cent_values}
+        ), pqcent(s, code, cv, sqn) AS (
+            VALUES {pq_values}
+        ), vecs AS MATERIALIZED (
+            SELECT d.doc_id AS vec_id, m.dvec AS v
+            FROM documents d
+            JOIN dmap m ON m.dk = d.doc_id % {n_patterns}
+                       AND m.dv = (d.doc_id // {n_patterns}) % {n_variants}
+        ), sims AS (
+            SELECT vec_id, cell,
+                LIST_COSINE_SIMILARITY(v, ccv) AS sim
+            FROM vecs CROSS JOIN cent
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims
+            ) WHERE rn = 1
+        ), probed AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                ) AS rn FROM sims WHERE vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ), subs AS (
+            SELECT vec_id, s, v[s * {d} + 1 : s * {d} + {d}] AS sub
+            FROM vecs CROSS JOIN (SELECT UNNEST(RANGE(0, {m})) AS s)
+        ), distc AS (
+            SELECT vec_id, p.s, p.code, p.cv, p.sqn,
+                p.sqn - 2 * LIST_INNER_PRODUCT(sub, p.cv) AS dist
+            FROM subs JOIN pqcent p USING (s)
+        ), chosen AS (
+            SELECT vec_id, s, cv, sqn FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY dist, code
+                ) AS rn FROM distc
+            ) WHERE rn = 1
+        ), codesw AS (
+            SELECT vec_id,
+                LIST(cv ORDER BY s) AS cvs,
+                LIST(sqn ORDER BY s) AS sqns
+            FROM chosen GROUP BY vec_id
+        ), queries AS (
+            SELECT vec_id AS query_id, v AS qv,
+                SQRT(LIST_INNER_PRODUCT(v, v)) AS qnorm
+            FROM vecs WHERE vec_id < {n_queries}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                ROUND(
+                    CASE WHEN q.qnorm * SQRT({xsq_chain}) = 0 THEN 0.0
+                    ELSE (
+                {num_chain}
+                    ) / (q.qnorm * SQRT({xsq_chain})) END,
+                4) AS cosine
+            FROM probed p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN codesw c ON c.vec_id = a.vec_id
+            JOIN queries q ON q.query_id = p.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id AS doc_id, cosine,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, doc_id, cosine, rank FROM ranked
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+ORACLE["mm_embed_topk"] = _mm_embed_topk_oracle()
+
+
 def _mm_video_near_dups_oracle(
     n_patterns: int = 16,
     n_variants: int = 3,

@@ -1,0 +1,152 @@
+"""Multimodal → embedding-ANN bridge: image descriptors served by the
+EXISTING IVF-PQ stack.
+
+The perceptual-hash family (aHash / energy envelope) connects media to
+DEDUP — Hamming/Jaccard on 64-bit fingerprints. This module connects it
+to similarity SEARCH: each image decodes to a small float descriptor
+(codecs.image_descriptor — block-mean luminance, centered, the continuous
+relaxation of aHash) and the descriptor column feeds the same IVF-PQ
+serve path (similarity/pq.py ivfpq_topk) the text-embedding gates use —
+"find images like this one" becomes one frozen-model ANN query, with the
+corpus pruned to nprobe coarse cells and scored by ADC lookup sums.
+
+Frozen-model discipline (similarity/gate_model.py, multimodal/synth.py):
+the coarse centroids and PQ codebooks are trained ONCE by a deterministic
+pure-numpy Lloyd's (first-k init, fixed iterations, argmin ties to the
+lower index) on the frozen 48-descriptor table and regenerated at import
+— cheap (48 × 16 floats), reproducible bit-for-bit, and the SAME literals
+drive the Spark kernels and the DuckDB oracle, so assignment → encode →
+ADC → rank hash-match exactly. At 100 TB the models would be trained on a
+sample and frozen exactly the same way; serving cost is the audited
+ivfpq_topk contract (one fused Arrow kernel over the scan, broadcast
+LUT probe, per-query top-k window).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DESCRIPTOR_DIM = 16
+_COARSE_K = 4
+# 8 subspaces × 16 codes over the unit-normalized descriptors: measured
+# (all 144 gate-corpus probes) as the smallest geometry where every
+# probe's exact duplicates survive into the top-10 — M=4/K=8 on raw
+# coordinates lost them to quantization noise (see
+# codecs.image_descriptor's normalization note).
+_PQ_M = 8
+_PQ_K = 16
+
+
+def _lloyd(points: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means: init = the first k points in table
+    order, Euclidean assignment with argmin-first-occurrence ties, fixed
+    iteration count, empty clusters keep their previous centroid. Pure
+    float64 numpy — regenerates identically everywhere."""
+    cents = points[:k].copy()
+    for _ in range(iters):
+        d2 = ((points[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = points[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+@lru_cache(maxsize=1)
+def _frozen_points() -> np.ndarray:
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_descriptor_table,
+    )
+
+    return np.asarray(
+        [d for _, _, d in frozen_descriptor_table()], dtype=np.float64
+    )
+
+
+@lru_cache(maxsize=1)
+def mm_coarse_centroids() -> tuple:
+    """The frozen IVF coarse quantizer for the image-descriptor space
+    (4 cells over the 48-point frozen table), rounded to 6 dp — the
+    literals both engines share."""
+    cents = _lloyd(_frozen_points(), _COARSE_K)
+    return tuple(
+        tuple(float(x) for x in np.round(c, 6)) for c in cents
+    )
+
+
+@lru_cache(maxsize=1)
+def mm_codebooks() -> tuple:
+    """The frozen PQ codebooks (8 subspaces × 16 codes × 2 dims) trained
+    per-subspace on the frozen table's subvectors, rounded to 6 dp."""
+    pts = _frozen_points()
+    d = DESCRIPTOR_DIM // _PQ_M
+    books = []
+    for s in range(_PQ_M):
+        sub = pts[:, s * d:(s + 1) * d]
+        cents = _lloyd(sub, _PQ_K)
+        books.append(
+            tuple(tuple(float(x) for x in np.round(c, 6)) for c in cents)
+        )
+    return tuple(books)
+
+
+def image_embeddings(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, embedding) — decode each binary image payload and compute its
+    descriptor in ONE Arrow-batched kernel (payload bytes ride Arrow,
+    never the driver; the decode is the same pure-numpy BMP path the
+    near-dup gates audit)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmp,
+        image_descriptor,
+    )
+
+    schema = (
+        f"{id_col} {dict(media.dtypes)[id_col]}, embedding array<double>"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            embs = [
+                [float(x) for x in image_descriptor(decode_bmp(p))]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def image_topk(
+    corpus_media: DataFrame,
+    probe_media: DataFrame,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k most-similar images per probe image — decode → descriptor →
+    the EXISTING IVF-PQ serve path under the frozen descriptor-space
+    models. Output: (query_id, id, cosine, rank)."""
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+
+    corpus = image_embeddings(corpus_media, id_col)
+    queries = image_embeddings(probe_media, query_id)
+    return ivfpq_topk(
+        corpus,
+        queries,
+        [list(c) for c in mm_coarse_centroids()],
+        [[list(c) for c in b] for b in mm_codebooks()],
+        id_col,
+        "embedding",
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+    )

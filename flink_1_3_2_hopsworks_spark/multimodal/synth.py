@@ -81,6 +81,31 @@ def frozen_image_stats_table(n_patterns: int = 16, n_variants: int = 3):
     return rows
 
 
+def frozen_descriptor_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, descriptor)] for every synthetic (pattern, variant) through
+    the REAL BMP encode→decode round-trip — the frozen embedding model the
+    similarity-search oracle joins against (same discipline as
+    frozen_ahash_table). v1 brightness copies produce IDENTICAL descriptors
+    (centering), v2 local edits land nearby in cosine — the planted
+    neighbor structure the recall pytest pins."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmp,
+        image_descriptor,
+    )
+
+    return [
+        (
+            k,
+            v,
+            [float(x) for x in image_descriptor(
+                decode_bmp(encode_bmp(synth_image(k, v)))
+            )],
+        )
+        for k in range(n_patterns)
+        for v in range(n_variants)
+    ]
+
+
 def image_twin(
     ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
 ) -> DataFrame:
