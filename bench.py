@@ -263,6 +263,17 @@ def main() -> None:
             "per-batch wal/state commits don't charge ext4 fsync latency "
             "to a ~0.6s replay"
         ),
+        "sim_lsh_topk_vs_r1": (
+            "~1.5x of the r1 per-query time is a RECORDED TRADE, not "
+            "drift: round 6 switched sign_signature from a per-plane "
+            "Column-expression tree to an Arrow-batched numpy kernel "
+            "(dedup/embedding.py:40). The kernel adds a fixed Python/"
+            "Arrow crossing (~0.3s at the 60k-row gate) but is an order "
+            "of magnitude faster at corpus-scan scale — SCALE_SF1 "
+            "measures sim_lsh_topk at ratio 1.17 on 10x data, i.e. the "
+            "fixed cost already amortized one decade up. Reverting would "
+            "win 0.3s at sf0.1 and lose the 100 TB scan."
+        ),
         "sf1_scaling": sf1_summary,
     }
     try:
