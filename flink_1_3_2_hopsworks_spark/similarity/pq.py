@@ -290,6 +290,59 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with an EXACT rerank refinement — the standard production
+    serving pattern (Jégou et al. 2011 §V "re-ranking"; every large-scale
+    ANN deployment ships this shape): the compressed index shortlists
+    ``shortlist`` candidates per query by ADC, then ONLY those candidates'
+    full-precision vectors are fetched and scored exactly, and the final
+    top-``k`` ranks by true cosine. Recall approaches the exact baseline
+    while the expensive math touches |queries| × shortlist rows instead
+    of the corpus (measured on the gate corpus:
+    tests/test_similarity_pq.py::test_rerank_recall_beats_plain_ivfpq).
+
+    Scale shape: the shortlist pass is ``ivfpq_topk``'s audited contract
+    (one fused Arrow kernel over the code scan, broadcast LUT probe); the
+    refine pass re-reads the corpus ONCE more projecting (id, vec) only
+    and hash-joins the broadcast shortlist — on a real deployment the
+    vectors live in a column the codes table omits, so this is the
+    point-lookup read every rerank pays, never a shuffle of the corpus.
+    Output matches ``brute_force_topk``: (query_id, id, cosine, rank)
+    with EXACT cosine, rank by (cosine desc, id asc)."""
+    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+
+    short = ivfpq_topk(
+        corpus, queries, coarse_centroids, codebooks, id_col, vec_col,
+        k=shortlist, nprobe=nprobe, query_id=query_id,
+    ).select(query_id, id_col)
+    cand = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv")
+    ).join(F.broadcast(short), id_col)
+    scored = cand.join(
+        F.broadcast(
+            queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+        ),
+        query_id,
+    ).withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def ivfpq_append_batch(
     batch: DataFrame,
     store_ids: DataFrame,

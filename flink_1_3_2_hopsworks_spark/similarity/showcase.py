@@ -126,6 +126,31 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + EXACT rerank (similarity/pq.py ivfpq_rerank_topk) — the
+    production refinement stage on top of sim_ivfpq_topk: the compressed
+    index shortlists 50 candidates per query by ADC, only those vectors
+    are fetched full-precision (broadcast shortlist hash-join against an
+    (id, vec)-projected corpus re-read — the point-lookup every rerank
+    pays), and true cosine ranks the final top-10. Closes most of the
+    recall gap to brute force while the exact math touches
+    queries × shortlist rows (measured: tests/test_similarity_pq.py).
+    Deterministic under the same frozen models; the oracle nests the
+    full ADC shortlist replay and reranks with LIST_COSINE_SIMILARITY."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        emb, _queries_from_corpus(emb), FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS, "vec_id", "embedding",
+        k=10, shortlist=50, nprobe=6,
+    )
+
+
 def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-5 per query (similarity/bm25.py) — the lexical
     retrieval twin of the embedding ANN gates: postings/df/doc-length

@@ -310,8 +310,41 @@ def _ivfpq_topk_oracle(k: int = 10, nprobe: int = 6, n_queries: int = 5) -> str:
     """
 
 
+def _ivfpq_rerank_topk_oracle(
+    k: int = 10, shortlist: int = 50, nprobe: int = 6, n_queries: int = 5
+) -> str:
+    """Replays similarity/pq.py ivfpq_rerank_topk: the FULL ADC shortlist
+    replay (_ivfpq_topk_oracle at k=shortlist) nested as a CTE, then the
+    exact-cosine refine over only the shortlisted (query, candidate)
+    pairs and the final (cosine DESC, id ASC) top-k."""
+    return f"""
+        WITH short AS (
+            SELECT query_id, vec_id
+            FROM ({_ivfpq_topk_oracle(k=shortlist, nprobe=nprobe,
+                                      n_queries=n_queries)})
+        ), vexact AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), rescored AS (
+            SELECT s.query_id, s.vec_id,
+                LIST_COSINE_SIMILARITY(qv.v, cv.v) AS cos
+            FROM short s
+            JOIN vexact cv ON cv.vec_id = s.vec_id
+            JOIN vexact qv ON qv.vec_id = s.query_id
+        ), reranked AS (
+            SELECT query_id, vec_id, cos,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS INTEGER) AS rank
+            FROM rescored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
+        FROM reranked WHERE rank <= {k}
+    """
+
+
 ORACLE: dict[str, str] = {
     "sim_lsh_topk": _lsh_topk_oracle(),
+    "sim_ivfpq_rerank_topk": _ivfpq_rerank_topk_oracle(),
     "sim_ivf_topk": _ivf_topk_oracle(),
     "sim_recall_eval": _recall_eval_oracle(),
     "sim_bruteforce_topk": _BRUTEFORCE_SQL,

@@ -390,3 +390,56 @@ def test_ivfpq_append_batch_dedupes_within_batch(spark):
     ids = [r["vec_id"] for r in out]
     assert len(ids) == len(set(ids))
     assert ids.count(45) == 1
+
+
+def test_rerank_recall_beats_plain_ivfpq(spark):
+    """The exact-rerank refinement: recall@10 vs the brute-force truth is
+    at least plain IVF-PQ's and strictly closes the gap on this corpus;
+    reranked cosines are the EXACT cosines (they match brute force's
+    values on common pairs), and every result came from the ADC
+    shortlist."""
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+    plain = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            "vec_id", "embedding", k=10, nprobe=6,
+        ).collect()
+    }
+    shortlist = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            "vec_id", "embedding", k=50, nprobe=6,
+        ).collect()
+    }
+    rer = ivfpq_rerank_topk(
+        emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, shortlist=50, nprobe=6,
+    ).collect()
+    rer_keys = {(r["query_id"], r["vec_id"]) for r in rer}
+
+    assert rer_keys <= shortlist
+    for r in rer:  # exact cosine, not ADC: values agree with brute force
+        key = (r["query_id"], r["vec_id"])
+        if key in truth:
+            assert r["cosine"] == truth[key], key
+    recall_plain = len(plain & set(truth)) / len(truth)
+    recall_rerank = len(rer_keys & set(truth)) / len(truth)
+    assert recall_rerank >= recall_plain
+    assert recall_rerank > recall_plain  # measured gap closes on this corpus
