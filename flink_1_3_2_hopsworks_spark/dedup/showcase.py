@@ -1234,3 +1234,30 @@ def mm_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+def mm_audio_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio similarity SEARCH — "top-10 clips like this one",
+    the audio twin of mm_embed_topk: each doc id derives its
+    deterministic PCM-16 WAV, the payload decodes and embeds in one
+    Arrow kernel (codecs.audio_descriptor — L2-normalized 16-segment RMS
+    energy envelope, the continuous relaxation of energyhash64, so
+    half-gain remasters land within PCM-quantization noise of cosine
+    1.0), and ivfpq_topk serves docs 0–4's clips as probes under the
+    audio-space frozen models. The oracle joins ids to the frozen audio
+    descriptor table (computed THROUGH the PCM-16 quantization
+    round-trip) and replays the full serve chain."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import audio_topk
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import audio_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = audio_twin(docs, "doc_id")
+    probes = audio_twin(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id")
+        ),
+        "query_id",
+    )
+    return audio_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

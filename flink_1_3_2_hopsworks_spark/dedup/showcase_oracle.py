@@ -2132,42 +2132,53 @@ _register_mm_oracles()
 
 
 def _mm_embed_topk_oracle(
+    modality: str = "image",
     k: int = 10,
     nprobe: int = 2,
     n_queries: int = 5,
     n_patterns: int = 16,
     n_variants: int = 3,
 ) -> str:
-    """Replays mm_embed_topk: ids join the FROZEN (pattern, variant) →
-    descriptor table (multimodal/synth.py frozen_descriptor_table —
-    regenerated through the real BMP round-trip), then the IVF-PQ serve
-    replay under the frozen descriptor-space models
-    (multimodal/embed.py): cosine cell assignment + nprobe probing,
-    per-subspace argmin encode (ties ORDER BY dist, code), the explicit
-    left-to-right ADC chain (pinning the engine's s-ascending sum), and
-    the (cosine DESC, id ASC) rank — the _ivfpq_topk_oracle chain with
-    the vector relation swapped for the frozen-descriptor join."""
+    """Replays mm_embed_topk / mm_audio_embed_topk: ids join the FROZEN
+    (pattern, variant) → descriptor table (multimodal/synth.py —
+    regenerated through the real BMP / PCM-16 round-trip), then the
+    IVF-PQ serve replay under that modality's frozen descriptor-space
+    models (multimodal/embed.py): cosine cell assignment + nprobe
+    probing, per-subspace argmin encode (ties ORDER BY dist, code), the
+    explicit left-to-right ADC chain (pinning the engine's s-ascending
+    sum), and the (cosine DESC, id ASC) rank — the _ivfpq_topk_oracle
+    chain with the vector relation swapped for the frozen-descriptor
+    join."""
     from flink_1_3_2_hopsworks_spark.multimodal.embed import (
         DESCRIPTOR_DIM,
+        mm_audio_coarse_centroids,
+        mm_audio_codebooks,
         mm_coarse_centroids,
         mm_codebooks,
     )
     from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_audio_descriptor_table,
         frozen_descriptor_table,
     )
     from flink_1_3_2_hopsworks_spark.similarity.pq import _sqnorms
 
+    if modality == "image":
+        table = frozen_descriptor_table(n_patterns, n_variants)
+        cents, books = mm_coarse_centroids(), mm_codebooks()
+    else:
+        table = frozen_audio_descriptor_table(n_patterns, n_variants)
+        cents, books = mm_audio_coarse_centroids(), mm_audio_codebooks()
     desc_values = ",\n                ".join(
         "({}, {}, [{}]::DOUBLE[])".format(
             dk, dv, ", ".join(repr(x) for x in d)
         )
-        for dk, dv, d in frozen_descriptor_table(n_patterns, n_variants)
+        for dk, dv, d in table
     )
     cent_values = ",\n                ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
-        for i, c in enumerate(mm_coarse_centroids())
+        for i, c in enumerate(cents)
     )
-    books = [[list(c) for c in b] for b in mm_codebooks()]
+    books = [[list(c) for c in b] for b in books]
     m = len(books)
     d = DESCRIPTOR_DIM // m
     pq_values = ",\n                ".join(
@@ -2257,7 +2268,8 @@ def _mm_embed_topk_oracle(
     """
 
 
-ORACLE["mm_embed_topk"] = _mm_embed_topk_oracle()
+ORACLE["mm_embed_topk"] = _mm_embed_topk_oracle("image")
+ORACLE["mm_audio_embed_topk"] = _mm_embed_topk_oracle("audio")
 
 
 def _mm_video_near_dups_oracle(

@@ -206,6 +206,27 @@ def image_descriptor(pixels: np.ndarray, grid: int = 4) -> np.ndarray:
     return np.round(desc, 6)
 
 
+def audio_descriptor(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """dim-dim float64 audio EMBEDDING for similarity search — the
+    continuous relaxation of :func:`energyhash64` and the audio twin of
+    :func:`image_descriptor`: dim equal segments → RMS energy per segment
+    → L2-normalized → rounded to 6 dp. Normalization makes it
+    GAIN-invariant exactly like the energy hash (uniform scaling
+    multiplies every segment RMS equally) while keeping the envelope
+    SHAPE the 1-bit hash throws away. Deterministic pure numpy float64
+    (audio_features' float32 would not round-trip the frozen model
+    literals bit-for-bit)."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x) // dim
+    if n == 0:
+        raise ValueError(f"clip too short for a {dim}-segment descriptor")
+    e = np.sqrt((x[: n * dim].reshape(dim, n) ** 2).mean(axis=1))
+    nrm = float(np.sqrt((e * e).sum()))
+    if nrm > 0.0:
+        e = e / nrm
+    return np.round(e, 6)
+
+
 def energyhash64(samples: np.ndarray) -> int:
     """Energy-envelope perceptual fingerprint of a mono audio clip — the
     audio twin of :func:`ahash64`: 64 equal frames → mean energy per frame

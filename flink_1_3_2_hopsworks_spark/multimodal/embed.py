@@ -57,15 +57,35 @@ def _lloyd(points: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return cents
 
 
-@lru_cache(maxsize=1)
-def _frozen_points() -> np.ndarray:
+@lru_cache(maxsize=2)
+def _frozen_points(modality: str) -> np.ndarray:
     from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_audio_descriptor_table,
         frozen_descriptor_table,
     )
 
-    return np.asarray(
-        [d for _, _, d in frozen_descriptor_table()], dtype=np.float64
+    table = (
+        frozen_descriptor_table()
+        if modality == "image"
+        else frozen_audio_descriptor_table()
     )
+    return np.asarray([d for _, _, d in table], dtype=np.float64)
+
+
+def _coarse(points: np.ndarray) -> tuple:
+    cents = _lloyd(points, _COARSE_K)
+    return tuple(tuple(float(x) for x in np.round(c, 6)) for c in cents)
+
+
+def _books(points: np.ndarray) -> tuple:
+    d = DESCRIPTOR_DIM // _PQ_M
+    books = []
+    for s in range(_PQ_M):
+        cents = _lloyd(points[:, s * d:(s + 1) * d], _PQ_K)
+        books.append(
+            tuple(tuple(float(x) for x in np.round(c, 6)) for c in cents)
+        )
+    return tuple(books)
 
 
 @lru_cache(maxsize=1)
@@ -73,26 +93,26 @@ def mm_coarse_centroids() -> tuple:
     """The frozen IVF coarse quantizer for the image-descriptor space
     (4 cells over the 48-point frozen table), rounded to 6 dp — the
     literals both engines share."""
-    cents = _lloyd(_frozen_points(), _COARSE_K)
-    return tuple(
-        tuple(float(x) for x in np.round(c, 6)) for c in cents
-    )
+    return _coarse(_frozen_points("image"))
 
 
 @lru_cache(maxsize=1)
 def mm_codebooks() -> tuple:
     """The frozen PQ codebooks (8 subspaces × 16 codes × 2 dims) trained
     per-subspace on the frozen table's subvectors, rounded to 6 dp."""
-    pts = _frozen_points()
-    d = DESCRIPTOR_DIM // _PQ_M
-    books = []
-    for s in range(_PQ_M):
-        sub = pts[:, s * d:(s + 1) * d]
-        cents = _lloyd(sub, _PQ_K)
-        books.append(
-            tuple(tuple(float(x) for x in np.round(c, 6)) for c in cents)
-        )
-    return tuple(books)
+    return _books(_frozen_points("image"))
+
+
+@lru_cache(maxsize=1)
+def mm_audio_coarse_centroids() -> tuple:
+    """The audio-descriptor-space coarse quantizer (same discipline)."""
+    return _coarse(_frozen_points("audio"))
+
+
+@lru_cache(maxsize=1)
+def mm_audio_codebooks() -> tuple:
+    """The audio-descriptor-space PQ codebooks (same discipline)."""
+    return _books(_frozen_points("audio"))
 
 
 def image_embeddings(
@@ -124,6 +144,59 @@ def image_embeddings(
     return media.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def audio_embeddings(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, embedding) — decode each binary WAV payload and compute its
+    energy-envelope descriptor in ONE Arrow-batched kernel (the audio
+    twin of image_embeddings)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        audio_descriptor,
+        decode_wav,
+    )
+
+    schema = (
+        f"{id_col} {dict(media.dtypes)[id_col]}, embedding array<double>"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            embs = [
+                [float(x) for x in audio_descriptor(decode_wav(p)[0])]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def _media_topk(
+    corpus_emb: DataFrame,
+    probe_emb: DataFrame,
+    centroids: tuple,
+    codebooks: tuple,
+    id_col: str,
+    k: int,
+    nprobe: int,
+    query_id: str,
+) -> DataFrame:
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        corpus_emb,
+        probe_emb,
+        [list(c) for c in centroids],
+        [[list(c) for c in b] for b in codebooks],
+        id_col,
+        "embedding",
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+    )
+
+
 def image_topk(
     corpus_media: DataFrame,
     probe_media: DataFrame,
@@ -135,18 +208,29 @@ def image_topk(
     """Top-k most-similar images per probe image — decode → descriptor →
     the EXISTING IVF-PQ serve path under the frozen descriptor-space
     models. Output: (query_id, id, cosine, rank)."""
-    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_topk
+    return _media_topk(
+        image_embeddings(corpus_media, id_col),
+        image_embeddings(probe_media, query_id),
+        mm_coarse_centroids(),
+        mm_codebooks(),
+        id_col, k, nprobe, query_id,
+    )
 
-    corpus = image_embeddings(corpus_media, id_col)
-    queries = image_embeddings(probe_media, query_id)
-    return ivfpq_topk(
-        corpus,
-        queries,
-        [list(c) for c in mm_coarse_centroids()],
-        [[list(c) for c in b] for b in mm_codebooks()],
-        id_col,
-        "embedding",
-        k=k,
-        nprobe=nprobe,
-        query_id=query_id,
+
+def audio_topk(
+    corpus_media: DataFrame,
+    probe_media: DataFrame,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k most-similar audio clips per probe clip — the audio twin of
+    image_topk under the audio-space frozen models."""
+    return _media_topk(
+        audio_embeddings(corpus_media, id_col),
+        audio_embeddings(probe_media, query_id),
+        mm_audio_coarse_centroids(),
+        mm_audio_codebooks(),
+        id_col, k, nprobe, query_id,
     )

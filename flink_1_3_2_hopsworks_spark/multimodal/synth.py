@@ -180,6 +180,30 @@ def frozen_audiofp_table(n_patterns: int = 16, n_variants: int = 3):
     return out
 
 
+def frozen_audio_descriptor_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, descriptor)] for every synthetic audio (pattern, variant)
+    through the REAL PCM-16 encode→decode round-trip — the frozen audio
+    embedding model (the audio twin of frozen_descriptor_table). The v1
+    half-gain copy normalizes to within quantization noise of v0
+    (cosine > 0.999998 on every pattern — NOT bit-identical, PCM-16
+    rounding is part of the frozen values), v2's local envelope edit
+    lands at cosine 0.97–0.99."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        audio_descriptor,
+        decode_wav,
+        encode_wav,
+    )
+
+    out = []
+    for k in range(n_patterns):
+        for v in range(n_variants):
+            samples, _ = decode_wav(encode_wav(synth_audio(k, v), AUDIO_RATE))
+            out.append(
+                (k, v, [float(x) for x in audio_descriptor(samples)])
+            )
+    return out
+
+
 def audio_twin(
     ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
 ) -> DataFrame:

@@ -114,3 +114,69 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_audio_descriptor_kernel_matches_frozen_table(spark):
+    """The audio decode→descriptor kernel reproduces the frozen table
+    bit-for-bit (PCM-16 quantization included in both paths)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import audio_embeddings
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        audio_twin,
+        frozen_audio_descriptor_table,
+    )
+
+    frozen = {(k, v): d for k, v, d in frozen_audio_descriptor_table()}
+    rows = audio_embeddings(
+        audio_twin(_ids(spark, 48), "doc_id"), "doc_id"
+    ).collect()
+    assert len(rows) == 48
+    for r in rows:
+        i = r["doc_id"]
+        assert r["embedding"] == frozen[(i % 16, (i // 16) % 3)]
+
+
+def test_audio_gain_invariance_within_quantization(spark):
+    """L2 normalization makes the descriptor gain-invariant up to PCM-16
+    quantization: v1 (half gain) lands at cosine > 0.999998 of v0 — NOT
+    bit-identical (the rounding is real and frozen), v2's envelope edit
+    at 0.96–0.99."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_audio_descriptor_table,
+    )
+
+    d = {(k, v): np.asarray(dv) for k, v, dv in frozen_audio_descriptor_table()}
+    for k in range(16):
+        assert float(d[(k, 0)] @ d[(k, 1)]) > 0.999998
+        c2 = float(d[(k, 0)] @ d[(k, 2)])
+        assert 0.9 < c2 < 0.9999
+
+
+def test_audio_planted_neighbors_retrieved(spark):
+    """Exact audio copies (same (pattern, variant) at +48/+96) AND the
+    half-gain remaster family (v0↔v1, within quantization noise of
+    cosine 1.0) must surface in the IVF-PQ top-10 — measured to hold for
+    every probe in the 144-id gate corpus offline; pinned here for a
+    sample through the full Spark path."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import audio_topk
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import audio_twin
+
+    corpus = audio_twin(_ids(spark, 144), "doc_id")
+    for probe_id in (7, 30):
+        k, v = probe_id % 16, (probe_id // 16) % 3
+        planted = {
+            i
+            for i in range(144)
+            if i != probe_id
+            and i % 16 == k
+            and ((i // 16) % 3 == v or {(i // 16) % 3, v} == {0, 1})
+        }
+        probes = audio_twin(
+            spark.createDataFrame([(probe_id,)], "query_id long"), "query_id"
+        )
+        got = {
+            r["doc_id"]
+            for r in audio_topk(corpus, probes, "doc_id", k=10).collect()
+        }
+        assert planted <= got, f"probe {probe_id}: {planted - got} missing"
