@@ -1,14 +1,17 @@
-"""Multimodal → embedding-ANN bridge: image descriptors served by the
-EXISTING IVF-PQ stack.
+"""Multimodal → embedding-ANN bridge: image and audio descriptors served
+by the EXISTING IVF-PQ stack.
 
 The perceptual-hash family (aHash / energy envelope) connects media to
 DEDUP — Hamming/Jaccard on 64-bit fingerprints. This module connects it
 to similarity SEARCH: each image decodes to a small float descriptor
 (codecs.image_descriptor — block-mean luminance, centered, the continuous
-relaxation of aHash) and the descriptor column feeds the same IVF-PQ
-serve path (similarity/pq.py ivfpq_topk) the text-embedding gates use —
-"find images like this one" becomes one frozen-model ANN query, with the
-corpus pruned to nprobe coarse cells and scored by ADC lookup sums.
+relaxation of aHash) and each audio clip to its energy-envelope twin
+(codecs.audio_descriptor — L2-normalized segment RMS, the continuous
+relaxation of energyhash64), and the descriptor column feeds the same
+IVF-PQ serve path (similarity/pq.py ivfpq_topk) the text-embedding gates
+use — "find images/clips like this one" becomes one frozen-model ANN
+query, with the corpus pruned to nprobe coarse cells and scored by ADC
+lookup sums.
 
 Frozen-model discipline (similarity/gate_model.py, multimodal/synth.py):
 the coarse centroids and PQ codebooks are trained ONCE by a deterministic
