@@ -188,6 +188,8 @@ def ingest_funnel_batch(
     # leak the cache).
     batch = batch.persist()
     slim = None
+    exact_keep = None
+    near = None
     try:
         rule_ok = rules if rules is not None else _default_rules(text_col)
         slim = batch.select(
@@ -211,10 +213,15 @@ def ingest_funnel_batch(
             s1_new = s1.join(F.broadcast(collisions), "_fp", "left_anti")
         else:
             s1_new = s1
+        # Pinned: referenced by the near-ingest input, the funnel
+        # aggregate, AND the fingerprint-store write — unpinned, each
+        # action would re-scan the fingerprint store for the collision
+        # probe. Batch-bounded (one row per distinct batch fingerprint).
         exact_keep = (
             s1_new.groupBy("_fp")
             .agg(F.min(_id).alias(id_col))
             .select(_id, F.lit(True).alias("_ex_keep"))
+            .persist()
         )
 
         # ---- near dedup: incremental ingest vs the signature store ----
@@ -226,12 +233,17 @@ def ingest_funnel_batch(
                 shingle_k=shingle_k, num_hashes=num_hashes,
                 portable=portable,
             )
+        # Pin the verdicts: both the funnel aggregate and the survivor-
+        # signature write reference them, and everything upstream of the
+        # internally-materialized components (batch signatures + the
+        # store probe join — the store SCAN) would otherwise re-run per
+        # action (the same reason neardup.ingest_batch pins its verdicts).
         near = incremental_near_ingest(
             surv2, sig_store, id_col, text_col,
             threshold=threshold, shingle_k=shingle_k,
             num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
             portable=portable,
-        ).select(_id, F.col("kept").alias("_nd_ok"))
+        ).select(_id, F.col("kept").alias("_nd_ok")).persist()
 
         # ---- stage booleans + the one conditional funnel aggregate ----
         v = (
@@ -299,6 +311,10 @@ def ingest_funnel_batch(
             f"{sig_store_path}/batch_id={batch_id}"
         )
     finally:
+        if near is not None:
+            near.unpersist()
+        if exact_keep is not None:
+            exact_keep.unpersist()
         if slim is not None:
             slim.unpersist()
         batch.unpersist()
