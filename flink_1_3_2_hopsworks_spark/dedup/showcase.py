@@ -1261,3 +1261,30 @@ def mm_audio_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+def mm_video_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video similarity SEARCH — "top-10 videos like this one",
+    completing the modality set (image/audio/video all reach the
+    embedding ANN stack): each doc id derives its deterministic BMV
+    container, frames demux + decode + pool into one mean-pooled
+    descriptor per video (codecs.video_descriptor — inherits the frame
+    descriptor's brightness invariance, so re-encoded videos pool to the
+    IDENTICAL vector; 7-of-8-frame partial copies land at cosine
+    0.76–0.95), and ivfpq_topk serves docs 0–4's videos as probes under
+    the video-space frozen models. Oracle joins the frozen video
+    descriptor table and replays the serve chain."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import video_topk
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import video_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = video_twin(docs, "doc_id")
+    probes = video_twin(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id")
+        ),
+        "query_id",
+    )
+    return video_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

@@ -2165,9 +2165,20 @@ def _mm_embed_topk_oracle(
     if modality == "image":
         table = frozen_descriptor_table(n_patterns, n_variants)
         cents, books = mm_coarse_centroids(), mm_codebooks()
-    else:
+    elif modality == "audio":
         table = frozen_audio_descriptor_table(n_patterns, n_variants)
         cents, books = mm_audio_coarse_centroids(), mm_audio_codebooks()
+    else:
+        from flink_1_3_2_hopsworks_spark.multimodal.embed import (
+            mm_video_coarse_centroids,
+            mm_video_codebooks,
+        )
+        from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+            frozen_video_descriptor_table,
+        )
+
+        table = frozen_video_descriptor_table(n_patterns, n_variants)
+        cents, books = mm_video_coarse_centroids(), mm_video_codebooks()
     desc_values = ",\n                ".join(
         "({}, {}, [{}]::DOUBLE[])".format(
             dk, dv, ", ".join(repr(x) for x in d)
@@ -2270,6 +2281,7 @@ def _mm_embed_topk_oracle(
 
 ORACLE["mm_embed_topk"] = _mm_embed_topk_oracle("image")
 ORACLE["mm_audio_embed_topk"] = _mm_embed_topk_oracle("audio")
+ORACLE["mm_video_embed_topk"] = _mm_embed_topk_oracle("video")
 
 
 def _mm_video_near_dups_oracle(

@@ -227,6 +227,24 @@ def audio_descriptor(samples: np.ndarray, dim: int = 16) -> np.ndarray:
     return np.round(e, 6)
 
 
+def video_descriptor(frames_pixels: list[np.ndarray]) -> np.ndarray:
+    """Pooled video EMBEDDING: the mean of the per-frame
+    :func:`image_descriptor` vectors, re-L2-normalized and rounded to
+    6 dp — the video twin of the image/audio descriptors (temporal
+    mean-pooling is the standard frame-aggregation baseline). Inherits
+    the frame descriptor's brightness invariance exactly: a re-encoded
+    (brightness-shifted) video pools to the IDENTICAL vector; replacing
+    one of n frames moves the pool by ~1/n in descriptor space."""
+    if not frames_pixels:
+        raise ValueError("video with zero frames has no descriptor")
+    ds = [image_descriptor(p) for p in frames_pixels]
+    m = np.mean(ds, axis=0)
+    nrm = float(np.sqrt((m * m).sum()))
+    if nrm > 0.0:
+        m = m / nrm
+    return np.round(m, 6)
+
+
 def energyhash64(samples: np.ndarray) -> int:
     """Energy-envelope perceptual fingerprint of a mono audio clip — the
     audio twin of :func:`ahash64`: 64 equal frames → mean energy per frame

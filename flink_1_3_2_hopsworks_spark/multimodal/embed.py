@@ -60,18 +60,15 @@ def _lloyd(points: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return cents
 
 
-@lru_cache(maxsize=2)
+@lru_cache(maxsize=3)
 def _frozen_points(modality: str) -> np.ndarray:
-    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
-        frozen_audio_descriptor_table,
-        frozen_descriptor_table,
-    )
+    from flink_1_3_2_hopsworks_spark.multimodal import synth
 
-    table = (
-        frozen_descriptor_table()
-        if modality == "image"
-        else frozen_audio_descriptor_table()
-    )
+    table = {
+        "image": synth.frozen_descriptor_table,
+        "audio": synth.frozen_audio_descriptor_table,
+        "video": synth.frozen_video_descriptor_table,
+    }[modality]()
     return np.asarray([d for _, _, d in table], dtype=np.float64)
 
 
@@ -116,6 +113,18 @@ def mm_audio_coarse_centroids() -> tuple:
 def mm_audio_codebooks() -> tuple:
     """The audio-descriptor-space PQ codebooks (same discipline)."""
     return _books(_frozen_points("audio"))
+
+
+@lru_cache(maxsize=1)
+def mm_video_coarse_centroids() -> tuple:
+    """The video-descriptor-space coarse quantizer (same discipline)."""
+    return _coarse(_frozen_points("video"))
+
+
+@lru_cache(maxsize=1)
+def mm_video_codebooks() -> tuple:
+    """The video-descriptor-space PQ codebooks (same discipline)."""
+    return _books(_frozen_points("video"))
 
 
 def image_embeddings(
@@ -168,6 +177,41 @@ def audio_embeddings(
                 continue
             embs = [
                 [float(x) for x in audio_descriptor(decode_wav(p)[0])]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def video_embeddings(
+    media: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, embedding) — demux each binary BMV container, decode its
+    frames, and pool the per-frame descriptors in ONE Arrow-batched
+    kernel (the video twin of image_embeddings; frames never leave the
+    executor)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_bmv,
+        video_descriptor,
+    )
+
+    schema = (
+        f"{id_col} {dict(media.dtypes)[id_col]}, embedding array<double>"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            embs = [
+                [
+                    float(x)
+                    for x in video_descriptor(
+                        [decode_bmp(fr) for fr in decode_bmv(p)]
+                    )
+                ]
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
@@ -235,5 +279,24 @@ def audio_topk(
         audio_embeddings(probe_media, query_id),
         mm_audio_coarse_centroids(),
         mm_audio_codebooks(),
+        id_col, k, nprobe, query_id,
+    )
+
+
+def video_topk(
+    corpus_media: DataFrame,
+    probe_media: DataFrame,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k most-similar videos per probe video — the video twin of
+    image_topk under the video-space frozen models."""
+    return _media_topk(
+        video_embeddings(corpus_media, id_col),
+        video_embeddings(probe_media, query_id),
+        mm_video_coarse_centroids(),
+        mm_video_codebooks(),
         id_col, k, nprobe, query_id,
     )

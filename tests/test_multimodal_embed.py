@@ -180,3 +180,66 @@ def test_audio_planted_neighbors_retrieved(spark):
             for r in audio_topk(corpus, probes, "doc_id", k=10).collect()
         }
         assert planted <= got, f"probe {probe_id}: {planted - got} missing"
+
+
+def test_video_descriptor_kernel_matches_frozen_table(spark):
+    """The demux→decode→pool kernel reproduces the frozen video
+    descriptor table bit-for-bit."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import video_embeddings
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_video_descriptor_table,
+        video_twin,
+    )
+
+    frozen = {(k, v): d for k, v, d in frozen_video_descriptor_table()}
+    rows = video_embeddings(
+        video_twin(_ids(spark, 48), "doc_id"), "doc_id"
+    ).collect()
+    assert len(rows) == 48
+    for r in rows:
+        i = r["doc_id"]
+        assert r["embedding"] == frozen[(i % 16, (i // 16) % 3)]
+
+
+def test_video_reencode_pools_identically_partial_copy_nearby(spark):
+    """Mean-pooling preserves the frame descriptor's brightness
+    invariance exactly (v1 ≡ v0 bit-for-bit) and a 7-of-8-frame partial
+    copy lands at cosine 0.76–0.95."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_video_descriptor_table,
+    )
+
+    d = {(k, v): np.asarray(dv) for k, v, dv in frozen_video_descriptor_table()}
+    for k in range(16):
+        assert (d[(k, 0)] == d[(k, 1)]).all()
+        c2 = float(d[(k, 0)] @ d[(k, 2)])
+        assert 0.7 < c2 < 0.96
+
+
+def test_video_planted_neighbors_retrieved(spark):
+    """Exact video copies AND re-encode twins must surface in the IVF-PQ
+    top-10 (all 144 gate-corpus probes hold offline; sampled here
+    through the full Spark path)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import video_topk
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import video_twin
+
+    corpus = video_twin(_ids(spark, 144), "doc_id")
+    for probe_id in (7, 30):
+        k, v = probe_id % 16, (probe_id // 16) % 3
+        planted = {
+            i
+            for i in range(144)
+            if i != probe_id
+            and i % 16 == k
+            and ((i // 16) % 3 == v or {(i // 16) % 3, v} == {0, 1})
+        }
+        probes = video_twin(
+            spark.createDataFrame([(probe_id,)], "query_id long"), "query_id"
+        )
+        got = {
+            r["doc_id"]
+            for r in video_topk(corpus, probes, "doc_id", k=10).collect()
+        }
+        assert planted <= got, f"probe {probe_id}: {planted - got} missing"
