@@ -129,6 +129,59 @@ def ivf_probe_topk(
     )
 
 
+def ivf_probe_cells(
+    queries,
+    query_id: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+):
+    """(query_id, _cell) — one row per (query, probed cell): the query's
+    ``nprobe`` nearest cells by cosine (desc, ties → lower cell id),
+    computed in ONE Arrow-batched numpy kernel.
+
+    The Column-expression formulation (:func:`ivf_cells_expr`) builds a
+    k×dim literal HOF tree whose Catalyst analysis + codegen alone was
+    MEASURED at ~27 s per fresh query at the default 16×64 geometry —
+    a fixed planning tax every serve call pays regardless of row count
+    (5 probe rows). The kernel computes the same cosines with the same
+    sequential-accumulation contract (functions/vectors._batch_cosines —
+    the audited corpus-side cell path of ``pq_encode``) and the same
+    (cosine desc, cell asc) tie order via a stable lexsort, so oracles
+    replay it identically; plan cost is one small MapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        _batch_cosines,
+        _seq_norms,
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorms = np.asarray(_seq_norms(centroids))
+    id_ddl = queries.schema[query_id].dataType.simpleString()
+    schema = f"{query_id} {id_ddl}, _cell int"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cos = _batch_cosines(x, cents, cnorms)
+            # nprobe nearest by (cosine desc, cell asc): argsort on the
+            # negated cosines is stable-ascending, ties keep cell order.
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id].values.repeat(nprobe),
+                    "_cell": order.astype("int32").reshape(-1),
+                }
+            )
+
+    return queries.select(query_id, vec_col).mapInPandas(kernel, schema)
+
+
 def ivf_cells_expr(vec, centroids: list[list[float]], n: int) -> Column:
     """The ``n`` nearest cell ids to ``vec`` by cosine (desc, ties → lower
     cell id), as a pure Column expression over literal centroids.

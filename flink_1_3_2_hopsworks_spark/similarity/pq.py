@@ -237,8 +237,10 @@ def ivfpq_topk(
     Plan shape: corpus scan → ONE Arrow-batched kernel computing the
     ``_cell`` argmax AND the PQ codes (the k×D Column-expression variant
     of the cell argmax is the measured Janino interpreted-fallback shape
-    on a corpus-scale scan — sf1→sf10 6.65× before the kernel; queries
-    still use ``ivf_cells_expr``, which is right at query cardinality)
+    on a corpus-scale scan — sf1→sf10 6.65× before the kernel; the
+    query-side probe moved to its own kernel in round 10 after the
+    literal HOF tree's analysis+codegen measured ~27 s of fixed planning
+    tax per query — ``ivf_probe_cells``)
     → equi-JOIN on ``_cell`` against the broadcast
     (query × nprobe) LUT probe set → codegen'd ADC cosine → per-query
     top-k window (the only shuffle, WindowGroupLimit-bounded). On a real
@@ -261,7 +263,7 @@ def ivfpq_topk(
     given both frozen models — the registry gate hash-matches a DuckDB
     oracle; recall vs flat PQ is pytest-covered.
     """
-    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_cells_expr
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_probe_cells
 
     coded = pq_encode(
         corpus,
@@ -270,11 +272,12 @@ def ivfpq_topk(
         codebooks,
         cell_centroids=coarse_centroids,
     )
-    probe = queries.select(
-        F.col(query_id),
-        F.explode(
-            ivf_cells_expr(F.col(vec_col), coarse_centroids, nprobe)
-        ).alias("_cell"),
+    # Query-side probing uses the Arrow kernel, not ivf_cells_expr: the
+    # k×dim literal HOF tree's ANALYSIS+CODEGEN alone measured ~27 s per
+    # query at 16×64 — a fixed planning tax (5 probe rows). Same cosine
+    # contract, same tie order — oracle-identical (see ivf_probe_cells).
+    probe = ivf_probe_cells(
+        queries, query_id, vec_col, coarse_centroids, nprobe
     )
     q = _query_luts(queries, query_id, vec_col, codebooks).join(probe, query_id)
     scored = (
