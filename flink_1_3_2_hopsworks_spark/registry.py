@@ -301,10 +301,11 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
     #   dd_semantic_contamination — probe_id dtype derivation (contamination.py)
     # Removed again in round 10 (plan change invalidates the r08 proof;
     # heads the r10 artifact):
-    #   sim_ivfpq_topk — query-side probe moved from the literal HOF
-    #   expression to the Arrow kernel (ivf_probe_cells; ~27s fixed
-    #   planning tax measured). Locally re-proven vs the oracle at
-    #   sf0.01 the day of the change.
+    #   sim_ivfpq_topk, sim_ivf_topk — probe/assignment moved from the
+    #   literal HOF expressions to the Arrow kernels (ivf_probe_cells /
+    #   nearest_fixed_vector; ~27s fixed planning tax measured, and the
+    #   corpus-side interpreted fallback). Locally re-proven vs their
+    #   oracles at sf0.01 the day of the change.
     **dict.fromkeys(
         [
             "cep_clean_purchase", "cep_double_error",
@@ -325,7 +326,7 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
             "q21_suppliers_kept_orders_waiting", "q2_min_cost_supplier",
             "q3_shipping_priority", "q4_order_priority",
             "q5_local_supplier_volume", "q6_forecast_revenue",
-            "sim_bm25_topk", "sim_ivf_topk", "sim_pq_topk",
+            "sim_bm25_topk", "sim_pq_topk",
             "tbl_offset_fetch", "tbl_session_30m_by_user",
             "tbl_slide_6h_2h_by_type",
             "text_bpe_tokenize", "text_line_dedup", "text_vocab_top_terms",

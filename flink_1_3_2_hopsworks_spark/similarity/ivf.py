@@ -219,19 +219,27 @@ def ivf_fixed_topk(
     probing, scoring, and ranking are all replayable in SQL, which is what
     lets the registry gate hash-match a DuckDB oracle (unlike the sampled
     k-means inside ``ivf_topk``). Plan shape: corpus scan with the cell
-    argmax fused into the projection → equi-join against the broadcast
-    (query × nprobe) probe set → cosine → per-query top-k window. The only
-    shuffle is the final top-k."""
-    c = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-        .withColumn("_cell", ivf_cells_expr(F.col("_cv"), centroids, 1)[0])
+    argmax fused in ONE Arrow kernel (``nearest_fixed_vector`` — the
+    K×D-literal expression tree is both the Janino interpreted-fallback
+    shape at corpus scale AND, measured round 10, ~27 s of fixed
+    analysis+codegen tax even on a 5-row query frame) → equi-join
+    against the broadcast (query × nprobe) probe set (its cells from the
+    same-contract ``ivf_probe_cells`` kernel) → cosine → per-query top-k
+    window. The only shuffle is the final top-k."""
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        nearest_fixed_vector,
+    )
+
+    c = nearest_fixed_vector(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")),
+        "_cv",
+        centroids,
     )
     q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("_qv"),
-        F.explode(
-            ivf_cells_expr(F.col(vec_col), centroids, nprobe)
-        ).alias("_cell"),
+        F.col(query_id), F.col(vec_col).alias("_qv")
+    ).join(
+        ivf_probe_cells(queries, query_id, vec_col, centroids, nprobe),
+        query_id,
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
