@@ -1204,6 +1204,54 @@ def mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-replay twin of the streaming MULTIMODAL ingest funnel
+    (streaming/media_funnel.py — decode-validate → quality rules → exact
+    perceptual dedup → incremental simhash near-dedup, per-epoch funnel
+    rows, each perceptual stage's survivors appended to that stage's
+    fingerprint store). The documents ids derive the deterministic BMP
+    corpus (multimodal/synth.py) split into three epochs (doc_id % 3);
+    the gate RUNS the real foreachBatch body sequentially
+    (media_funnel_replay — the backfill path), so the oracle checks the
+    store-probe / keeper / chunk-block star algebra every epoch executes
+    against state built by the epochs before it. The oracle joins ids to
+    the FROZEN (pattern, variant) → (stats, aHash, bytes) model,
+    collapses cross-epoch exact dedup to the (epoch, id)-argmin per
+    aHash, and unrolls the near stage per epoch (store-side chunk cap →
+    Hamming probe → survivor star → closure). Stream-equals-replay and
+    crash-replay idempotency are pytest-pinned
+    (tests/test_streaming_media_funnel.py). Output: 15 rows (3 epochs ×
+    5 stages), materialized so the epoch stores can be cleaned up."""
+    import shutil
+    import tempfile
+
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+    from flink_1_3_2_hopsworks_spark.streaming.media_funnel import (
+        media_funnel_replay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [
+        image_twin(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
+        for e in range(3)
+    ]
+    base = tempfile.mkdtemp(prefix="mmfunnel_gate_")
+    try:
+        rows = media_funnel_replay(batches, base).collect()  # 15 rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, stage_idx int, stage string, n_images long, "
+        "n_bytes long, id_checksum long",
+    ).orderBy("batch_id", "stage_idx")
+
+
 def mm_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal similarity SEARCH — "top-10 images like this one" through
     the EXISTING IVF-PQ serve path (the bridge from the perceptual-hash

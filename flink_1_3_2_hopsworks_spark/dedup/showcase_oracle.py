@@ -2131,6 +2131,163 @@ def _register_mm_oracles() -> None:
 _register_mm_oracles()
 
 
+def _mm_curation_funnel_stream_oracle(
+    n_epochs: int = 3,
+    min_brightness: float = 105.0,
+    max_brightness: float = 137.0,
+    min_contrast: float = 40.0,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    salt: str = "mmfun10",
+    n_patterns: int = 16,
+    n_variants: int = 3,
+) -> str:
+    """Replays streaming/media_funnel.py's sequential epoch loop:
+
+    - ids join the FROZEN (pattern, variant) → (brightness, contrast,
+      aHash, bytes) model (the mm_curation_funnel discipline — the twin
+      corpus always decodes, so the 'decoded' stage equals 'input').
+    - exact perceptual dedup collapses across epochs to the
+      (epoch, id)-argmin per aHash among quality survivors (the exact
+      store before epoch e holds hash H iff some quality survivor
+      carried H in an epoch < e — same collapse as the text funnel).
+    - the near stage genuinely unrolls per epoch: store_e = the kept
+      sets of epochs < e, store-side 16-bit chunk buckets capped,
+      Hamming probe ≤ max_distance, then the within-batch star
+      (bucket-min anchor, member, Hamming verify) and a per-epoch
+      recursive closure. simhash_star_edges' Hamming-0 exact arm is
+      provably EMPTY here: the exact stage keeps one doc per aHash
+      globally, so every epoch's batch fingerprints are all distinct.
+    - funnel arms: (epochs × stages) UNION arms emit count, byte sum,
+      and the salted-h32 survivor checksum per stage."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_image_stats_table,
+    )
+
+    smap_values = ",\n                ".join(
+        f"({k}, {v}, {mean}, {std}, {ah}::BIGINT, {nb})"
+        for k, v, mean, std, ah, nb in frozen_image_stats_table(
+            n_patterns, n_variants
+        )
+    )
+    ck = (
+        "('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), "
+        f"'{salt}ck')), 1, 8))::BIGINT"
+    )
+    epoch_ctes = []
+    for e in range(n_epochs):
+        if e == 0:
+            store = "SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE"
+        else:
+            store = "\n            UNION ALL\n            ".join(
+                f"SELECT id FROM k{j}" for j in range(e)
+            )
+        epoch_ctes.append(f"""b{e} AS (
+            SELECT doc_id AS id FROM s3 WHERE ep = {e}
+        ), st{e} AS (
+            {store}
+        ), stc{e} AS (
+            SELECT * FROM (
+                SELECT c.*, COUNT(*) OVER (PARTITION BY ci, cv) AS cbs
+                FROM ch c JOIN st{e} s ON c.doc_id = s.id
+            ) WHERE cbs <= {max_bucket}
+        ), bb{e} AS (
+            SELECT c.* FROM ch c JOIN b{e} b ON c.doc_id = b.id
+        ), cd{e} AS (
+            SELECT DISTINCT bb.doc_id AS id
+            FROM stc{e} sc
+            JOIN bb{e} bb ON sc.ci = bb.ci AND sc.cv = bb.cv
+            WHERE BIT_COUNT(XOR(sc.ah, bb.ah)) <= {max_distance}
+        ), svc{e} AS (
+            SELECT * FROM (
+                SELECT sv.*, COUNT(*) OVER (PARTITION BY ci, cv) AS sbs
+                FROM (
+                    SELECT * FROM bb{e}
+                    WHERE doc_id NOT IN (SELECT id FROM cd{e})
+                ) sv
+            ) WHERE sbs <= {max_bucket}
+        ), an{e} AS (
+            SELECT ci, cv, doc_id AS aid, ah AS aah FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY ci, cv ORDER BY doc_id
+                ) AS rn FROM svc{e}
+            ) WHERE rn = 1
+        ), ed{e} AS MATERIALIZED (
+            SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b
+            FROM svc{e} c
+            JOIN an{e} n ON c.ci = n.ci AND c.cv = n.cv
+                        AND c.doc_id > n.aid
+            WHERE BIT_COUNT(XOR(n.aah, c.ah)) <= {max_distance}
+        ), sy{e} AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM ed{e}
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM ed{e}
+        ), rc{e}(root, node) AS (
+            SELECT DISTINCT src, src FROM sy{e}
+            UNION
+            SELECT rc{e}.root, sy{e}.dst
+            FROM rc{e} JOIN sy{e} ON sy{e}.src = rc{e}.node
+        ), cp{e} AS (
+            SELECT root AS id, MIN(node) AS component FROM rc{e} GROUP BY root
+        ), k{e} AS MATERIALIZED (
+            SELECT b.id FROM b{e} b
+            LEFT JOIN cd{e} cd ON cd.id = b.id
+            LEFT JOIN cp{e} c ON c.id = b.id
+            WHERE cd.id IS NULL AND COALESCE(c.component, b.id) = b.id
+        )""")
+    arms = []
+    for e in range(n_epochs):
+        rels = [
+            ("input", f"(SELECT * FROM sigd WHERE ep = {e})"),
+            ("decoded", f"(SELECT * FROM sigd WHERE ep = {e})"),
+            ("quality_rules", f"(SELECT * FROM s2 WHERE ep = {e})"),
+            ("exact_perceptual_dedup", f"(SELECT * FROM s3 WHERE ep = {e})"),
+            ("near_dup",
+             f"(SELECT s3.* FROM s3 JOIN k{e} ON s3.doc_id = k{e}.id)"),
+        ]
+        for i, (name, rel) in enumerate(rels):
+            arms.append(
+                f"SELECT {e} AS batch_id, {i} AS stage_idx,"
+                f" '{name}' AS stage,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_images,"
+                f" CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_bytes,"
+                f" CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS id_checksum"
+                f" FROM {rel}"
+            )
+    arms_sql = "\n        UNION ALL\n        ".join(arms)
+    epochs_sql = ", ".join(epoch_ctes)
+    return f"""
+    WITH RECURSIVE smap(mk, mv, bright, contr, ah, nb) AS (
+        VALUES {smap_values}
+    ), sigd AS MATERIALIZED (
+        SELECT d.doc_id, d.doc_id % {n_epochs} AS ep,
+            m.bright, m.contr, m.ah, m.nb
+        FROM documents d
+        JOIN smap m ON m.mk = d.doc_id % {n_patterns}
+                   AND m.mv = (d.doc_id // {n_patterns}) % {n_variants}
+    ), s2 AS MATERIALIZED (
+        SELECT * FROM sigd
+        WHERE bright >= {min_brightness} AND bright <= {max_brightness}
+          AND contr >= {min_contrast}
+    ), s3 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ah ORDER BY ep, doc_id
+            ) AS rn FROM s2
+        ) WHERE rn = 1
+    ), ch AS MATERIALIZED (
+        SELECT doc_id, ep, ah, ci, (ah >> (ci * 16)) & 65535 AS cv
+        FROM s3 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+    ), {epochs_sql}
+    SELECT * FROM (
+        {arms_sql}
+    ) ORDER BY batch_id, stage_idx
+    """
+
+
+ORACLE["mm_curation_funnel_stream"] = _mm_curation_funnel_stream_oracle()
+
+
 def _mm_embed_topk_oracle(
     modality: str = "image",
     k: int = 10,

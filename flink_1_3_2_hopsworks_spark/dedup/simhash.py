@@ -346,3 +346,88 @@ def simhash_star_edges(
         )
     )
     return stars.unionByName(exact).dropDuplicates(["id_a", "id_b"])
+
+
+def incremental_simhash_ingest(
+    batch_fps: DataFrame,
+    store_fps: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion over 64-bit fingerprints — the
+    simhash twin of dedup/incremental.py's ``incremental_near_ingest``
+    (perceptual-hash media crawls use this where text crawls use the
+    MinHash estimator). One verdict row per batch item:
+    ``(id_col, kept, reason)`` with ``reason`` ∈ {'kept',
+    'corpus_near_dup', 'batch_near_dup'} — a batch item drops when any
+    STORED fingerprint sharing one of its 16-bit chunk buckets is within
+    ``max_distance`` Hamming bits, else clusters within the batch (the
+    star geometry, min id survives).
+
+    Scale shape (mirrors the MinHash ingest exactly): the store — the
+    100 TB side — is only ever SCANNED; its chunk rows stream through
+    ONE probe join against the batch's chunk rows, which are BROADCAST
+    (bounded by the batch); oversized STORE buckets (> ``max_bucket``)
+    are excluded like every blocking op here; the within-batch step is
+    the linear star reduction. Only the batch ever shuffles.
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+
+    batch = batch_fps.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("simhash")
+    )
+    store = store_fps.select(
+        F.lit(0).cast("long").alias("_id"), F.col(hash_col).alias("simhash")
+    )
+    store_capped, _ = _chunked_capped(store, max_bucket)
+    batch_chunks = batch.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    _chunk(F.col("simhash"), i).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("_c"),
+    ).select(
+        F.col("_id").alias("_bid"),
+        F.col("simhash").alias("_bh"),
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+    )
+    corpus_dups = (
+        store_capped.select("ci", "cv", F.col("simhash").alias("_sh"))
+        .join(F.broadcast(batch_chunks), ["ci", "cv"])
+        .filter(hamming64(F.col("_sh"), F.col("_bh")) <= max_distance)
+        .select(F.col("_bid"))
+        .distinct()
+    )
+    survivors = batch.join(
+        corpus_dups, batch["_id"] == corpus_dups["_bid"], "left_anti"
+    ).select(F.col("_id").alias(id_col), "simhash")
+    edges = simhash_star_edges(
+        survivors, id_col, "simhash",
+        max_distance=max_distance, max_bucket=max_bucket,
+        fingerprints=survivors,
+    )
+    clustered = resolve_duplicate_clusters(
+        survivors.select(id_col), edges, id_col
+    )
+    verdict = batch_fps.select(id_col).join(
+        clustered.select(id_col, "kept"), id_col, "left"
+    )
+    return verdict.select(
+        id_col,
+        F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+        F.when(F.col("kept").isNull(), F.lit("corpus_near_dup"))
+        .when(F.col("kept"), F.lit("kept"))
+        .otherwise(F.lit("batch_near_dup"))
+        .alias("reason"),
+    )

@@ -41,36 +41,17 @@ STAGES = (
 )
 
 
-def image_curation_verdicts(
-    media: DataFrame,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    min_brightness: float = 105.0,
-    max_brightness: float = 137.0,
-    min_contrast: float = 40.0,
-    max_distance: int = 3,
-    n_shards: int = 8,
-    salt: str = "mmcur9",
+def decode_signals(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Per-image curation verdicts: one row per image with cumulative
-    stage-survival booleans ``s0``..``s5``, the slim signals behind them
-    (brightness/contrast/fingerprint/bytes), and the final ``shard``.
-
-    Quality rules are the image analogue of C4/Gopher: drop undecodable
-    payloads, under/over-exposed images (mean brightness outside
-    [min_brightness, max_brightness]) and near-flat images (contrast
-    below ``min_contrast``). Exact perceptual dedup collapses aHash
-    collisions (brightness-shifted re-encodes land at Hamming 0 by
-    construction); the star stage clusters locally-edited copies within
-    ``max_distance`` bits.
-    """
-    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
-        resolve_duplicate_clusters,
-    )
-    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
-    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
-    from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
-
+    """The funnel's ONE decode pass as a reusable frame:
+    ``(id, decoded, brightness, contrast, simhash, n_bytes)`` from one
+    Arrow kernel over the binary payloads — payloads never shuffle,
+    never leave the scan. Shared by the batch funnel
+    (:func:`image_curation_verdicts`) and the streaming ingest funnel
+    (streaming/media_funnel.py). NOT pinned here — each caller owns its
+    pin (materialize for the lazy batch plan, persist/unpersist per
+    epoch in foreachBatch)."""
     id_type = dict(media.dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, decoded boolean, brightness double, "
@@ -107,8 +88,41 @@ def image_curation_verdicts(
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def image_curation_verdicts(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_brightness: float = 105.0,
+    max_brightness: float = 137.0,
+    min_contrast: float = 40.0,
+    max_distance: int = 3,
+    n_shards: int = 8,
+    salt: str = "mmcur9",
+) -> DataFrame:
+    """Per-image curation verdicts: one row per image with cumulative
+    stage-survival booleans ``s0``..``s5``, the slim signals behind them
+    (brightness/contrast/fingerprint/bytes), and the final ``shard``.
+
+    Quality rules are the image analogue of C4/Gopher: drop undecodable
+    payloads, under/over-exposed images (mean brightness outside
+    [min_brightness, max_brightness]) and near-flat images (contrast
+    below ``min_contrast``). Exact perceptual dedup collapses aHash
+    collisions (brightness-shifted re-encodes land at Hamming 0 by
+    construction); the star stage clusters locally-edited copies within
+    ``max_distance`` bits.
+    """
+    from flink_1_3_2_hopsworks_spark.dedup.neardup import (
+        resolve_duplicate_clusters,
+    )
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
+    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+    from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
+
     # ONE decode pass, pinned slim (ids + numbers only — never payloads).
-    d = materialize(media.select(id_col, payload_col).mapInPandas(kernel, schema))
+    d = materialize(decode_signals(media, id_col, payload_col))
     _id = F.col(id_col)
 
     s1 = F.col("decoded")
