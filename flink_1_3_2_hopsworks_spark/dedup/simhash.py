@@ -371,7 +371,11 @@ def incremental_simhash_ingest(
     ONE probe join against the batch's chunk rows, which are BROADCAST
     (bounded by the batch); oversized STORE buckets (> ``max_bucket``)
     are excluded like every blocking op here; the within-batch step is
-    the linear star reduction. Only the batch ever shuffles.
+    the linear star reduction. The store-side cap count is a map-side-
+    combined hash aggregate whose exchange is bounded by the BUCKET
+    DOMAIN (4 chunk indexes × 65536 values = ≤262,144 rows), not by
+    store size — so total shuffle volume is O(|batch| + bucket domain),
+    independent of the store.
     """
     from flink_1_3_2_hopsworks_spark.dedup.neardup import (
         resolve_duplicate_clusters,
