@@ -87,6 +87,7 @@ def incremental_near_ingest(
     max_bucket: int = 1000,
     portable: bool = False,
     broadcast_batch: bool = True,
+    batch_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate ingestion dedup: drop new docs that are fuzzy dups of
     the existing corpus, then fuzzy-dedup the batch within itself.
@@ -114,6 +115,17 @@ def incremental_near_ingest(
     signatures), pass ``broadcast_batch=False``: the probe becomes a
     shuffled hash join, correctness unchanged, the corpus pays its one
     bucket-keyed shuffle.
+
+    ``batch_signatures`` (optional) supplies the new batch's PRE-COMPUTED
+    signature frame (:func:`minhash_signature_store` output, typically
+    persisted by the caller). With it, the text is never shingled here at
+    all — the corpus probe AND the within-batch star both project the
+    supplied signatures — so an ingest loop that also appends survivor
+    signatures to its store computes the epoch's signatures exactly ONCE:
+    ``sig = minhash_signature_store(batch).persist(); verdicts =
+    incremental_near_ingest(..., batch_signatures=sig); append
+    sig ⋉ survivor_ids``. Same hash-family stamp rules as a signature
+    store (mismatch raises).
     """
     from flink_1_3_2_hopsworks_spark.dedup.minhash import (
         _shingles,
@@ -183,7 +195,10 @@ def incremental_near_ingest(
         ).select("_id", *sig_cols, "_bb._band", "_bb._bucket")
 
     corpus_b = _bucketed(_sig(corpus))
-    batch_b = _bucketed(_sig(new_docs))
+    batch_sig = _sig(
+        new_docs if batch_signatures is None else batch_signatures
+    )
+    batch_b = _bucketed(batch_sig)
 
     # Cap degenerate corpus buckets (a store would drop these keys at
     # append time) — hash-aggregate + anti-join, same rationale as
@@ -233,6 +248,14 @@ def incremental_near_ingest(
         # corpus-probe step above shares it, so one warning would fire
         # per ingest on every default call — accuracy is gate-measured.
         recall_floor=None,
+        # With pre-computed signatures, restrict them to the corpus-stage
+        # survivors by id semi-join (signatures are per-doc independent —
+        # star_edges' documented id_filter equivalence) instead of
+        # re-shingling the survivor text.
+        signatures=batch_signatures,
+        id_filter=(
+            None if batch_signatures is None else survivors.select(id_col)
+        ),
     )
     clustered = resolve_duplicate_clusters(survivors, edges, id_col)
 

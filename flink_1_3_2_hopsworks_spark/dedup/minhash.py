@@ -463,6 +463,7 @@ def minhash_star_edges(
     persist: bool = True,
     recall_floor: float | None = 0.9,
     id_filter: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LINEAR near-dup edge generation for cluster resolution (the 100 TB
     shape of fuzzy dedup): per LSH bucket, emit only the star edges
@@ -498,19 +499,35 @@ def minhash_star_edges(
     (pre-joining shuffles the text column on the id at scale). The trade:
     signatures are computed for every ``df`` row; pre-filter ``df``
     instead when the subset is tiny and signing CPU dominates.
+
+    ``signatures`` (optional) supplies a PRE-COMPUTED signature frame —
+    ``(id_col | _id, _h0.._h{num_hashes-1}, ...)``, e.g. the output of
+    :func:`~flink_1_3_2_hopsworks_spark.dedup.incremental.
+    minhash_signature_store` — and skips the shingle+hash pass entirely,
+    the same reuse contract incremental_near_ingest applies to a persisted
+    store. The frame MUST come from the same hash family (shingle_k,
+    num_hashes, portable); caller owns its lifecycle, so ``persist`` is
+    ignored (no hidden double-cache of an already-pinned frame).
     """
     rows = num_hashes // bands
     _warn_if_low_recall(threshold, bands, rows, recall_floor)
-    sig = _signatures(
-        _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
-    )
+    if signatures is not None:
+        src = "_id" if "_id" in signatures.columns else id_col
+        sig = signatures.select(
+            F.col(src).alias("_id"),
+            *[f"_h{i}" for i in range(num_hashes)],
+        )
+    else:
+        sig = _signatures(
+            _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
+        )
     if id_filter is not None:
         sig = sig.join(
             id_filter.select(F.col(id_col).alias("_id")).distinct(),
             "_id",
             "left_semi",
         )
-    if persist:
+    if persist and signatures is None:
         sig = sig.persist()
 
     def _bucket_key(b: int) -> Column:

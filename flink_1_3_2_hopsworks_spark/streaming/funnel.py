@@ -177,7 +177,9 @@ def ingest_funnel_batch(
     frame (id, token count, fingerprint, rule verdict) is pinned, the
     set-dependent stages derive from it, and ONE conditional aggregate
     emits the funnel — text is read once for the fingerprint pass and
-    once for the near-dedup shingling, and never shuffles (the library
+    once for the near-dedup shingling (ONE shingle+hash pass per epoch:
+    the pinned signature frame serves the store probe, the within-batch
+    star, and the survivor append), and never shuffles (the library
     operators' audited contracts)."""
     spark = batch.sparkSession
     _id = F.col(id_col)
@@ -189,6 +191,7 @@ def ingest_funnel_batch(
     batch = batch.persist()
     slim = None
     exact_keep = None
+    sig2 = None
     near = None
     try:
         rule_ok = rules if rules is not None else _default_rules(text_col)
@@ -233,16 +236,24 @@ def ingest_funnel_batch(
                 shingle_k=shingle_k, num_hashes=num_hashes,
                 portable=portable,
             )
+        # The epoch's ONE shingle+hash pass, over the exact-stage
+        # survivors: feeds the store probe, the within-batch star, AND the
+        # survivor-signature append (pre-r11 the append re-shingled the
+        # survivor text a second time — the dominant per-epoch sf10 term
+        # per SCALE.md). Pinned: three downstream references.
+        sig2 = minhash_signature_store(
+            surv2, id_col, text_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        ).persist()
         # Pin the verdicts: both the funnel aggregate and the survivor-
         # signature write reference them, and everything upstream of the
-        # internally-materialized components (batch signatures + the
-        # store probe join — the store SCAN) would otherwise re-run per
+        # store probe join (the store SCAN) would otherwise re-run per
         # action (the same reason neardup.ingest_batch pins its verdicts).
         near = incremental_near_ingest(
             surv2, sig_store, id_col, text_col,
             threshold=threshold, shingle_k=shingle_k,
             num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
-            portable=portable,
+            portable=portable, batch_signatures=sig2,
         ).select(_id, F.col("kept").alias("_nd_ok")).persist()
 
         # ---- stage booleans + the one conditional funnel aggregate ----
@@ -301,18 +312,16 @@ def ingest_funnel_batch(
         ).write.mode("overwrite").parquet(
             f"{fp_store_path}/batch_id={batch_id}"
         )
-        surv3 = batch.join(
-            near.filter(F.col("_nd_ok")).select(id_col), id_col
-        )
-        minhash_signature_store(
-            surv3, id_col, text_col,
-            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        sig2.join(
+            near.filter(F.col("_nd_ok")).select(id_col), id_col, "left_semi"
         ).write.mode("overwrite").parquet(
             f"{sig_store_path}/batch_id={batch_id}"
         )
     finally:
         if near is not None:
             near.unpersist()
+        if sig2 is not None:
+            sig2.unpersist()
         if exact_keep is not None:
             exact_keep.unpersist()
         if slim is not None:

@@ -189,6 +189,7 @@ def ingest_batch(
     # ValueError or plan-build failure must not leak the cached batch
     # (ann.py's ingest_vector_batch has the same shape).
     batch = batch.persist()
+    batch_sig = None
     verdicts = None
     try:
         store = _read_store(spark, store_path, batch_id)
@@ -200,25 +201,33 @@ def ingest_batch(
                 shingle_k=shingle_k, num_hashes=num_hashes,
                 portable=portable,
             )
+        # The epoch's ONE shingle+hash pass: these signatures feed the
+        # corpus probe, the within-batch star, AND the survivor append —
+        # pinned because all three reference them (pre-r11, the append
+        # re-shingled the survivor text a second time per epoch; the
+        # dominant per-epoch term at crawl scale per SCALE.md).
+        batch_sig = minhash_signature_store(
+            batch, id_col, text_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        ).persist()
         verdicts = incremental_near_ingest(
             batch, store, id_col, text_col,
             threshold=threshold, shingle_k=shingle_k,
             num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
-            portable=portable,
+            portable=portable, batch_signatures=batch_sig,
         ).persist()
         verdicts.write.mode("overwrite").parquet(
             f"{verdict_path}/batch_id={batch_id}"
         )
-        survivors = batch.join(
-            verdicts.filter(F.col("kept")).select(id_col), id_col
-        )
-        minhash_signature_store(
-            survivors, id_col, text_col,
-            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        batch_sig.join(
+            verdicts.filter(F.col("kept")).select(id_col), id_col,
+            "left_semi",
         ).write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )
     finally:
         if verdicts is not None:
             verdicts.unpersist()
+        if batch_sig is not None:
+            batch_sig.unpersist()
         batch.unpersist()

@@ -224,3 +224,35 @@ def test_funnel_seed_state_visible_and_root_dump_rejected(spark, tmp_path):
         ingest_funnel_batch(
             batch, 0, bad, str(tmp_path / "sig2"), str(tmp_path / "funnel2")
         )
+
+
+def test_funnel_epoch_runs_one_signature_pass(spark, tmp_path):
+    """r11 signature-reuse contract: a steady-state funnel epoch shingles
+    + hashes exactly ONCE — the pinned exact-survivor signature frame
+    serves the store probe, the within-batch star, and the survivor
+    append (epoch 0 additionally builds the empty-store schema stub, so
+    count epoch 1)."""
+    import flink_1_3_2_hopsworks_spark.dedup.minhash as mh
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import (
+        ingest_funnel_batch,
+    )
+
+    frames = _frames(spark)
+    fp_store = str(tmp_path / "fp_store")
+    sig_store = str(tmp_path / "sig_store")
+    funnel = str(tmp_path / "funnel")
+    ingest_funnel_batch(frames[0], 0, fp_store, sig_store, funnel)
+
+    calls = []
+    real = mh._signatures
+
+    def counting(shingles, num_hashes, portable):
+        calls.append(1)
+        return real(shingles, num_hashes, portable)
+
+    mh._signatures = counting
+    try:
+        ingest_funnel_batch(frames[1], 1, fp_store, sig_store, funnel)
+    finally:
+        mh._signatures = real
+    assert len(calls) == 1, f"expected ONE signature pass, got {len(calls)}"

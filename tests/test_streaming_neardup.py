@@ -211,3 +211,66 @@ def test_seeded_store_visible_in_every_epoch_and_root_dump_rejected(
             spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
             0, bad, str(tmp_path / "bad_verdicts"),
         )
+
+
+def test_precomputed_batch_signatures_equivalent_and_single_pass(
+    spark, tmp_path
+):
+    """r11 signature-reuse contract: (a) passing batch_signatures yields
+    verdicts identical to the re-shingling path on every epoch; (b) one
+    ingest_batch epoch runs the shingle+hash pass exactly ONCE (the append
+    projects the same pinned frame instead of re-shingling survivors)."""
+    import flink_1_3_2_hopsworks_spark.dedup.minhash as mh
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+        minhash_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    # (a) equivalence, cumulative store across all three epochs
+    store = minhash_signature_store(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    for rows in BATCHES:
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = minhash_signature_store(batch, "doc_id", "text").persist()
+        old = incremental_near_ingest(batch, store, "doc_id", "text")
+        new = incremental_near_ingest(
+            batch, store, "doc_id", "text", batch_signatures=sig
+        )
+        assert sorted(map(tuple, old.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+        store = store.unionByName(
+            sig.join(
+                new.filter(F.col("kept")).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        ).localCheckpoint()
+        sig.unpersist()
+
+    # (b) ONE _signatures call per ingest_batch epoch (plan-build count:
+    # the store side reuses its persisted columns, the probe/star/append
+    # all project the one batch frame). Epoch 0 additionally builds the
+    # empty-store schema stub, so count a steady-state epoch (1).
+    ingest_batch(
+        spark.createDataFrame(BATCHES[0], "doc_id long, text string"),
+        0, str(tmp_path / "store1p"), str(tmp_path / "verdicts1p"),
+    )
+    calls = []
+    real = mh._signatures
+
+    def counting(shingles, num_hashes, portable):
+        calls.append(1)
+        return real(shingles, num_hashes, portable)
+
+    mh._signatures = counting
+    try:
+        ingest_batch(
+            spark.createDataFrame(BATCHES[1], "doc_id long, text string"),
+            1, str(tmp_path / "store1p"), str(tmp_path / "verdicts1p"),
+        )
+    finally:
+        mh._signatures = real
+    assert len(calls) == 1, f"expected ONE signature pass, got {len(calls)}"
