@@ -365,6 +365,41 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         9,
     ),
+    # r10 cohort (overrides earlier entries — CORRECTNESS_r10.json proved
+    # all 50 of these green on rows+schema+hash: the six r10 gates, the
+    # serve-family kernel-fix re-proofs, and the then-stalest r05-era
+    # names). ev_curation_funnel_stream is deliberately absent: its epoch
+    # body changed in round 11 (survivor-signature append now projects the
+    # epoch's one pinned signature frame instead of re-shingling), which
+    # invalidates the r10 proof — it keeps its older stamp and heads the
+    # r11 artifact (locally re-proven vs its oracle the day of the change).
+    **dict.fromkeys(
+        [
+            "dd_embedding_pairs", "dd_embedding_recall", "dd_exact_dedup",
+            "dd_ngram_jaccard_pairs", "dd_simhash_pairs",
+            "fn_udaf_grouped", "fn_udf_scalar", "fn_udtf_lateral",
+            "gr_customer_jaccard", "gr_degrees",
+            "mm_audio_embed_topk", "mm_curation_funnel_stream",
+            "mm_embed_topk", "mm_video_embed_topk",
+            "op_weighted_sample",
+            "pipe_dataset_card", "pipe_incremental_ingest",
+            "pipe_lang_mixture", "pipe_quality_filter",
+            "pipe_shuffle_shard", "pipe_token_budget", "pipe_token_mixture",
+            "q11_important_stock", "q12_shipping_delay",
+            "q13_customer_distribution", "q14_promo_revenue",
+            "q15_top_supplier", "q16_supplier_cnt",
+            "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+            "q7_volume_shipping",
+            "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivfpq_rerank_topk",
+            "sim_ivfpq_topk", "sim_lsh_topk", "sim_recall_eval",
+            "text_boilerplate_removal", "text_chunk_documents",
+            "text_decontaminate", "text_dup_span_removal",
+            "text_dup_span_stats", "text_fingerprint", "text_lang_id",
+            "text_normalize_unicode", "text_quality",
+            "text_repetition_stats", "text_stats", "text_unigram_rarity",
+        ],
+        10,
+    ),
 }
 
 
