@@ -2198,6 +2198,16 @@ def _mm_curation_funnel_stream_oracle(
             FROM stc{e} sc
             JOIN bb{e} bb ON sc.ci = bb.ci AND sc.cv = bb.cv
             WHERE BIT_COUNT(XOR(sc.ah, bb.ah)) <= {max_distance}
+            UNION
+            -- the r11 uncapped EQUALITY arm (Hamming-0 guarantee under
+            -- the bucket cap) — provably empty in THIS gate because the
+            -- exact stage keeps one doc per aHash globally, mirrored for
+            -- fidelity with incremental_simhash_ingest
+            SELECT DISTINCT b.doc_id AS id
+            FROM (SELECT doc_id, ah FROM s3 WHERE ep = {e}) b
+            JOIN (
+                SELECT s3.ah FROM s3 JOIN st{e} s ON s3.doc_id = s.id
+            ) st ON st.ah = b.ah
         ), svc{e} AS (
             SELECT * FROM (
                 SELECT sv.*, COUNT(*) OVER (PARTITION BY ci, cv) AS sbs

@@ -364,7 +364,10 @@ def incremental_simhash_ingest(
     'corpus_near_dup', 'batch_near_dup'} — a batch item drops when any
     STORED fingerprint sharing one of its 16-bit chunk buckets is within
     ``max_distance`` Hamming bits, else clusters within the batch (the
-    star geometry, min id survives).
+    star geometry, min id survives). An uncapped EQUALITY arm preserves
+    the Hamming-0 guarantee under the bucket cap: exact duplicates of a
+    stored fingerprint always drop, even when every shared chunk bucket
+    is oversized (the degenerate-fingerprint case the cap exists for).
 
     Scale shape (mirrors the MinHash ingest exactly): the store — the
     100 TB side — is only ever SCANNED; its chunk rows stream through
@@ -406,13 +409,30 @@ def incremental_simhash_ingest(
         F.col("_c.ci").alias("ci"),
         F.col("_c.cv").alias("cv"),
     )
-    corpus_dups = (
+    near_hits = (
         store_capped.select("ci", "cv", F.col("simhash").alias("_sh"))
         .join(F.broadcast(batch_chunks), ["ci", "cv"])
         .filter(hamming64(F.col("_sh"), F.col("_bh")) <= max_distance)
         .select(F.col("_bid"))
+    )
+    # Uncapped EQUALITY arm — the Hamming-0 guarantee the other simhash
+    # entry points keep (simhash_near_dups' exact-duplicate recovery
+    # star): a stored fingerprint whose 4 chunk buckets are ALL oversized
+    # is invisible to the capped probe above, so its exact duplicates
+    # would be kept and re-appended every epoch, growing the hot bucket
+    # further. Same scale shape as the probe: the store is SCANNED once
+    # more (8 bytes/doc), semi-probed by the broadcast batch key set;
+    # collisions are bounded by the batch's distinct hashes.
+    batch_keys = batch.select("simhash").distinct()
+    exact_hits_keys = (
+        store.select("simhash")
+        .join(F.broadcast(batch_keys), "simhash", "left_semi")
         .distinct()
     )
+    exact_hits = batch.join(
+        F.broadcast(exact_hits_keys), "simhash"
+    ).select(F.col("_id").alias("_bid"))
+    corpus_dups = near_hits.unionByName(exact_hits).distinct()
     survivors = batch.join(
         corpus_dups, batch["_id"] == corpus_dups["_bid"], "left_anti"
     ).select(F.col("_id").alias(id_col), "simhash")

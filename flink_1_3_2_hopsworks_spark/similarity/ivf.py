@@ -159,6 +159,10 @@ def ivf_probe_cells(
 
     cents = np.asarray(centroids, dtype=np.float64)
     cnorms = np.asarray(_seq_norms(centroids))
+    # nprobe > k cells degrades to probing every cell (the graceful
+    # ivf_cells_expr behavior) — unclamped, repeat(nprobe) would yield
+    # n*nprobe ids against n*k cells and crash the kernel.
+    nprobe = min(nprobe, len(cents))
     id_ddl = queries.schema[query_id].dataType.simpleString()
     schema = f"{query_id} {id_ddl}, _cell int"
 
@@ -171,10 +175,9 @@ def ivf_probe_cells(
             # nprobe nearest by (cosine desc, cell asc): argsort on the
             # negated cosines is stable-ascending, ties keep cell order.
             order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
-                    query_id: pdf[query_id].values.repeat(nprobe),
+                    query_id: pdf[query_id].values.repeat(order.shape[1]),
                     "_cell": order.astype("int32").reshape(-1),
                 }
             )

@@ -213,11 +213,17 @@ def write_zordered(
 
     Cost: one slim min/max aggregate (a one-row collect — bounded by
     construction) + one range shuffle on the z-value — the same shuffle
-    any clustered write pays. NULLs rank 0 (sort first, prune like a
+    any clustered write pays. The bounds aggregate runs EAGERLY at call
+    time (it parameterizes the interleave literals), so the input plan
+    executes twice: materialize upstream results first if they are
+    expensive to recompute. NULLs rank 0 (sort first, prune like a
     value). Non-numeric z-order columns raise up front, and an all-NULL
     column on a non-empty frame raises rather than silently collapsing
     that dimension to a constant (which would degrade clustering with no
     error — the silent-degradation mode the bits guard exists to stop).
+    Behavior change vs r9: non-numeric / all-NULL z-order columns used to
+    write with that dimension silently ranked 0; since r10 they raise —
+    intentional hardening (no in-repo caller relied on the silent path).
     """
     import pyspark.sql.functions as F
     from pyspark.sql import types as T

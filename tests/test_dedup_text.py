@@ -764,3 +764,34 @@ def test_minhash_recall_gate_consistency(spark):
     assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
     if r["n_true"]:
         assert r["recall"] == round(r["n_hit"] / r["n_true"], 4)
+
+
+def test_incremental_simhash_ingest_hamming0_past_cap(spark):
+    """r11 advice: the ingest's corpus probe must keep the Hamming-0
+    guarantee under the bucket cap — a batch fingerprint exactly equal to
+    a STORED fingerprint drops as corpus_near_dup even when every shared
+    chunk bucket is oversized (degenerate fingerprint-0 store), via the
+    uncapped equality arm; and the hot bucket must stop growing (the
+    masked re-append the advice named)."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import (
+        incremental_simhash_ingest,
+    )
+
+    # store: 20 copies of fingerprint 0 — all 4 chunk buckets size 20 > cap
+    store = spark.createDataFrame(
+        [(1000 + i, 0) for i in range(20)], "doc_id long, simhash long"
+    )
+    batch = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1 << 40)], "doc_id long, simhash long"
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in incremental_simhash_ingest(
+            batch, store, "doc_id", max_distance=3, max_bucket=5
+        ).collect()
+    }
+    assert got == {
+        1: (False, "corpus_near_dup"),
+        2: (False, "corpus_near_dup"),
+        3: (True, "kept"),
+    }

@@ -150,3 +150,23 @@ def test_ivf_more_probes_more_recall(emb, queries):
         ).collect()
     }
     assert full == exact
+
+
+def test_ivf_probe_cells_clamps_nprobe_past_centroid_count(spark):
+    """r11 advice: nprobe > len(centroids) must degrade gracefully to
+    probing every cell (the old ivf_cells_expr behavior), not crash the
+    kernel with a pandas length mismatch."""
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_probe_cells
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    q = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [-0.5, 0.5])],
+        "qid long, vec array<double>",
+    )
+    rows = ivf_probe_cells(q, "qid", "vec", cents, nprobe=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append(r["_cell"])
+    # every query probes ALL 3 cells, nearest first
+    assert sorted(got[1]) == [0, 1, 2] and got[1][0] == 0
+    assert sorted(got[2]) == [0, 1, 2] and got[2][0] == 1
