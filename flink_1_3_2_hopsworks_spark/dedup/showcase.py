@@ -1336,3 +1336,33 @@ def mm_video_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_topk(corpus, probes, "doc_id", k=10, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+def mm_pair_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal PAIRED curation funnel (multimodal/pair_curation.py) —
+    joint survivorship over (caption, image) pairs: the pair drops if the
+    caption fails the C4 rules / is an exact or MinHash-star near dup, OR
+    the image fails brightness/contrast quality / is an exact or
+    simhash-star perceptual dup — each dedup stage restricted to the
+    previous stage's PAIR survivors, so drops propagate across
+    modalities. Captions are the documents table's text; images are the
+    deterministic BMP twin of the doc ids (multimodal/synth.py — the
+    mm_curation_funnel corpus). Output: the auditable 8-stage funnel with
+    PAIR-CONSISTENT checksums (each salted-h32 binds pair id + caption
+    fingerprint + image aHash; the shard row also binds the shard).
+    Oracle: composes the text-funnel CTEs (ntok/fp/C4 + the survivor-
+    gated portable MinHash star closure) with the image-funnel CTEs (the
+    frozen (pattern, variant) stats model + the survivor-restricted
+    simhash star closure), stage by stage.
+    Reference-analogue: the two-input keyed coGroup
+    (F-J/operators/CoGroupOperator.java) joining two cleaned streams."""
+    from flink_1_3_2_hopsworks_spark.multimodal.pair_curation import (
+        pair_curation_funnel,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", "text").join(
+        image_twin(docs, "doc_id"), "doc_id"
+    )
+    return pair_curation_funnel(pairs, "doc_id")

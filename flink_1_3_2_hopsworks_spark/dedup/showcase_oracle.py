@@ -2746,3 +2746,192 @@ def _mm_curation_funnel_oracle(
 
 
 ORACLE["mm_curation_funnel"] = _mm_curation_funnel_oracle()
+
+
+def _mm_pair_curation_oracle(
+    n_patterns: int = 16,
+    n_variants: int = 3,
+    min_brightness: float = 105.0,
+    max_brightness: float = 137.0,
+    min_contrast: float = 40.0,
+    near_threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    n_shards: int = 8,
+    salt: str = "pair11",
+) -> str:
+    """Replays the PAIRED curation funnel (multimodal/pair_curation.py)
+    by composing the two sibling funnels' oracle CTEs over JOINT survivor
+    sets: caption signals (ntok, md5 fingerprint, C4 rules) from the
+    documents text + image signals from the frozen (pattern, variant) →
+    (brightness, contrast, aHash, bytes) model, then the alternating
+    stage chain — caption rules → image quality → caption min-id keepers
+    → image min-id keepers → the survivor-gated portable MinHash star
+    closure → the survivor-restricted simhash star closure → shard —
+    with pair-consistent checksums binding (id, caption fp, aHash)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_image_stats_table,
+    )
+
+    values = ",\n            ".join(
+        f"({k}, {v}, {m!r}, {s!r}, {fp}::BIGINT, {nb})"
+        for k, v, m, s, fp, nb in frozen_image_stats_table(
+            n_patterns, n_variants
+        )
+    )
+
+    def h32(key_sql: str) -> str:
+        return f"('0x' || SUBSTR(MD5({key_sql}), 1, 8))::BIGINT"
+
+    bind = (
+        "CONCAT_WS('|', CAST(doc_id AS VARCHAR), cfp, "
+        "CAST(simhash AS VARCHAR)"
+    )
+    ck = h32(f"{bind}, '{salt}ck')")
+    ck_sh = h32(f"{bind}, CAST(shard AS VARCHAR), '{salt}ck')")
+    shard = (
+        h32(f"CONCAT_WS('|', CAST(doc_id AS VARCHAR), '{salt}sh')")
+        + f" % {n_shards}"
+    )
+    agree = _minhash_agree(num_hashes)
+    mh = _minhash_cte_prefix(
+        shingle_k,
+        num_hashes,
+        bands,
+        max_bucket,
+        source="(SELECT c.doc_id, c.text FROM documents c "
+        "JOIN s4 ON c.doc_id = s4.doc_id)",
+        materialized=True,
+    )
+    stages = [
+        ("input", "d"), ("caption_rules", "s1"), ("image_quality", "s2"),
+        ("caption_exact_dedup", "s3"), ("image_exact_dedup", "s4"),
+        ("caption_near_dedup", "s5"), ("image_near_dedup", "s6"),
+        ("paired_shard", "s7"),
+    ]
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+        f" CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,"
+        f" CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_bytes,"
+        f" CAST(COALESCE(SUM({ck_sh if name == 'paired_shard' else ck}), 0)"
+        f" AS BIGINT) AS pair_checksum FROM {rel}"
+        for i, (name, rel) in enumerate(stages)
+    )
+    return f"""
+    WITH RECURSIVE model(k, v, mean, std, ifp, nb) AS (
+        VALUES {values}
+    ), txt AS (
+        SELECT doc_id,
+            CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(COALESCE(text, '')),
+                          '\\s+'))
+            END AS ntok,
+            MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS cfp,
+            NOT (LOWER(COALESCE(text, '')) LIKE '%lorem ipsum%'
+                 OR COALESCE(text, '') LIKE '%{{%') AS c4
+        FROM documents
+    ), img AS (
+        SELECT i.doc_id, m.mean, m.std, m.ifp AS simhash, m.nb
+        FROM (
+            SELECT doc_id, doc_id % {n_patterns} AS k,
+                (doc_id // {n_patterns}) % {n_variants} AS v
+            FROM documents
+        ) i JOIN model m USING (k, v)
+    ), d AS MATERIALIZED (
+        SELECT t.doc_id, t.ntok, t.cfp, t.c4,
+            i.mean, i.std, i.simhash, i.nb
+        FROM txt t JOIN img i USING (doc_id)
+    ), s1 AS MATERIALIZED (
+        SELECT * FROM d WHERE c4
+    ), s2 AS MATERIALIZED (
+        SELECT * FROM s1
+        WHERE mean >= {min_brightness!r} AND mean <= {max_brightness!r}
+          AND std >= {min_contrast!r}
+    ), k3 AS (
+        SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY cfp
+    ), s3 AS MATERIALIZED (
+        SELECT s2.* FROM s2 JOIN k3 USING (doc_id)
+    ), k4 AS (
+        SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY simhash
+    ), s4 AS MATERIALIZED (
+        SELECT s3.* FROM s3 JOIN k4 USING (doc_id)
+    ), {mh}, anch AS (
+        SELECT band, bucket, MIN(id) AS aid
+        FROM capped GROUP BY band, bucket
+    ), candp AS (
+        SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+        FROM anch a
+        JOIN capped c ON a.band = c.band AND a.bucket = c.bucket
+                     AND c.id > a.aid
+    ), edges AS MATERIALIZED (
+        SELECT id_a, id_b FROM candp
+        JOIN sig sa ON sa.id = id_a
+        JOIN sig sb ON sb.id = id_b
+        WHERE ({agree}) / {float(num_hashes)} >= {near_threshold}
+    ), sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ), verts AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), reach(root, node) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.root, sym.dst
+        FROM reach JOIN sym ON sym.src = reach.node
+    ), comp AS (
+        SELECT root AS id, MIN(node) AS component FROM reach GROUP BY root
+    ), s5 AS MATERIALIZED (
+        SELECT s4.* FROM s4
+        LEFT JOIN comp ON comp.id = s4.doc_id
+        WHERE COALESCE(comp.component, s4.doc_id) = s4.doc_id
+    ), ichunk AS (
+        SELECT doc_id, simhash, ci,
+            (simhash >> (ci * 16)) & 65535 AS cv
+        FROM s5 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+    ), icap AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY ci, cv) AS bsize
+            FROM ichunk
+        ) WHERE bsize <= {max_bucket}
+    ), ianchor AS (
+        SELECT ci, cv, MIN(doc_id) AS aid FROM icap GROUP BY ci, cv
+    ), ianch AS (
+        SELECT a.ci, a.cv, a.aid, f.simhash AS afp
+        FROM ianchor a JOIN s5 f ON f.doc_id = a.aid
+    ), istars AS (
+        SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b
+        FROM icap c
+        JOIN ianch n ON c.ci = n.ci AND c.cv = n.cv AND c.doc_id > n.aid
+        WHERE BIT_COUNT(XOR(n.afp, c.simhash)) <= {max_distance}
+    ), isym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM istars
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM istars
+    ), iverts AS (
+        SELECT DISTINCT src AS id FROM isym
+    ), ireach(root, node) AS (
+        SELECT id, id FROM iverts
+        UNION
+        SELECT ireach.root, isym.dst
+        FROM ireach JOIN isym ON isym.src = ireach.node
+    ), icomp AS (
+        SELECT root AS id, MIN(node) AS component FROM ireach GROUP BY root
+    ), s6 AS MATERIALIZED (
+        SELECT s5.* FROM s5
+        LEFT JOIN icomp c ON c.id = s5.doc_id
+        WHERE COALESCE(c.component, s5.doc_id) = s5.doc_id
+    ), s7 AS (
+        SELECT s6.*, CAST({shard} AS INTEGER) AS shard FROM s6
+    )
+    SELECT * FROM (
+        {arms}
+    ) ORDER BY stage_idx
+    """
+
+
+ORACLE["mm_pair_curation_funnel"] = _mm_pair_curation_oracle()
