@@ -59,6 +59,10 @@ from flink_1_3_2_hopsworks_spark.dedup.incremental import (
 from flink_1_3_2_hopsworks_spark.functions.text import fingerprint, token_count
 from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
 from flink_1_3_2_hopsworks_spark.streaming.neardup import _read_store
+from flink_1_3_2_hopsworks_spark.streaming.stores import (
+    prune_store_by_key,
+    write_bucketed_partition,
+)
 
 STAGES = ("input", "rules", "exact_dedup", "near_dedup")
 
@@ -71,12 +75,13 @@ def _default_rules(text_col: str) -> Column:
 
 def _read_fp_store(spark, fp_store_path: str, before_batch_id: int):
     """The fingerprint store's ``_fp`` column (epochs strictly before
-    ``before_batch_id``), or ``None`` on the very first batch. Same
-    visibility rules as the signature store: a replayed epoch must not
-    see its own uncommitted append (every in-batch doc would flip to
-    corpus-dup and the partition would overwrite empty), and a
-    non-epoch-partitioned store is rejected loudly (_read_store's
-    partition-discovery data-loss rationale)."""
+    ``before_batch_id``) plus its ``_kb`` bucket column when the store is
+    key-bucketed (r11 layout — lets the probe prune files), or ``None``
+    on the very first batch. Same visibility rules as the signature
+    store: a replayed epoch must not see its own uncommitted append
+    (every in-batch doc would flip to corpus-dup and the partition would
+    overwrite empty), and a non-epoch-partitioned store is rejected
+    loudly (_read_store's partition-discovery data-loss rationale)."""
     store = _read_store(spark, fp_store_path, before_batch_id)
     if store is None:
         return None
@@ -85,7 +90,8 @@ def _read_fp_store(spark, fp_store_path: str, before_batch_id: int):
             f"fingerprint store at {fp_store_path!r} has no _fp column — "
             "stores are written by ingest_funnel_batch / seed_funnel_state."
         )
-    return store.select("_fp")
+    cols = ["_fp"] + (["_kb"] if "_kb" in store.columns else [])
+    return store.select(*cols)
 
 
 def seed_funnel_state(
@@ -102,9 +108,10 @@ def seed_funnel_state(
     starts: fingerprints and signatures land under the reserved
     ``batch_id=-1`` partitions (visible to every epoch, including epoch-0
     crash replays reading ``batch_id < 0``)."""
-    docs.select(
-        F.col(id_col), fingerprint(text_col).alias("_fp")
-    ).write.mode("overwrite").parquet(f"{fp_store_path}/batch_id=-1")
+    write_bucketed_partition(
+        docs.select(F.col(id_col), fingerprint(text_col).alias("_fp")),
+        fp_store_path, -1, "_fp",
+    )
     minhash_signature_store(
         docs, id_col, text_col,
         shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
@@ -210,9 +217,15 @@ def ingest_funnel_batch(
         fp_store = _read_fp_store(spark, fp_store_path, batch_id)
         if fp_store is not None:
             batch_keys = s1.select("_fp").distinct()
-            collisions = fp_store.join(
-                F.broadcast(batch_keys), "_fp", "left_semi"
-            ).distinct()
+            # r11 layout: a bucketed store's scan is pruned to the batch's
+            # key buckets (PartitionFilters) BEFORE the broadcast probe —
+            # probe I/O no longer grows with corpus lifetime.
+            collisions = (
+                prune_store_by_key(fp_store, s1, "_fp")
+                .select("_fp")
+                .join(F.broadcast(batch_keys), "_fp", "left_semi")
+                .distinct()
+            )
             s1_new = s1.join(F.broadcast(collisions), "_fp", "left_anti")
         else:
             s1_new = s1
@@ -307,10 +320,12 @@ def ingest_funnel_batch(
         funnel.write.mode("overwrite").parquet(
             f"{funnel_path}/batch_id={batch_id}"
         )
-        slim.join(exact_keep.select(id_col), id_col).select(
-            _id, "_fp"
-        ).write.mode("overwrite").parquet(
-            f"{fp_store_path}/batch_id={batch_id}"
+        write_bucketed_partition(
+            slim.join(exact_keep.select(id_col), id_col).select(_id, "_fp"),
+            fp_store_path, batch_id, "_fp",
+            # a pre-r11 flat store keeps its layout (mixed depths break
+            # parquet partition discovery)
+            legacy_flat=(fp_store is not None and "_kb" not in fp_store.columns),
         )
         sig2.join(
             near.filter(F.col("_nd_ok")).select(id_col), id_col, "left_semi"

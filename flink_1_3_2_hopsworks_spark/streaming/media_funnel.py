@@ -50,6 +50,10 @@ from flink_1_3_2_hopsworks_spark.dedup.simhash import incremental_simhash_ingest
 from flink_1_3_2_hopsworks_spark.multimodal.curation import decode_signals
 from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
 from flink_1_3_2_hopsworks_spark.streaming.neardup import _read_store
+from flink_1_3_2_hopsworks_spark.streaming.stores import (
+    prune_store_by_key,
+    write_bucketed_partition,
+)
 
 STAGES = (
     "input",
@@ -73,7 +77,7 @@ def seed_media_funnel_state(
     fps = decode_signals(media, id_col, payload_col).filter(
         F.col("decoded")
     ).select(id_col, "simhash")
-    fps.write.mode("overwrite").parquet(f"{exact_store_path}/batch_id=-1")
+    write_bucketed_partition(fps, exact_store_path, -1, "simhash")
     fps.write.mode("overwrite").parquet(f"{near_store_path}/batch_id=-1")
 
 
@@ -159,9 +163,14 @@ def ingest_media_funnel_batch(
         exact_store = _read_store(spark, exact_store_path, batch_id)
         if exact_store is not None:
             batch_keys = q.select("simhash").distinct()
-            collisions = exact_store.select("simhash").join(
-                F.broadcast(batch_keys), "simhash", "left_semi"
-            ).distinct()
+            # r11 layout: the bucketed store scan is pruned to the batch's
+            # key buckets (PartitionFilters) before the broadcast probe.
+            collisions = (
+                prune_store_by_key(exact_store, q, "simhash")
+                .select("simhash")
+                .join(F.broadcast(batch_keys), "simhash", "left_semi")
+                .distinct()
+            )
             q_new = q.join(F.broadcast(collisions), "simhash", "left_anti")
         else:
             q_new = q
@@ -233,10 +242,14 @@ def ingest_media_funnel_batch(
         funnel.write.mode("overwrite").parquet(
             f"{funnel_path}/batch_id={batch_id}"
         )
-        slim.join(exact_keep.select(id_col), id_col).select(
-            id_col, "simhash"
-        ).write.mode("overwrite").parquet(
-            f"{exact_store_path}/batch_id={batch_id}"
+        write_bucketed_partition(
+            slim.join(exact_keep.select(id_col), id_col).select(
+                id_col, "simhash"
+            ),
+            exact_store_path, batch_id, "simhash",
+            legacy_flat=(
+                exact_store is not None and "_kb" not in exact_store.columns
+            ),
         )
         slim.join(
             near.filter(F.col("_nd_ok")).select(id_col), id_col

@@ -256,3 +256,90 @@ def test_funnel_epoch_runs_one_signature_pass(spark, tmp_path):
     finally:
         mh._signatures = real
     assert len(calls) == 1, f"expected ONE signature pass, got {len(calls)}"
+
+
+def test_bucketed_store_probe_prunes_files(spark, tmp_path):
+    """r11 store layout: epoch partitions are bucketed by the probe key,
+    so a small batch's probe reaches the scan as PartitionFilters and
+    skips every untouched bucket's files — probe I/O stops growing with
+    corpus lifetime. Quantified via input_file_name (post-pruning scanned
+    files), the ivf _cell test's methodology."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        key_bucket,
+        prune_store_by_key,
+        write_bucketed_partition,
+    )
+
+    corpus = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("_fp"),
+    )
+    store_path = str(tmp_path / "store")
+    for e in range(3):
+        write_bucketed_partition(
+            corpus.filter(F.col("doc_id") % 3 == e), store_path, e, "_fp"
+        )
+    store = spark.read.parquet(store_path)
+    n_disk_buckets = store.select("_kb").distinct().count()
+    assert n_disk_buckets > 30  # 2000 hashes spread over 64 buckets
+
+    probe = corpus.filter(F.col("doc_id") < 3).select("_fp")
+    pruned = prune_store_by_key(store, probe, "_fp")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_kb" in plan.split("PartitionFilters")[1][:300]
+
+    scanned = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    touched = {f.split("_kb=")[1].split("/")[0] for f in scanned}
+    probe_kbs = {
+        str(r[0])
+        for r in probe.select(key_bucket(F.col("_fp"))).distinct().collect()
+    }
+    assert touched <= probe_kbs
+    assert len(touched) <= 3 < n_disk_buckets
+
+    # pruning is invisible to the probe's semantics
+    hits_full = sorted(
+        r[0]
+        for r in store.join(F.broadcast(probe), "_fp", "left_semi")
+        .select("doc_id").collect()
+    )
+    hits_pruned = sorted(
+        r[0]
+        for r in pruned.join(F.broadcast(probe), "_fp", "left_semi")
+        .select("doc_id").collect()
+    )
+    assert hits_full == hits_pruned and len(hits_full) == 3
+
+
+def test_legacy_flat_fp_store_stays_flat_and_correct(spark, tmp_path):
+    """A pre-r11 flat fp store keeps its layout (mixed directory depths
+    break parquet partition discovery) and cross-epoch dedup still
+    works through the unpruned path."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.functions.text import fingerprint
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import (
+        ingest_funnel_batch,
+    )
+
+    frames = _frames(spark)
+    fp_store = str(tmp_path / "fp_store")
+    sig_store = str(tmp_path / "sig_store")
+    funnel = str(tmp_path / "funnel")
+    # legacy seed: flat (no _kb), the pre-r11 writer's layout
+    frames[0].select(
+        F.col("doc_id"), fingerprint("text").alias("_fp")
+    ).write.mode("overwrite").parquet(f"{fp_store}/batch_id=-1")
+
+    ingest_funnel_batch(frames[1], 0, fp_store, sig_store, funnel)
+    store = spark.read.parquet(fp_store)
+    assert "_kb" not in store.columns  # layout preserved
+    # doc 11 (BASE) is an exact dup of the seeded epoch-0 survivor text
+    n = {r["stage"]: r["n_docs"]
+         for r in spark.read.parquet(funnel).collect()}
+    assert n["exact_dedup"] == EXPECTED_N_DOCS[(1, "exact_dedup")]
