@@ -32,10 +32,64 @@ from flink_1_3_2_hopsworks_spark.functions.text import fingerprint
 # hashes}_p{0|1}. incremental_near_ingest refuses a store whose stamp
 # disagrees with the call's parameters.
 _STAMP_PREFIX = "_mh_params_"
+_KEYS_STAMP_PREFIX = "_mh_keys_"
 
 
 def _store_stamp(shingle_k: int, num_hashes: int, portable: bool) -> str:
     return f"{_STAMP_PREFIX}k{shingle_k}_n{num_hashes}_p{int(portable)}"
+
+
+def _keys_stamp(
+    shingle_k: int, num_hashes: int, bands: int, portable: bool
+) -> str:
+    # A keys store FIXES the banding (unlike the signature store, which
+    # serves any banding), so the stamp carries it.
+    return (
+        f"{_KEYS_STAMP_PREFIX}k{shingle_k}_n{num_hashes}"
+        f"_b{bands}_p{int(portable)}"
+    )
+
+
+def banded_bucket_keys(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """``(_id, _h0.._h{n-1}, _band, _bucket)`` — one row per (doc, band):
+    the LSH band bucket keys derived from a signature frame (``_id`` +
+    ``_h*`` columns). THE single derivation shared by the probe path and
+    the posting-key store writer, so store keys and probe keys can never
+    drift."""
+    rows = num_hashes // bands
+    sig_cols = [f"_h{i}" for i in range(num_hashes)]
+    if portable:
+        keys = [
+            F.concat_ws(
+                "|", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+            ).cast("string").alias(f"_k{b}")
+            for b in range(bands)
+        ]
+    else:
+        keys = [
+            F.xxhash64(
+                *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+            ).cast("string").alias(f"_k{b}")
+            for b in range(bands)
+        ]
+    wide = sig.select("_id", *sig_cols, *[k for k in keys])
+    return wide.select(
+        "_id",
+        *sig_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.col(f"_k{b}").alias("_bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", *sig_cols, "_bb._band", "_bb._bucket")
 
 
 def incremental_ingest(
@@ -88,6 +142,7 @@ def incremental_near_ingest(
     portable: bool = False,
     broadcast_batch: bool = True,
     batch_signatures: DataFrame | None = None,
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate ingestion dedup: drop new docs that are fuzzy dups of
     the existing corpus, then fuzzy-dedup the batch within itself.
@@ -126,6 +181,21 @@ def incremental_near_ingest(
     incremental_near_ingest(..., batch_signatures=sig); append
     sig ⋉ survivor_ids``. Same hash-family stamp rules as a signature
     store (mismatch raises).
+
+    ``corpus_keys`` (optional) supplies the corpus's POSTING-KEY store
+    (:func:`minhash_key_store` output: one ``(id, _band, _bucket)`` row
+    per stored (doc, band), typically key-bucketed on disk by
+    ``_kb = pmod(xxhash64(_band, _bucket), 64)``). With it, the probe
+    reads the slim keys table PRUNED to the batch's bucket set
+    (PartitionFilters — probe I/O stops growing with corpus lifetime),
+    joins candidates, and fetches ONLY the candidate ids' signatures
+    from ``corpus`` for the estimator verify (pruned again by id bucket
+    when the signature store carries ``_kb``). Verdicts are identical to
+    the store-only path: bucket caps computed on the pruned keys are
+    exact for every PROBED bucket (all rows of a bucket share its
+    ``_kb``), and unprobed buckets never join. The keys store must match
+    this call's hash family AND banding (its stamp carries both;
+    mismatch raises).
     """
     from flink_1_3_2_hopsworks_spark.dedup.minhash import (
         _shingles,
@@ -136,7 +206,6 @@ def incremental_near_ingest(
         resolve_duplicate_clusters,
     )
 
-    rows = num_hashes // bands
     sig_cols = [f"_h{i}" for i in range(num_hashes)]
     expected_stamp = _store_stamp(shingle_k, num_hashes, portable)
 
@@ -162,54 +231,10 @@ def incremental_near_ingest(
             _shingles(docs, id_col, text_col, shingle_k), num_hashes, portable
         )
 
-    def _bucketed(sig: DataFrame) -> DataFrame:
-        if portable:
-            keys = [
-                F.concat_ws(
-                    "|", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                ).cast("string").alias(f"_k{b}")
-                for b in range(bands)
-            ]
-        else:
-            keys = [
-                F.xxhash64(
-                    *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                ).cast("string").alias(f"_k{b}")
-                for b in range(bands)
-            ]
-        wide = sig.select("_id", *sig_cols, *[k for k in keys])
-        return wide.select(
-            "_id",
-            *sig_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("_band"),
-                            F.col(f"_k{b}").alias("_bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_bb"),
-        ).select("_id", *sig_cols, "_bb._band", "_bb._bucket")
-
-    corpus_b = _bucketed(_sig(corpus))
     batch_sig = _sig(
         new_docs if batch_signatures is None else batch_signatures
     )
-    batch_b = _bucketed(batch_sig)
-
-    # Cap degenerate corpus buckets (a store would drop these keys at
-    # append time) — hash-aggregate + anti-join, same rationale as
-    # minhash_near_dups.
-    oversized = (
-        corpus_b.groupBy("_band", "_bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select("_band", "_bucket")
-    )
-    corpus_capped = corpus_b.join(oversized, ["_band", "_bucket"], "left_anti")
+    batch_b = banded_bucket_keys(batch_sig, num_hashes, bands, portable)
 
     agree = sum(
         F.when(F.col(f"_c{i}") == F.col(f"_b{i}"), 1).otherwise(0)
@@ -217,23 +242,45 @@ def incremental_near_ingest(
     )
     est = agree / F.lit(float(num_hashes))
     jac = est if portable else F.round(est, 4)
-    corpus_side = corpus_capped.select(
-        "_band", "_bucket",
-        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(sig_cols)],
-    )
     batch_side = batch_b.select(
         "_band", "_bucket", F.col("_id").alias("_bid"),
         *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
     )
-    corpus_dup_ids = (
-        corpus_side.join(
-            F.broadcast(batch_side) if broadcast_batch else batch_side,
-            ["_band", "_bucket"],
+    if corpus_keys is None:
+        corpus_b = banded_bucket_keys(
+            _sig(corpus), num_hashes, bands, portable
         )
-        .filter(jac >= threshold)
-        .select(F.col("_bid").alias(id_col))
-        .distinct()
-    )
+        # Cap degenerate corpus buckets (a store would drop these keys at
+        # append time) — hash-aggregate + anti-join, same rationale as
+        # minhash_near_dups.
+        oversized = (
+            corpus_b.groupBy("_band", "_bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("_band", "_bucket")
+        )
+        corpus_capped = corpus_b.join(
+            oversized, ["_band", "_bucket"], "left_anti"
+        )
+        corpus_side = corpus_capped.select(
+            "_band", "_bucket",
+            *[F.col(c).alias(f"_c{i}") for i, c in enumerate(sig_cols)],
+        )
+        corpus_dup_ids = (
+            corpus_side.join(
+                F.broadcast(batch_side) if broadcast_batch else batch_side,
+                ["_band", "_bucket"],
+            )
+            .filter(jac >= threshold)
+            .select(F.col("_bid").alias(id_col))
+            .distinct()
+        )
+    else:
+        corpus_dup_ids = _keyed_corpus_dup_ids(
+            corpus, corpus_keys, batch_side, id_col, jac, threshold,
+            shingle_k, num_hashes, bands, max_bucket, portable,
+            broadcast_batch, sig_cols, expected_stamp,
+        )
 
     survivors = new_docs.join(
         corpus_dup_ids.withColumnRenamed(id_col, "_drop"),
@@ -269,6 +316,158 @@ def incremental_near_ingest(
         .when(F.col("kept"), F.lit("kept"))
         .otherwise(F.lit("batch_near_dup"))
         .alias("reason"),
+    )
+
+
+def _keyed_corpus_dup_ids(
+    corpus: DataFrame,
+    corpus_keys: DataFrame,
+    batch_side: DataFrame,
+    id_col: str,
+    jac,
+    threshold: float,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    portable: bool,
+    broadcast_batch: bool,
+    sig_cols: list[str],
+    expected_stamp: str,
+) -> DataFrame:
+    """The posting-key probe path of :func:`incremental_near_ingest` —
+    batch ids that are near-dups of the stored corpus, computed WITHOUT a
+    full signature-store scan:
+
+    1. the slim keys table is pruned to the batch's (band, bucket)
+       bucket-hash set (PartitionFilters when ``_kb``-bucketed on disk);
+    2. probed-bucket caps + the candidate join against the broadcast
+       batch keys give the bounded (corpus id, batch id) candidate set,
+       MATERIALIZED (it is referenced by the id-bucket collect and the
+       verify join — slim ids only, bounded by batch × max_bucket);
+    3. only the candidates' signatures are fetched from the store
+       (pruned by id bucket when the store carries ``_kb``) and verified
+       against the broadcast batch signatures.
+    """
+    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        key_bucket,
+        prune_store_by_key,
+    )
+
+    kstamps = [
+        c for c in corpus_keys.columns if c.startswith(_KEYS_STAMP_PREFIX)
+    ]
+    expected_keys = _keys_stamp(shingle_k, num_hashes, bands, portable)
+    if kstamps and kstamps != [expected_keys]:
+        raise ValueError(
+            "posting-key store was built with a different hash family or "
+            f"banding: store stamp(s) {kstamps}, this ingest expects "
+            f"{expected_keys!r} — mismatched keys silently read as 'no "
+            "duplicates'."
+        )
+    for c in ("_band", "_bucket"):
+        if c not in corpus_keys.columns:
+            raise ValueError(
+                f"posting-key store has no {c!r} column — keys stores are "
+                "written from minhash_key_store(...) output."
+            )
+    if not set(sig_cols) <= set(corpus.columns):
+        raise ValueError(
+            "the posting-key probe needs a SIGNATURE-STORE corpus "
+            "(id + _h* columns) to fetch candidate signatures from — got "
+            f"columns {corpus.columns}."
+        )
+    stamps = [c for c in corpus.columns if c.startswith(_STAMP_PREFIX)]
+    if stamps and stamps != [expected_stamp]:
+        raise ValueError(
+            "signature store was built with a different hash family: "
+            f"store stamp(s) {stamps}, this ingest expects "
+            f"{expected_stamp!r}."
+        )
+
+    keys = prune_store_by_key(
+        corpus_keys.select(
+            F.col(id_col).alias("_cid"), "_band", "_bucket",
+            *(["_kb"] if "_kb" in corpus_keys.columns else []),
+        ),
+        batch_side,
+        ["_band", "_bucket"],
+    )
+    # Caps on the pruned keys are exact for every probed bucket: all rows
+    # of a (band, bucket) share its _kb, and unprobed buckets never join.
+    oversized = (
+        keys.groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("_band", "_bucket")
+    )
+    keys_capped = keys.join(oversized, ["_band", "_bucket"], "left_anti")
+    batch_keys = batch_side.select("_band", "_bucket", "_bid")
+    cand = materialize(
+        keys_capped.join(
+            F.broadcast(batch_keys) if broadcast_batch else batch_keys,
+            ["_band", "_bucket"],
+        )
+        .select("_cid", "_bid")
+        .distinct()
+    )
+
+    store_sig = corpus
+    if "_kb" in corpus.columns:
+        ibs = [
+            r[0]
+            for r in cand.select(key_bucket(F.col("_cid")).alias("_kb"))
+            .distinct()
+            .collect()
+        ]
+        store_sig = store_sig.filter(F.col("_kb").isin(ibs))
+    corp_sig = store_sig.select(
+        F.col(id_col).alias("_cid"),
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(sig_cols)],
+    ).join(F.broadcast(cand.select("_cid").distinct()), "_cid", "left_semi")
+    batch_sigs = batch_side.select(
+        "_bid", *[f"_b{i}" for i in range(len(sig_cols))]
+    ).dropDuplicates(["_bid"])
+    return (
+        cand.join(corp_sig, "_cid")
+        .join(F.broadcast(batch_sigs) if broadcast_batch else batch_sigs,
+              "_bid")
+        .filter(jac >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+
+
+def minhash_key_store(
+    signatures: DataFrame,
+    id_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """The POSTING-KEY half of the r11 store layout: one
+    ``(id_col, _band, _bucket)`` row per (doc, band), derived from a
+    :func:`minhash_signature_store` frame with the SAME banding algebra
+    the probe uses (:func:`banded_bucket_keys`), plus a stamp column
+    carrying hash family AND banding. Persist each epoch's keys next to
+    the signature store (``<sig_store>_keys/batch_id=N``), bucketed by
+    ``["_band", "_bucket"]`` via streaming/stores.write_bucketed_partition
+    — a small batch's probe then prunes the keys scan to its own buckets
+    instead of scanning every epoch, and the signature store is only
+    touched for the candidates' ids (see incremental_near_ingest's
+    ``corpus_keys``)."""
+    src = "_id" if "_id" in signatures.columns else id_col
+    sig = signatures.select(
+        F.col(src).alias("_id"), *[f"_h{i}" for i in range(num_hashes)]
+    )
+    return (
+        banded_bucket_keys(sig, num_hashes, bands, portable)
+        .select(F.col("_id").alias(id_col), "_band", "_bucket")
+        .withColumn(
+            _keys_stamp(shingle_k, num_hashes, bands, portable), F.lit(True)
+        )
     )
 
 

@@ -58,7 +58,11 @@ from flink_1_3_2_hopsworks_spark.dedup.incremental import (
 )
 from flink_1_3_2_hopsworks_spark.functions.text import fingerprint, token_count
 from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
-from flink_1_3_2_hopsworks_spark.streaming.neardup import _read_store
+from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+    _read_keys_store,
+    _read_store,
+    _write_store_epoch,
+)
 from flink_1_3_2_hopsworks_spark.streaming.stores import (
     prune_store_by_key,
     write_bucketed_partition,
@@ -103,19 +107,27 @@ def seed_funnel_state(
     shingle_k: int = 5,
     num_hashes: int = 64,
     portable: bool = True,
+    bands: int = 8,
 ) -> None:
     """Seed both dedup stores with an EXISTING corpus before the stream
     starts: fingerprints and signatures land under the reserved
     ``batch_id=-1`` partitions (visible to every epoch, including epoch-0
-    crash replays reading ``batch_id < 0``)."""
+    crash replays reading ``batch_id < 0``), in the r11 key-bucketed
+    layout with the signature store's posting-key sidecar (``bands``
+    must match the funnel's banding — the keys stamp enforces it)."""
     write_bucketed_partition(
         docs.select(F.col(id_col), fingerprint(text_col).alias("_fp")),
         fp_store_path, -1, "_fp",
     )
-    minhash_signature_store(
-        docs, id_col, text_col,
-        shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
-    ).write.mode("overwrite").parquet(f"{sig_store_path}/batch_id=-1")
+    _write_store_epoch(
+        minhash_signature_store(
+            docs, id_col, text_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
+        ),
+        -1, sig_store_path, id_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        portable=portable, legacy_flat=False,
+    )
 
 
 def curation_funnel_stream(
@@ -243,6 +255,8 @@ def ingest_funnel_batch(
         # ---- near dedup: incremental ingest vs the signature store ----
         surv2 = batch.join(exact_keep.select(id_col), id_col)
         sig_store = _read_store(spark, sig_store_path, batch_id)
+        sig_keys = _read_keys_store(spark, sig_store, sig_store_path, batch_id)
+        sig_legacy = sig_store is not None and "_kb" not in sig_store.columns
         if sig_store is None:
             sig_store = minhash_signature_store(
                 batch.limit(0), id_col, text_col,
@@ -267,6 +281,7 @@ def ingest_funnel_batch(
             threshold=threshold, shingle_k=shingle_k,
             num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
             portable=portable, batch_signatures=sig2,
+            corpus_keys=sig_keys,
         ).select(_id, F.col("kept").alias("_nd_ok")).persist()
 
         # ---- stage booleans + the one conditional funnel aggregate ----
@@ -327,10 +342,14 @@ def ingest_funnel_batch(
             # parquet partition discovery)
             legacy_flat=(fp_store is not None and "_kb" not in fp_store.columns),
         )
-        sig2.join(
-            near.filter(F.col("_nd_ok")).select(id_col), id_col, "left_semi"
-        ).write.mode("overwrite").parquet(
-            f"{sig_store_path}/batch_id={batch_id}"
+        _write_store_epoch(
+            sig2.join(
+                near.filter(F.col("_nd_ok")).select(id_col), id_col,
+                "left_semi",
+            ),
+            batch_id, sig_store_path, id_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+            portable=portable, legacy_flat=sig_legacy,
         )
     finally:
         if near is not None:

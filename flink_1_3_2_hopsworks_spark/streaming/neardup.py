@@ -109,15 +109,77 @@ def seed_signature_store(
     shingle_k: int = 5,
     num_hashes: int = 64,
     portable: bool = False,
+    bands: int = 8,
 ) -> None:
     """Seed the ingestion loop's store with an EXISTING corpus before the
     stream starts: signatures land under the reserved ``batch_id=-1``
     partition, visible to every epoch (and to epoch-0 crash replays,
-    which read ``batch_id < 0``)."""
-    minhash_signature_store(
+    which read ``batch_id < 0``). r11 layout: the partition is bucketed
+    by id hash, and the posting-key sidecar (``<store_path>_keys``) gets
+    the seed's (id, band, bucket) rows bucketed by bucket hash — so every
+    later epoch's probe prunes both scans. ``bands`` must match the
+    ingest loop's banding (the keys stamp enforces it)."""
+    sig = minhash_signature_store(
         docs, id_col, text_col,
         shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
-    ).write.mode("overwrite").parquet(f"{store_path}/batch_id=-1")
+    )
+    _write_store_epoch(
+        sig, -1, store_path, id_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        portable=portable, legacy_flat=False,
+    )
+
+
+def _write_store_epoch(
+    sig_frame: DataFrame,
+    batch_id: int,
+    store_path: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    legacy_flat: bool,
+) -> None:
+    """One epoch's store append in the r11 layout: the signature rows
+    bucketed by id hash under ``store_path/batch_id=N``, then the
+    posting-key sidecar derived FROM THE WRITTEN PARQUET (one signature
+    compute; store and keys can never diverge) bucketed by bucket hash
+    under ``<store_path>_keys/batch_id=N``. ``legacy_flat`` preserves a
+    pre-r11 store's flat, sidecar-less layout."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        minhash_key_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        write_bucketed_partition,
+    )
+
+    write_bucketed_partition(
+        sig_frame, store_path, batch_id, id_col, legacy_flat=legacy_flat
+    )
+    if legacy_flat:
+        return
+    back = sig_frame.sparkSession.read.parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    keys = minhash_key_store(
+        back, id_col, shingle_k=shingle_k, num_hashes=num_hashes,
+        bands=bands, portable=portable,
+    )
+    write_bucketed_partition(
+        keys, f"{store_path}_keys", batch_id, ["_band", "_bucket"]
+    )
+
+
+def _read_keys_store(spark, store, store_path: str, before_batch_id: int):
+    """The posting-key sidecar for a bucketed signature store (epochs
+    before ``before_batch_id``), or ``None`` when the store is legacy
+    (flat, sidecar-less) — sound by construction: every r11 bucketed
+    epoch writes its sidecar in the same call, so a bucketed store always
+    has matching keys coverage, while a legacy store never has any."""
+    if store is None or "_kb" not in store.columns:
+        return None
+    return _read_store(spark, f"{store_path}_keys", before_batch_id)
 
 
 def near_ingest_stream(
@@ -193,6 +255,12 @@ def ingest_batch(
     verdicts = None
     try:
         store = _read_store(spark, store_path, batch_id)
+        # r11 layout: a bucketed store always has a posting-key sidecar
+        # (written in the same epoch call), so the probe prunes both the
+        # keys scan and the candidate signature fetch; a legacy flat
+        # store stays on the full-scan path AND keeps its layout.
+        keys = _read_keys_store(spark, store, store_path, batch_id)
+        legacy = store is not None and "_kb" not in store.columns
         if store is None:
             # First batch: an empty store with the right schema so the
             # within-batch half still runs under the same code path.
@@ -215,15 +283,19 @@ def ingest_batch(
             threshold=threshold, shingle_k=shingle_k,
             num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
             portable=portable, batch_signatures=batch_sig,
+            corpus_keys=keys,
         ).persist()
         verdicts.write.mode("overwrite").parquet(
             f"{verdict_path}/batch_id={batch_id}"
         )
-        batch_sig.join(
-            verdicts.filter(F.col("kept")).select(id_col), id_col,
-            "left_semi",
-        ).write.mode("overwrite").parquet(
-            f"{store_path}/batch_id={batch_id}"
+        _write_store_epoch(
+            batch_sig.join(
+                verdicts.filter(F.col("kept")).select(id_col), id_col,
+                "left_semi",
+            ),
+            batch_id, store_path, id_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+            portable=portable, legacy_flat=legacy,
         )
     finally:
         if verdicts is not None:

@@ -30,21 +30,28 @@ from pyspark.sql import Column, DataFrame
 N_KEY_BUCKETS = 64
 
 
-def key_bucket(col: Column, n_buckets: int = N_KEY_BUCKETS) -> Column:
-    """The store bucket of a probe key: pmod(xxhash64(key), n_buckets)."""
-    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+def key_bucket(*cols: Column, n_buckets: int = N_KEY_BUCKETS) -> Column:
+    """The store bucket of a probe key (single- or multi-column):
+    pmod(xxhash64(key...), n_buckets)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def _key_cols(key) -> list:
+    names = [key] if isinstance(key, str) else list(key)
+    return [F.col(n) for n in names]
 
 
 def write_bucketed_partition(
     df: DataFrame,
     store_path: str,
     batch_id: int,
-    key: str,
+    key,
     legacy_flat: bool = False,
     n_buckets: int = N_KEY_BUCKETS,
 ) -> None:
     """Overwrite ``store_path/batch_id=<batch_id>`` with ``df`` bucketed
-    by ``_kb = key_bucket(key)`` (hive-partitioned inside the epoch dir).
+    by ``_kb = key_bucket(key...)`` (hive-partitioned inside the epoch
+    dir; ``key`` is a column name or a list of them).
     ``legacy_flat=True`` preserves a pre-r11 store's flat layout — parquet
     partition discovery rejects mixed directory depths, so a store is
     either uniformly bucketed (new) or uniformly flat (legacy)."""
@@ -52,26 +59,30 @@ def write_bucketed_partition(
     if legacy_flat:
         df.write.mode("overwrite").parquet(target)
         return
-    df.withColumn("_kb", key_bucket(F.col(key), n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("_kb").parquet(target)
+    df.withColumn(
+        "_kb", key_bucket(*_key_cols(key), n_buckets=n_buckets)
+    ).write.mode("overwrite").partitionBy("_kb").parquet(target)
 
 
 def prune_store_by_key(
     store: DataFrame,
     probe: DataFrame,
-    key: str,
+    key,
     n_buckets: int = N_KEY_BUCKETS,
 ) -> DataFrame:
     """Restrict a ``_kb``-bucketed store scan to the probe's key buckets
     (PartitionFilters — files in untouched buckets are never opened). A
-    legacy flat store (no ``_kb`` column) passes through unpruned. The
-    collect is bounded by ``n_buckets`` rows by construction."""
+    legacy flat store (no ``_kb`` column) passes through unpruned.
+    ``key`` is a column name or a list of them, present in BOTH frames
+    with identical semantics. The collect is bounded by ``n_buckets``
+    rows by construction."""
     if "_kb" not in store.columns:
         return store
     buckets = [
         r[0]
-        for r in probe.select(key_bucket(F.col(key), n_buckets).alias("_kb"))
+        for r in probe.select(
+            key_bucket(*_key_cols(key), n_buckets=n_buckets).alias("_kb")
+        )
         .distinct()
         .collect()
     ]

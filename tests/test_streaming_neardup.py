@@ -274,3 +274,79 @@ def test_precomputed_batch_signatures_equivalent_and_single_pass(
     finally:
         mh._signatures = real
     assert len(calls) == 1, f"expected ONE signature pass, got {len(calls)}"
+
+
+def test_posting_keys_path_matches_full_scan_and_prunes(spark, tmp_path):
+    """r11 posting-key layout: (a) verdicts through corpus_keys are
+    IDENTICAL to the full signature-store scan; (b) a small batch's probe
+    prunes the keys scan to its own bucket dirs (PartitionFilters +
+    input_file_name, the ivf _cell methodology); (c) a keys store with a
+    different banding raises instead of silently missing duplicates."""
+    import pytest
+
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        banded_bucket_keys,
+        incremental_near_ingest,
+        minhash_key_store,
+        minhash_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        _read_keys_store,
+        _read_store,
+        seed_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        prune_store_by_key,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored document number {i} about topic {i % 7} with "
+             f"unique tail {i * 17}") for i in range(200)]
+        + [(900, BASE)],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "store")
+    seed_signature_store(corpus, store_path)
+    store = _read_store(spark, store_path, 0)
+    keys = _read_keys_store(spark, store, store_path, 0)
+    assert keys is not None and "_kb" in keys.columns
+
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, FRESH), (4, NOVEL)],
+        "doc_id long, text string",
+    )
+    v_full = incremental_near_ingest(batch, store, "doc_id", "text")
+    v_keys = incremental_near_ingest(
+        batch, store, "doc_id", "text", corpus_keys=keys
+    )
+    assert sorted(map(tuple, v_full.collect())) == sorted(
+        map(tuple, v_keys.collect())
+    )
+    got = {r["doc_id"]: r["reason"] for r in v_keys.collect()}
+    assert got[1] == "corpus_near_dup" and got[3] == "kept"
+
+    # (b) pruning: the batch's banded keys touch few of the on-disk
+    # bucket dirs; the pruned scan opens only those.
+    sig = minhash_signature_store(batch, "doc_id", "text")
+    probe = banded_bucket_keys(
+        sig.withColumnRenamed("doc_id", "_id"), 64, 8, False
+    ).select("_band", "_bucket")
+    pruned = prune_store_by_key(keys, probe, ["_band", "_bucket"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_kb" in plan.split("PartitionFilters")[1][:300]
+    n_disk = keys.select("_kb").distinct().count()
+    touched = {
+        r[0].split("_kb=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) < n_disk, (len(touched), n_disk)
+
+    # (c) banding mismatch raises loudly
+    bad_keys = minhash_key_store(
+        store, "doc_id", shingle_k=5, num_hashes=64, bands=16,
+    )
+    with pytest.raises(ValueError, match="banding"):
+        incremental_near_ingest(
+            batch, store, "doc_id", "text", corpus_keys=bad_keys
+        ).collect()
