@@ -116,6 +116,33 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunk_keys(
+    fps: DataFrame, id_col: str, hash_col: str = "simhash"
+) -> DataFrame:
+    """``(id_col, simhash, ci, cv)`` — one row per (doc, 16-bit chunk):
+    the chunk posting keys of a fingerprint frame, with THE same chunk
+    algebra the probes use (:func:`_chunk`), so a persisted posting store
+    and the probe can never drift. Persist each epoch bucketed by
+    ``["ci", "cv"]`` (streaming/stores.write_bucketed_partition) and
+    :func:`incremental_simhash_ingest` detects the layout by its columns,
+    prunes the store scan to the batch's chunk buckets, and caps probed
+    buckets exactly."""
+    return fps.select(
+        F.col(id_col),
+        F.col(hash_col).alias("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    _chunk(F.col(hash_col), i).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("_c"),
+    ).select(id_col, "simhash", F.col("_c.ci").alias("ci"),
+             F.col("_c.cv").alias("cv"))
+
+
 def _budget_guard(
     bucket_sizes: DataFrame,
     max_bucket: int,
@@ -369,6 +396,15 @@ def incremental_simhash_ingest(
     stored fingerprint always drop, even when every shared chunk bucket
     is oversized (the degenerate-fingerprint case the cap exists for).
 
+    ``store_fps`` may be the plain fingerprint table (chunks derived
+    here) or the r11 chunk-posting layout (:func:`simhash_chunk_keys`
+    rows, detected by its ``ci``/``cv`` columns) — with the posting
+    layout key-bucketed on disk, the store scan is PRUNED to the batch's
+    chunk buckets, so probe I/O stops growing with corpus lifetime;
+    verdicts are identical (probed-bucket caps are exact on the pruned
+    rows, and an exactly-equal stored hash always survives pruning via
+    its shared chunk-0 bucket).
+
     Scale shape (mirrors the MinHash ingest exactly): the store — the
     100 TB side — is only ever SCANNED; its chunk rows stream through
     ONE probe join against the batch's chunk rows, which are BROADCAST
@@ -384,13 +420,13 @@ def incremental_simhash_ingest(
         resolve_duplicate_clusters,
     )
 
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        prune_store_by_key,
+    )
+
     batch = batch_fps.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("simhash")
     )
-    store = store_fps.select(
-        F.lit(0).cast("long").alias("_id"), F.col(hash_col).alias("simhash")
-    )
-    store_capped, _ = _chunked_capped(store, max_bucket)
     batch_chunks = batch.select(
         "_id",
         "simhash",
@@ -409,8 +445,45 @@ def incremental_simhash_ingest(
         F.col("_c.ci").alias("ci"),
         F.col("_c.cv").alias("cv"),
     )
+    if {"ci", "cv"} <= set(store_fps.columns):
+        # r11 chunk-posting layout (simhash_chunk_keys rows, typically
+        # key-bucketed on disk): the scan is pruned to the batch's chunk
+        # buckets — PartitionFilters, probe I/O independent of corpus
+        # lifetime. Caps on the pruned rows are exact for every PROBED
+        # bucket (all rows of a (ci, cv) share its _kb); unprobed buckets
+        # never join. An exactly-equal stored hash shares ALL 4 chunks
+        # with its batch twin, so its ci=0 row always survives pruning —
+        # the equality arm below stays sound.
+        chunks = prune_store_by_key(
+            store_fps.select(
+                F.col(hash_col).alias("simhash"), "ci", "cv",
+                *(["_kb"] if "_kb" in store_fps.columns else []),
+            ),
+            batch_chunks,
+            ["ci", "cv"],
+        )
+        oversized = (
+            chunks.groupBy("ci", "cv")
+            .agg(F.count(F.lit(1)).alias("_bsize"))
+            .filter(F.col("_bsize") > max_bucket)
+            .select("ci", "cv")
+        )
+        store_probe = chunks.join(
+            F.broadcast(oversized), ["ci", "cv"], "left_anti"
+        ).select("ci", "cv", F.col("simhash").alias("_sh"))
+        store_eq = chunks.filter(F.col("ci") == 0).select("simhash")
+    else:
+        store = store_fps.select(
+            F.lit(0).cast("long").alias("_id"),
+            F.col(hash_col).alias("simhash"),
+        )
+        store_capped, _ = _chunked_capped(store, max_bucket)
+        store_probe = store_capped.select(
+            "ci", "cv", F.col("simhash").alias("_sh")
+        )
+        store_eq = store.select("simhash")
     near_hits = (
-        store_capped.select("ci", "cv", F.col("simhash").alias("_sh"))
+        store_probe
         .join(F.broadcast(batch_chunks), ["ci", "cv"])
         .filter(hamming64(F.col("_sh"), F.col("_bh")) <= max_distance)
         .select(F.col("_bid"))
@@ -425,7 +498,7 @@ def incremental_simhash_ingest(
     # collisions are bounded by the batch's distinct hashes.
     batch_keys = batch.select("simhash").distinct()
     exact_hits_keys = (
-        store.select("simhash")
+        store_eq
         .join(F.broadcast(batch_keys), "simhash", "left_semi")
         .distinct()
     )

@@ -46,7 +46,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from flink_1_3_2_hopsworks_spark.dedup.simhash import incremental_simhash_ingest
+from flink_1_3_2_hopsworks_spark.dedup.simhash import (
+    incremental_simhash_ingest,
+    simhash_chunk_keys,
+)
 from flink_1_3_2_hopsworks_spark.multimodal.curation import decode_signals
 from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
 from flink_1_3_2_hopsworks_spark.streaming.neardup import _read_store
@@ -78,7 +81,9 @@ def seed_media_funnel_state(
         F.col("decoded")
     ).select(id_col, "simhash")
     write_bucketed_partition(fps, exact_store_path, -1, "simhash")
-    fps.write.mode("overwrite").parquet(f"{near_store_path}/batch_id=-1")
+    write_bucketed_partition(
+        simhash_chunk_keys(fps, id_col), near_store_path, -1, ["ci", "cv"]
+    )
 
 
 def media_funnel_stream(
@@ -188,8 +193,9 @@ def ingest_media_funnel_batch(
             id_col, "simhash"
         )
         near_store = _read_store(spark, near_store_path, batch_id)
+        near_legacy = near_store is not None and "ci" not in near_store.columns
         if near_store is None:
-            near_store = surv3.limit(0)
+            near_store = simhash_chunk_keys(surv3.limit(0), id_col)
         near = incremental_simhash_ingest(
             surv3, near_store, id_col,
             max_distance=max_distance, max_bucket=max_bucket,
@@ -251,11 +257,18 @@ def ingest_media_funnel_batch(
                 exact_store is not None and "_kb" not in exact_store.columns
             ),
         )
-        slim.join(
+        near_surv = slim.join(
             near.filter(F.col("_nd_ok")).select(id_col), id_col
-        ).select(id_col, "simhash").write.mode("overwrite").parquet(
-            f"{near_store_path}/batch_id={batch_id}"
-        )
+        ).select(id_col, "simhash")
+        if near_legacy:
+            near_surv.write.mode("overwrite").parquet(
+                f"{near_store_path}/batch_id={batch_id}"
+            )
+        else:
+            write_bucketed_partition(
+                simhash_chunk_keys(near_surv, id_col),
+                near_store_path, batch_id, ["ci", "cv"],
+            )
     finally:
         if near is not None:
             near.unpersist()

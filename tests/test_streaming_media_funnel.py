@@ -155,3 +155,66 @@ def test_media_funnel_seeded_stores_visible(spark, tmp_path):
     assert n["input"] == 50
     assert n["exact_perceptual_dedup"] == 0
     assert n["near_dup"] == 0
+
+
+def test_chunk_posting_store_matches_plain_and_prunes(spark, tmp_path):
+    """r11 chunk-posting layout: verdicts through the (ci, cv)-exploded,
+    key-bucketed near store are IDENTICAL to the plain fingerprint-table
+    scan, the Hamming-0 equality arm survives pruning (an equal stored
+    hash shares the batch's chunk-0 bucket), and the small probe opens
+    only its own bucket dirs."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import (
+        incremental_simhash_ingest,
+        simhash_chunk_keys,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        write_bucketed_partition,
+    )
+
+    store_plain = spark.createDataFrame(
+        [(1000 + i, (i * 2654435761) % (1 << 63)) for i in range(300)]
+        + [(2000, 0)],
+        "doc_id long, simhash long",
+    )
+    path = str(tmp_path / "near_store")
+    write_bucketed_partition(
+        simhash_chunk_keys(store_plain, "doc_id"), path, -1, ["ci", "cv"]
+    )
+    store_posted = spark.read.parquet(path)
+    assert {"ci", "cv", "_kb"} <= set(store_posted.columns)
+
+    batch = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, (123 * 2654435761) % (1 << 63)),
+         (4, 987654321987)],
+        "doc_id long, simhash long",
+    )
+    v_plain = incremental_simhash_ingest(batch, store_plain, "doc_id")
+    v_keys = incremental_simhash_ingest(batch, store_posted, "doc_id")
+    assert sorted(map(tuple, v_plain.collect())) == sorted(
+        map(tuple, v_keys.collect())
+    )
+    got = {r["doc_id"]: r["reason"] for r in v_keys.collect()}
+    # 1 = exact dup of stored 0; 2 = Hamming 1 of it; 3 = exact dup of a
+    # stored hash; 4 = novel
+    assert got == {
+        1: "corpus_near_dup", 2: "corpus_near_dup",
+        3: "corpus_near_dup", 4: "kept",
+    }
+
+    # pruning: the batch touches few of the on-disk chunk buckets
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        prune_store_by_key,
+    )
+
+    probe = simhash_chunk_keys(batch, "doc_id").select("ci", "cv")
+    pruned = prune_store_by_key(store_posted, probe, ["ci", "cv"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    n_disk = store_posted.select("_kb").distinct().count()
+    touched = {
+        r[0].split("_kb=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) < n_disk, (len(touched), n_disk)
