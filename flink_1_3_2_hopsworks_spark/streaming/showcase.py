@@ -572,3 +572,48 @@ def ev_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, stage_idx int, stage string, n_docs long, "
         "n_tokens long, id_checksum long",
     ).orderBy("batch_id", "stage_idx")
+
+
+def mm_pair_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-replay twin of the streaming PAIRED curation funnel
+    (streaming/pair_funnel.py — caption rules → image quality → caption
+    exact dedup → image exact dedup → caption MinHash near-dedup → image
+    simhash near-dedup, JOINT pair survivorship, four epoch-partitioned
+    key-bucketed stores). The documents table plays the paired crawl feed
+    (captions = text, images = the deterministic BMP twin of the doc ids)
+    split into three epochs (doc_id % 3); the gate RUNS the real
+    foreachBatch body sequentially (pair_funnel_replay — the documented
+    backfill path), so the oracle checks the exact cross-modal store-
+    probe / keeper / double-star-closure algebra every epoch executes
+    against state built by the epochs before it. Checksums bind the PAIR
+    (id + caption fingerprint + image aHash). Output is 21 rows (3
+    epochs × 7 stages), materialized so the epoch stores can be cleaned
+    up. Reference-analogue: the two-input keyed coGroup
+    (F-J/operators/CoGroupOperator.java) in a continuous-ingestion job
+    graph."""
+    import shutil
+    import tempfile
+
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+    from flink_1_3_2_hopsworks_spark.streaming.pair_funnel import (
+        pair_funnel_replay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", "text").join(
+        image_twin(docs, "doc_id"), "doc_id"
+    )
+    batches = [
+        pairs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e)
+        for e in range(3)
+    ]
+    base = tempfile.mkdtemp(prefix="pair_funnel_gate_")
+    try:
+        rows = pair_funnel_replay(batches, base).collect()  # 21 rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, stage_idx int, stage string, n_pairs long, "
+        "n_tokens long, n_bytes long, pair_checksum long",
+    ).orderBy("batch_id", "stage_idx")

@@ -506,3 +506,268 @@ ORACLE["ev_curation_stream_stats"] = """
     GROUP BY 1, 2
     ORDER BY 1
 """
+
+
+def _pair_funnel_stream_oracle(
+    n_epochs: int = 3,
+    n_patterns: int = 16,
+    n_variants: int = 3,
+    min_brightness: float = 105.0,
+    max_brightness: float = 137.0,
+    min_contrast: float = 40.0,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    salt: str = "pairfun11",
+) -> str:
+    """Replays streaming/pair_funnel.py's sequential epoch loop in one
+    SQL statement, composing the two sibling stream oracles over JOINT
+    pair survivor sets:
+
+    - caption signals (ntok, md5 fp, C4 rules) + the frozen image stats
+      model build the per-pair frame; both EXACT stages collapse to
+      (epoch, id)-argmin — per caption fp over the stateless survivors,
+      then per aHash over the caption-exact survivors (each stage's
+      candidate set is derivable without unrolling, so the min-id keeper
+      of a key's first epoch always enters that store).
+    - caption near-dedup unrolls per epoch over ONE shared materialized
+      signature table restricted to the image-exact survivors (store_e =
+      the caption-near kept sets of epochs < e), the text funnel
+      oracle's k{e} blocks verbatim.
+    - image near-dedup unrolls per epoch over the shared chunk table
+      (batch = k{e}, store_e = the image-near kept sets m{j<e}), the
+      media funnel oracle's blocks including the r11 uncapped equality
+      arm (provably empty here — image-exact keeps one pair per aHash
+      globally — mirrored for fidelity).
+    - 21 funnel arms emit (pair count, caption tokens, image bytes,
+      PAIR-CONSISTENT checksum binding id + caption fp + aHash)."""
+    from flink_1_3_2_hopsworks_spark.dedup.showcase_oracle import (
+        _minhash_agree,
+        _minhash_cte_prefix,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_image_stats_table,
+    )
+
+    values = ",\n            ".join(
+        f"({k}, {v}, {m!r}, {s!r}, {fp}::BIGINT, {nb})"
+        for k, v, m, s, fp, nb in frozen_image_stats_table(
+            n_patterns, n_variants
+        )
+    )
+    agree = _minhash_agree(num_hashes)
+    est = f"({agree}) / {float(num_hashes)} >= {threshold}"
+    mh = _minhash_cte_prefix(
+        shingle_k,
+        num_hashes,
+        bands,
+        max_bucket,
+        source="(SELECT d.doc_id, d.text FROM documents d "
+        "JOIN p4 ON d.doc_id = p4.doc_id)",
+        materialized=True,
+    )
+    cap_blocks = []
+    img_blocks = []
+    for e in range(n_epochs):
+        if e == 0:
+            store = "SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE"
+            istore = "SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE"
+        else:
+            store = "\n            UNION ALL\n            ".join(
+                f"SELECT id FROM k{j}" for j in range(e)
+            )
+            istore = "\n            UNION ALL\n            ".join(
+                f"SELECT id FROM m{j}" for j in range(e)
+            )
+        cap_blocks.append(f"""b{e} AS (
+            SELECT doc_id AS id FROM p4 WHERE ep = {e}
+        ), st{e} AS (
+            {store}
+        ), stc{e} AS (
+            SELECT * FROM (
+                SELECT bu.*, COUNT(*) OVER (PARTITION BY band, bucket) AS cbs
+                FROM buckets bu JOIN st{e} USING (id)
+            ) WHERE cbs <= {max_bucket}
+        ), bb{e} AS (
+            SELECT bu.* FROM buckets bu JOIN b{e} USING (id)
+        ), cd{e} AS (
+            SELECT DISTINCT bb.id
+            FROM stc{e} cb
+            JOIN bb{e} bb ON cb.band = bb.band AND cb.bucket = bb.bucket
+            JOIN sig sa ON sa.id = cb.id
+            JOIN sig sb ON sb.id = bb.id
+            WHERE {est}
+        ), svc{e} AS (
+            SELECT * FROM (
+                SELECT sv.*, COUNT(*) OVER (PARTITION BY band, bucket) AS sbs
+                FROM (
+                    SELECT * FROM bb{e}
+                    WHERE id NOT IN (SELECT id FROM cd{e})
+                ) sv
+            ) WHERE sbs <= {max_bucket}
+        ), an{e} AS (
+            SELECT band, bucket, MIN(id) AS aid
+            FROM svc{e} GROUP BY band, bucket
+        ), ed{e} AS MATERIALIZED (
+            SELECT DISTINCT a.aid AS id_a, c.id AS id_b
+            FROM an{e} a
+            JOIN svc{e} c ON a.band = c.band AND a.bucket = c.bucket
+                         AND c.id > a.aid
+            JOIN sig sa ON sa.id = a.aid
+            JOIN sig sb ON sb.id = c.id
+            WHERE {est}
+        ), sy{e} AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM ed{e}
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM ed{e}
+        ), rc{e}(root, node) AS (
+            SELECT DISTINCT src, src FROM sy{e}
+            UNION
+            SELECT rc{e}.root, sy{e}.dst
+            FROM rc{e} JOIN sy{e} ON sy{e}.src = rc{e}.node
+        ), cp{e} AS (
+            SELECT root AS id, MIN(node) AS component FROM rc{e} GROUP BY root
+        ), k{e} AS MATERIALIZED (
+            SELECT b.id FROM b{e} b
+            LEFT JOIN cd{e} cd ON cd.id = b.id
+            LEFT JOIN cp{e} c ON c.id = b.id
+            WHERE cd.id IS NULL AND COALESCE(c.component, b.id) = b.id
+        )""")
+        img_blocks.append(f"""ist{e} AS (
+            {istore}
+        ), istc{e} AS (
+            SELECT * FROM (
+                SELECT c.*, COUNT(*) OVER (PARTITION BY ci, cv) AS cbs
+                FROM ch c JOIN ist{e} s ON c.doc_id = s.id
+            ) WHERE cbs <= {max_bucket}
+        ), ibb{e} AS (
+            SELECT c.* FROM ch c JOIN k{e} b ON c.doc_id = b.id
+        ), icd{e} AS (
+            SELECT DISTINCT bb.doc_id AS id
+            FROM istc{e} sc
+            JOIN ibb{e} bb ON sc.ci = bb.ci AND sc.cv = bb.cv
+            WHERE BIT_COUNT(XOR(sc.ah, bb.ah)) <= {max_distance}
+            UNION
+            -- the r11 uncapped EQUALITY arm (Hamming-0 under the cap) —
+            -- provably empty here, mirrored for fidelity
+            SELECT DISTINCT b.doc_id AS id
+            FROM (SELECT p4.doc_id, p4.ah FROM p4
+                  JOIN k{e} ON p4.doc_id = k{e}.id) b
+            JOIN (SELECT p4.ah FROM p4
+                  JOIN ist{e} s ON p4.doc_id = s.id) st ON st.ah = b.ah
+        ), isvc{e} AS (
+            SELECT * FROM (
+                SELECT sv.*, COUNT(*) OVER (PARTITION BY ci, cv) AS sbs
+                FROM (
+                    SELECT * FROM ibb{e}
+                    WHERE doc_id NOT IN (SELECT id FROM icd{e})
+                ) sv
+            ) WHERE sbs <= {max_bucket}
+        ), ian{e} AS (
+            SELECT ci, cv, doc_id AS aid, ah AS aah FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY ci, cv ORDER BY doc_id
+                ) AS rn FROM isvc{e}
+            ) WHERE rn = 1
+        ), ied{e} AS MATERIALIZED (
+            SELECT DISTINCT n.aid AS id_a, c.doc_id AS id_b
+            FROM isvc{e} c
+            JOIN ian{e} n ON c.ci = n.ci AND c.cv = n.cv
+                        AND c.doc_id > n.aid
+            WHERE BIT_COUNT(XOR(n.aah, c.ah)) <= {max_distance}
+        ), isy{e} AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM ied{e}
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM ied{e}
+        ), irc{e}(root, node) AS (
+            SELECT DISTINCT src, src FROM isy{e}
+            UNION
+            SELECT irc{e}.root, isy{e}.dst
+            FROM irc{e} JOIN isy{e} ON isy{e}.src = irc{e}.node
+        ), icp{e} AS (
+            SELECT root AS id, MIN(node) AS component
+            FROM irc{e} GROUP BY root
+        ), m{e} AS MATERIALIZED (
+            SELECT b.id FROM k{e} b
+            LEFT JOIN icd{e} cd ON cd.id = b.id
+            LEFT JOIN icp{e} c ON c.id = b.id
+            WHERE cd.id IS NULL AND COALESCE(c.component, b.id) = b.id
+        )""")
+    ck = (
+        "('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), cfp, "
+        f"CAST(ah AS VARCHAR), '{salt}ck')), 1, 8))::BIGINT"
+    )
+    arms = []
+    for e in range(n_epochs):
+        rels = [
+            ("input", f"(SELECT * FROM sigd WHERE ep = {e})"),
+            ("caption_rules", f"(SELECT * FROM p1 WHERE ep = {e})"),
+            ("image_quality", f"(SELECT * FROM p2 WHERE ep = {e})"),
+            ("caption_exact_dedup", f"(SELECT * FROM p3 WHERE ep = {e})"),
+            ("image_exact_dedup", f"(SELECT * FROM p4 WHERE ep = {e})"),
+            ("caption_near_dedup",
+             f"(SELECT p4.* FROM p4 JOIN k{e} ON p4.doc_id = k{e}.id)"),
+            ("image_near_dedup",
+             f"(SELECT p4.* FROM p4 JOIN m{e} ON p4.doc_id = m{e}.id)"),
+        ]
+        for i, (name, rel) in enumerate(rels):
+            arms.append(
+                f"SELECT {e} AS batch_id, {i} AS stage_idx,"
+                f" '{name}' AS stage,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+                f" CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,"
+                f" CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_bytes,"
+                f" CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS pair_checksum"
+                f" FROM {rel}"
+            )
+    arms_sql = "\n        UNION ALL\n        ".join(arms)
+    blocks_sql = ", ".join(cap_blocks + img_blocks)
+    return f"""
+    WITH RECURSIVE model(mk, mv, mean, std, ah, nb) AS (
+        VALUES {values}
+    ), sigd AS MATERIALIZED (
+        SELECT d.doc_id, d.doc_id % {n_epochs} AS ep,
+            CASE WHEN LENGTH(TRIM(COALESCE(d.text, ''))) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(COALESCE(d.text, '')),
+                          '\\s+'))
+            END AS ntok,
+            MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)), '\\s+', ' ', 'g'))
+                AS cfp,
+            NOT (LOWER(COALESCE(d.text, '')) LIKE '%lorem ipsum%'
+                 OR COALESCE(d.text, '') LIKE '%{{%') AS c4,
+            m.mean, m.std, m.ah, m.nb
+        FROM documents d
+        JOIN model m ON m.mk = d.doc_id % {n_patterns}
+                    AND m.mv = (d.doc_id // {n_patterns}) % {n_variants}
+    ), p1 AS MATERIALIZED (
+        SELECT * FROM sigd WHERE c4
+    ), p2 AS MATERIALIZED (
+        SELECT * FROM p1
+        WHERE mean >= {min_brightness!r} AND mean <= {max_brightness!r}
+          AND std >= {min_contrast!r}
+    ), p3 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cfp ORDER BY ep, doc_id
+            ) AS rn FROM p2
+        ) WHERE rn = 1
+    ), p4 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ah ORDER BY ep, doc_id
+            ) AS rn2 FROM p3
+        ) WHERE rn2 = 1
+    ), {mh}, ch AS MATERIALIZED (
+        SELECT doc_id, ep, ah, ci, (ah >> (ci * 16)) & 65535 AS cv
+        FROM p4 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci)
+    ), {blocks_sql}
+    SELECT * FROM (
+        {arms_sql}
+    ) ORDER BY batch_id, stage_idx
+    """
+
+
+ORACLE["mm_pair_curation_funnel_stream"] = _pair_funnel_stream_oracle()
