@@ -9,9 +9,6 @@ import glob
 import os
 import shutil
 
-import pyspark.sql.functions as F
-import pytest
-
 from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_image
 
 T_BASE = (
