@@ -194,7 +194,7 @@ def video_embeddings(
     from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
         decode_bmp,
         decode_bmv,
-        video_descriptor,
+        video_descriptor_batched,
     )
 
     schema = (
@@ -205,10 +205,13 @@ def video_embeddings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # batched frame-stack descriptor (exact-equality pinned vs
+            # the per-frame path) — the descriptor loop was ~80% of this
+            # kernel's measured per-video cost
             embs = [
                 [
                     float(x)
-                    for x in video_descriptor(
+                    for x in video_descriptor_batched(
                         [decode_bmp(fr) for fr in decode_bmv(p)]
                     )
                 ]

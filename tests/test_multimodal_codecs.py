@@ -405,3 +405,30 @@ def test_image_curation_funnel_monotone_and_checksums(spark):
     # binds the shard assignment, so it must differ.
     assert rows[-1]["n_images"] == rows[-2]["n_images"]
     assert rows[-1]["id_checksum"] != rows[-2]["id_checksum"]
+
+
+def test_video_descriptor_batched_exact_parity_and_fallback():
+    """r11: the batched frame-stack descriptor must equal the per-frame
+    path BIT-FOR-BIT over the whole frozen gate corpus (the frozen model
+    tables and SQL oracles regenerate from video_descriptor, so any
+    float drift would break every mm_video gate), and mixed-shape frame
+    lists fall back to the per-frame loop."""
+    import numpy as np
+
+    from flink_1_3_2_hopsworks_spark.multimodal.codecs import (
+        video_descriptor,
+        video_descriptor_batched,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import synth_video
+
+    for k in range(16):
+        for v in range(3):
+            px = synth_video(k, v)
+            assert np.array_equal(
+                video_descriptor(px), video_descriptor_batched(px)
+            ), (k, v)
+
+    mixed = [synth_video(0, 0)[0], synth_video(0, 0)[1][:16, :, :]]
+    assert np.array_equal(
+        video_descriptor(mixed), video_descriptor_batched(mixed)
+    )
