@@ -1366,3 +1366,39 @@ def mm_pair_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_twin(docs, "doc_id"), "doc_id"
     )
     return pair_curation_funnel(pairs, "doc_id")
+
+
+def mm_text_to_image_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval — TEXT query → IMAGE results
+    (multimodal/cross_modal.py caption_to_image_topk): BM25 retrieves
+    captions for five literal text queries (the sim_bm25_topk probe set),
+    each hit's PAIRED image becomes a visual probe (the one-decode-pass
+    descriptors, continuous aHash relaxation), visual expansion scores
+    every corpus image by its best cosine against any probe, and
+    reciprocal-rank fusion merges the caption-match and looks-like lists
+    (1/(60+rank), 6-dp DECIMAL exact sums) — the deterministic
+    caption-mediated bridge a stack without a joint text/image model
+    runs. n_lists = 2 marks images found by BOTH channels. Oracle:
+    composes the BM25 SQL chain (k=3), the frozen (pattern, variant) →
+    descriptor table with LIST_COSINE_SIMILARITY best-probe ranking, and
+    the hybrid gate's RRF fusion algebra."""
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", "text").join(
+        image_twin(docs, "doc_id"), "doc_id"
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "table scan join"),
+            (2, "window agg batch"),
+            (3, "customer order part"),
+            (4, "hash merge value"),
+            (5, "fast slow filter"),
+        ],
+        "query_id int, query_text string",
+    )
+    return caption_to_image_topk(pairs, queries).orderBy("query_id", "rank")

@@ -2935,3 +2935,128 @@ def _mm_pair_curation_oracle(
 
 
 ORACLE["mm_pair_curation_funnel"] = _mm_pair_curation_oracle()
+
+
+def _mm_text_to_image_oracle(
+    k: int = 10,
+    bm25_k: int = 3,
+    visual_k: int = 10,
+    rrf_k: int = 60,
+    n_patterns: int = 16,
+    n_variants: int = 3,
+) -> str:
+    """Replays caption_to_image_topk: the sim_bm25_topk SQL chain
+    (top-bm25_k caption hits per literal query), the frozen descriptor
+    table as both probe (hit images) and corpus side with
+    best-probe-cosine ranking (ROUND 4 dp, ties by id), and the hybrid
+    gate's reciprocal-rank fusion algebra (1/(rrf_k+rank) rounded 6 dp,
+    DECIMAL(38,6) sums, ties by id)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import (
+        frozen_descriptor_table,
+    )
+
+    desc_values = ",\n            ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            dk, dv, ", ".join(repr(x) for x in d)
+        )
+        for dk, dv, d in frozen_descriptor_table(n_patterns, n_variants)
+    )
+    return f"""
+    WITH queries(query_id, query_text) AS (
+        VALUES (1, 'table scan join'), (2, 'window agg batch'),
+               (3, 'customer order part'), (4, 'hash merge value'),
+               (5, 'fast slow filter')
+    ), toks AS (
+        SELECT doc_id,
+            UNNEST(LIST_FILTER(
+                STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(text, ''))), '\\s+'),
+                x -> x <> '')) AS t
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dft AS (
+        SELECT t, COUNT(*) AS df FROM postings GROUP BY t
+    ), stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ), qterms AS (
+        SELECT DISTINCT query_id, UNNEST(LIST_FILTER(
+            STRING_SPLIT_REGEX(LOWER(TRIM(COALESCE(query_text, ''))),
+                '\\s+'),
+            x -> x <> '')) AS t
+        FROM queries
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+            ROUND(
+                LN(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                * (p.tf * 2.2)
+                / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                6) AS c
+        FROM postings p
+        JOIN qterms q ON p.t = q.t
+        JOIN dl d ON p.doc_id = d.doc_id
+        JOIN dft f ON p.t = f.t
+        CROSS JOIN stats s
+    ), lexscored AS (
+        SELECT query_id, doc_id, SUM(CAST(c AS DECIMAL(38, 6))) AS s
+        FROM contrib GROUP BY query_id, doc_id
+    ), lexranked AS (
+        SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+            ) AS rank
+        FROM lexscored
+    ), hits AS MATERIALIZED (
+        SELECT query_id, doc_id, rank FROM lexranked WHERE rank <= {bm25_k}
+    ), dmap(dk, dv, dvec) AS (
+        VALUES {desc_values}
+    ), ddesc AS MATERIALIZED (
+        SELECT d.doc_id, m.dvec
+        FROM (
+            SELECT doc_id, doc_id % {n_patterns} AS dk,
+                (doc_id // {n_patterns}) % {n_variants} AS dv
+            FROM documents
+        ) d JOIN dmap m USING (dk, dv)
+    ), probes AS (
+        SELECT h.query_id, dd.dvec AS qv
+        FROM hits h JOIN ddesc dd ON dd.doc_id = h.doc_id
+    ), vis AS (
+        SELECT p.query_id, c.doc_id,
+            MAX(ROUND(LIST_COSINE_SIMILARITY(p.qv, c.dvec), 4)) AS mc
+        FROM ddesc c CROSS JOIN probes p
+        GROUP BY p.query_id, c.doc_id
+    ), visranked AS (
+        SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY mc DESC, doc_id ASC
+            ) AS rank
+        FROM vis
+    ), fuse AS (
+        SELECT query_id, doc_id, rank FROM hits
+        UNION ALL
+        SELECT query_id, doc_id, rank FROM visranked
+        WHERE rank <= {visual_k}
+    ), contribs AS (
+        SELECT query_id, doc_id,
+            CAST(ROUND(1.0 / ({rrf_k}.0 + rank), 6) AS DECIMAL(38, 6)) AS c
+        FROM fuse
+    ), fused AS (
+        SELECT query_id, doc_id, SUM(c) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM contribs GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, s, n_lists,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+            ) AS INTEGER) AS rank
+        FROM fused
+    )
+    SELECT query_id, doc_id, ROUND(CAST(s AS DOUBLE), 6) AS rrf_score,
+        n_lists, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+ORACLE["mm_text_to_image_topk"] = _mm_text_to_image_oracle()

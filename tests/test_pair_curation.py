@@ -128,3 +128,45 @@ def test_funnel_counts_and_pair_consistent_checksum(pairs):
         rows2["image_near_dedup"]["pair_checksum"]
         != rows["image_near_dedup"]["pair_checksum"]
     )
+
+
+def test_caption_to_image_topk_visual_channel_surfaces_unlabeled_twins(spark):
+    """Cross-modal retrieval semantics: a pair whose caption never
+    matches the text query still surfaces when its IMAGE matches a
+    caption hit's image (the visual channel), while the direct caption
+    hit accumulates both channels (n_lists == 2) and outranks it."""
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+
+    rows = [
+        # 1: the direct caption hit for "migratory birds"
+        (1, "a photo of migratory birds crossing the flyway", _img(1, 0)),
+        # 2: unrelated caption, IDENTICAL image -> visual-only surface
+        (2, "untitled upload number two", _img(1, 0)),
+        # 3: unrelated caption, unrelated image -> must not rank above 2
+        (3, "a completely different scene of machinery", _img(2, 0)),
+        # 4: weak text match only
+        (4, "birds on a wire at dusk", _img(3, 0)),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary"
+    )
+    queries = spark.createDataFrame(
+        [(1, "migratory birds flyway")], "query_id int, query_text string"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["n_lists"])
+        for r in caption_to_image_topk(
+            pairs, queries, k=4, bm25_k=2, visual_k=3
+        ).collect()
+    }
+    # doc 1: caption hit + visual self-match -> both channels, rank 1
+    assert out[1] == (1, 2)
+    # doc 4: the other caption hit, also two channels -> rank 2
+    assert out[4] == (2, 2)
+    # doc 2: never matched the text, surfaced VISUALLY (cosine 1.0 with
+    # hit 1's identical image) -> single channel, ranks above the
+    # weak-visual-only doc 3
+    assert out[2][1] == 1 and out[2][0] == 3
+    assert out.get(3, (99, 1))[0] > out[2][0]
