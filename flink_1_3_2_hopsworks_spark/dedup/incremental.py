@@ -281,6 +281,13 @@ def incremental_near_ingest(
             shingle_k, num_hashes, bands, max_bucket, portable,
             broadcast_batch, sig_cols, expected_stamp,
         )
+    # MATERIALIZED (bounded by the batch — ids only): the survivor frame
+    # below is referenced by the within-batch star, cluster resolution,
+    # and the verdict join — unpinned, each reference re-ran the whole
+    # corpus probe (store scan + broadcast exchanges).
+    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+
+    corpus_dup_ids = materialize(corpus_dup_ids)
 
     survivors = new_docs.join(
         corpus_dup_ids.withColumnRenamed(id_col, "_drop"),

@@ -505,7 +505,14 @@ def incremental_simhash_ingest(
     exact_hits = batch.join(
         F.broadcast(exact_hits_keys), "simhash"
     ).select(F.col("_id").alias("_bid"))
-    corpus_dups = near_hits.unionByName(exact_hits).distinct()
+    # MATERIALIZED (bounded by the batch — slim ids): the survivor frame
+    # derived from this is referenced by the star's chunk/anchor/canon
+    # subtrees, cluster resolution, and the verdict join — unpinned, each
+    # reference re-ran BOTH store probes (measured 37 s of a 46 s epoch
+    # at gate scale re-executing the probe 4-5x).
+    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+
+    corpus_dups = materialize(near_hits.unionByName(exact_hits).distinct())
     survivors = batch.join(
         corpus_dups, batch["_id"] == corpus_dups["_bid"], "left_anti"
     ).select(F.col("_id").alias(id_col), "simhash")
