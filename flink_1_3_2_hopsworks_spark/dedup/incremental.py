@@ -143,9 +143,28 @@ def incremental_near_ingest(
     broadcast_batch: bool = True,
     batch_signatures: DataFrame | None = None,
     corpus_keys: DataFrame | None = None,
+    materialize_probe: bool = True,
 ) -> DataFrame:
     """NEAR-duplicate ingestion dedup: drop new docs that are fuzzy dups of
     the existing corpus, then fuzzy-dedup the batch within itself.
+
+    **EAGER by default** (same contract note as ``write_zordered``'s bounds
+    job): with ``materialize_probe=True`` this call RUNS the corpus-probe
+    sub-job at plan-build time — the probe's duplicate-id frame is pinned
+    via ``localCheckpoint`` because the survivor frame derived from it
+    fans out into the within-batch star, cluster resolution, AND the
+    verdict join; unpinned, every one of those references re-executed the
+    whole corpus probe (measured 4-5× re-runs, 37 s of a 46 s epoch at
+    gate scale). The pinned blocks are slim (ids only, bounded by the
+    batch) and live until the driver drops its last reference to the
+    returned frame — Spark's ContextCleaner then unpersists them on GC,
+    so a long crawl loop that discards each epoch's verdict frame stays
+    bounded (pinned by tests/test_streaming_neardup.py's many-epoch
+    replay). Pass ``materialize_probe=False`` for a fully-lazy plan:
+    correct for a caller that triggers exactly ONE action on the result
+    (and for plan audits — the probe subtree, including its broadcast
+    exchange, stays visible in the returned plan), but every extra
+    action re-pays the probe.
 
     One verdict row per new document: ``(id_col, kept, reason)`` with
     ``reason`` ∈ {'kept', 'corpus_near_dup', 'batch_near_dup'} — a new doc
@@ -284,10 +303,13 @@ def incremental_near_ingest(
     # MATERIALIZED (bounded by the batch — ids only): the survivor frame
     # below is referenced by the within-batch star, cluster resolution,
     # and the verdict join — unpinned, each reference re-ran the whole
-    # corpus probe (store scan + broadcast exchanges).
-    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+    # corpus probe (store scan + broadcast exchanges). EAGER: see the
+    # docstring's contract note; materialize_probe=False keeps the probe
+    # subtree lazy (single-action callers, plan audits).
+    if materialize_probe:
+        from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
 
-    corpus_dup_ids = materialize(corpus_dup_ids)
+        corpus_dup_ids = materialize(corpus_dup_ids)
 
     survivors = new_docs.join(
         corpus_dup_ids.withColumnRenamed(id_col, "_drop"),

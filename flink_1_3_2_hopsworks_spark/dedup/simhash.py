@@ -382,6 +382,7 @@ def incremental_simhash_ingest(
     hash_col: str = "simhash",
     max_distance: int = 3,
     max_bucket: int = 1000,
+    materialize_probe: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion over 64-bit fingerprints — the
     simhash twin of dedup/incremental.py's ``incremental_near_ingest``
@@ -415,6 +416,19 @@ def incremental_simhash_ingest(
     DOMAIN (4 chunk indexes × 65536 values = ≤262,144 rows), not by
     store size — so total shuffle volume is O(|batch| + bucket domain),
     independent of the store.
+
+    **EAGER by default** (same contract note as
+    ``incremental_near_ingest`` / ``write_zordered``): with
+    ``materialize_probe=True`` this call RUNS both store probes at
+    plan-build time and pins their duplicate-id result via
+    ``localCheckpoint`` (the survivor frame fans out into the star,
+    cluster resolution, and the verdict join; unpinned, each reference
+    re-ran the probes). The pinned blocks are slim batch-bounded ids,
+    released by Spark's ContextCleaner once the driver drops the
+    returned frame — a crawl loop that discards each epoch's verdicts
+    stays bounded. Pass ``materialize_probe=False`` for a fully-lazy
+    plan (single-action callers, plan audits); extra actions then
+    re-pay the probes.
     """
     from flink_1_3_2_hopsworks_spark.dedup.neardup import (
         resolve_duplicate_clusters,
@@ -509,10 +523,16 @@ def incremental_simhash_ingest(
     # derived from this is referenced by the star's chunk/anchor/canon
     # subtrees, cluster resolution, and the verdict join — unpinned, each
     # reference re-ran BOTH store probes (measured 37 s of a 46 s epoch
-    # at gate scale re-executing the probe 4-5x).
-    from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+    # at gate scale re-executing the probe 4-5x). EAGER: see the
+    # docstring's contract note; materialize_probe=False keeps the probe
+    # subtree lazy (single-action callers, plan audits).
+    corpus_dups = near_hits.unionByName(exact_hits).distinct()
+    if materialize_probe:
+        from flink_1_3_2_hopsworks_spark.operators.iterate import (
+            materialize,
+        )
 
-    corpus_dups = materialize(near_hits.unionByName(exact_hits).distinct())
+        corpus_dups = materialize(corpus_dups)
     survivors = batch.join(
         corpus_dups, batch["_id"] == corpus_dups["_bid"], "left_anti"
     ).select(F.col("_id").alias(id_col), "simhash")

@@ -400,6 +400,43 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
         ],
         10,
     ),
+    # r11 cohort (overrides earlier entries — CORRECTNESS_r11.json proved
+    # all 50 of these green on rows+schema+hash: the stalest-first r6/r7
+    # rotation plus the four round-11 gates). The stalest cohort is now
+    # the remaining r7 names plus the r8 cohort — they head the r12
+    # artifact along with the round-12 gates. Round-12 code notes: the
+    # ingest entry points gained a ``materialize_probe`` kwarg whose
+    # default path is plan-identical (no algebra change — proofs hold);
+    # names whose round-12 changes DO alter plans are removed from this
+    # cohort below with per-name rationale.
+    **dict.fromkeys(
+        [
+            "cep_error_spike", "cep_signup_purchase", "cep_signup_timeout",
+            "dd_minhash_pairs",
+            "ds_chain_revenue",
+            "ev_async_enrich", "ev_curation_funnel_stream",
+            "ev_first_event_per_key", "ev_running_user_total",
+            "ev_session_5m",
+            "fn_rich_broadcast_lookup",
+            "gr_k_core", "gr_sssp_hops", "gr_sssp_weighted",
+            "mm_binary_stats", "mm_pair_curation_funnel",
+            "mm_pair_curation_funnel_stream", "mm_text_to_image_topk",
+            "op_asof_join", "op_bulk_iteration", "op_delta_iteration",
+            "op_group_reduce_stats", "op_heavy_hitters_cms", "op_histogram",
+            "op_intersect_all", "op_interval_join", "op_join_with_huge",
+            "op_join_with_tiny", "op_minus_all", "op_percentiles",
+            "op_range_band_join", "op_sample_fixed_size", "op_split_select",
+            "op_stratified_sample", "op_summarize",
+            "pipe_c4_clean", "pipe_corpus_clean", "pipe_corpus_diff",
+            "pipe_incremental_near_ingest", "pipe_near_dedup",
+            "pipe_near_dedup_pairs", "pipe_temperature_mixture",
+            "q10_returned_items", "q18_large_volume_customer",
+            "q1_pricing_summary",
+            "text_ngram_novelty", "text_oov_rate", "text_pack_sequences",
+            "text_pii_redact", "text_tfidf_top_terms",
+        ],
+        11,
+    ),
 }
 
 

@@ -491,23 +491,67 @@ def test_incremental_near_ingest_no_python_no_window(spark):
     """incremental_near_ingest contract: the corpus side is scan + probe —
     the whole verdict plan stays in codegen (no Python, no WindowExec, no
     cartesian); the batch bucket keys broadcast (BroadcastExchange feeds
-    the corpus probe join)."""
+    the corpus probe join).
+
+    The broadcast lives in the corpus-probe subtree, which the DEFAULT
+    (eager) call executes and pins at plan-build time — the final plan
+    then shows only ``Scan ExistingRDD`` where the probe ran (the r11
+    staleness this test shipped red with). Audit the probe on the
+    ``materialize_probe=False`` plan, which keeps the whole derivation
+    lazy and is a superset of the eager plan's own subtrees — then pin
+    the eager default's final plan separately."""
     from flink_1_3_2_hopsworks_spark.dedup.incremental import (
         incremental_near_ingest,
     )
 
     docs = load_table(spark, SF, "documents")
-    out = incremental_near_ingest(
-        docs.filter(F.col("source") == "src7"),
-        docs.filter(F.col("source") != "src7"),
-        "doc_id",
-        "text",
+    batch = docs.filter(F.col("source") == "src7")
+    corpus = docs.filter(F.col("source") != "src7")
+    # Full lazy derivation: probe subtree visible, broadcast asserted here.
+    lazy_plan = plan_of(
+        incremental_near_ingest(
+            batch, corpus, "doc_id", "text", materialize_probe=False
+        )
     )
-    plan = plan_of(out)
+    assert "BroadcastExchange" in lazy_plan
+    assert "BatchEvalPython" not in lazy_plan
+    assert "WindowExec" not in lazy_plan
+    assert "CartesianProduct" not in lazy_plan
+    # Eager default: the probe ran as its own sub-job (its shape is the
+    # lazy plan's, already audited); the FINAL plan the caller executes
+    # must itself stay in codegen.
+    plan = plan_of(incremental_near_ingest(batch, corpus, "doc_id", "text"))
     assert "BatchEvalPython" not in plan
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
+
+
+def test_incremental_simhash_ingest_no_python_no_window(spark):
+    """incremental_simhash_ingest (the simhash sibling): same audit as the
+    MinHash ingest — store probes are scan + broadcast-probe joins, no
+    Python / WindowExec / cartesian anywhere, asserted on the
+    ``materialize_probe=False`` plan where the probe subtrees (and their
+    BroadcastExchanges) stay visible."""
+    from flink_1_3_2_hopsworks_spark.dedup.simhash import (
+        incremental_simhash_ingest,
+        simhash_fingerprints,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    batch = fps.filter(F.col("doc_id") % 7 == 0)
+    store = fps.filter(F.col("doc_id") % 7 != 0)
+    lazy_plan = plan_of(
+        incremental_simhash_ingest(
+            batch, store, "doc_id", materialize_probe=False
+        )
+    )
+    assert "BroadcastExchange" in lazy_plan
+    assert "WindowExec" not in lazy_plan
+    assert "CartesianProduct" not in lazy_plan
+    plan = plan_of(incremental_simhash_ingest(batch, store, "doc_id"))
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_boilerplate_spans_shuffle_keys_are_hashes(spark):
