@@ -486,7 +486,25 @@ def minhash_key_store(
     — a small batch's probe then prunes the keys scan to its own buckets
     instead of scanning every epoch, and the signature store is only
     touched for the candidates' ids (see incremental_near_ingest's
-    ``corpus_keys``)."""
+    ``corpus_keys``). A stamped ``signatures`` frame (any
+    :func:`minhash_signature_store` output since r7) must agree with this
+    call's ``shingle_k``/``num_hashes``/``portable`` — otherwise the keys
+    store's OWN stamp would misrepresent the hash family its rows were
+    derived from, and the keyed probe (which can only verify the keys
+    stamp) would trust it and silently read the mismatched dimension as
+    'no duplicates'. Same check as ``incremental_near_ingest``'s
+    signature-frame guard; mismatch raises."""
+    stamps = [c for c in signatures.columns if c.startswith(_STAMP_PREFIX)]
+    expected = _store_stamp(shingle_k, num_hashes, portable)
+    if stamps and stamps != [expected]:
+        raise ValueError(
+            "signatures frame was built with a different hash family: "
+            f"frame stamp(s) {stamps}, this keys derivation was told "
+            f"{expected!r} (shingle_k={shingle_k}, num_hashes={num_hashes},"
+            f" portable={portable}) — a keys store stamped from mismatched "
+            "arguments would misrepresent its hash family and the keyed "
+            "probe would silently read it as 'no duplicates'."
+        )
     src = "_id" if "_id" in signatures.columns else id_col
     sig = signatures.select(
         F.col(src).alias("_id"), *[f"_h{i}" for i in range(num_hashes)]

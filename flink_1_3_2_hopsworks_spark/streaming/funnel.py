@@ -114,10 +114,19 @@ def seed_funnel_state(
     ``batch_id=-1`` partitions (visible to every epoch, including epoch-0
     crash replays reading ``batch_id < 0``), in the r11 key-bucketed
     layout with the signature store's posting-key sidecar (``bands``
-    must match the funnel's banding — the keys stamp enforces it)."""
+    must match the funnel's banding — the keys stamp enforces it).
+    Re-seeding into an EXISTING pre-r11 flat store preserves that
+    store's flat layout, per store, mirroring the epoch-append paths
+    (mixed directory depths break partition discovery)."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        store_layout_is_flat,
+    )
+
+    spark = docs.sparkSession
     write_bucketed_partition(
         docs.select(F.col(id_col), fingerprint(text_col).alias("_fp")),
         fp_store_path, -1, "_fp",
+        legacy_flat=store_layout_is_flat(spark, fp_store_path),
     )
     _write_store_epoch(
         minhash_signature_store(
@@ -126,7 +135,8 @@ def seed_funnel_state(
         ),
         -1, sig_store_path, id_col,
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
-        portable=portable, legacy_flat=False,
+        portable=portable,
+        legacy_flat=store_layout_is_flat(spark, sig_store_path),
     )
 
 
@@ -207,11 +217,21 @@ def ingest_funnel_batch(
     # foreachBatch frame re-reads the source per reference. The finally
     # covers everything after the pin (a store-layout ValueError must not
     # leak the cache).
+    from flink_1_3_2_hopsworks_spark.operators.iterate import (
+        push_pin_scope,
+        release_pin_scope,
+    )
+
     batch = batch.persist()
     slim = None
     exact_keep = None
     sig2 = None
     near = None
+    # Epoch pin scope: the near-ingest's eager probe checkpoint and the
+    # cluster-resolution supersteps are consumed before this epoch's
+    # writes return — release their blocks deterministically (see
+    # iterate.pinned_scope).
+    pins = push_pin_scope()
     try:
         rule_ok = rules if rules is not None else _default_rules(text_col)
         slim = batch.select(
@@ -352,6 +372,7 @@ def ingest_funnel_batch(
             portable=portable, legacy_flat=sig_legacy,
         )
     finally:
+        release_pin_scope(pins)
         if near is not None:
             near.unpersist()
         if sig2 is not None:

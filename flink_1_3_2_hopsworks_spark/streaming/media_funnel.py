@@ -76,13 +76,25 @@ def seed_media_funnel_state(
 ) -> None:
     """Seed both perceptual-fingerprint stores with an EXISTING media
     corpus before the stream starts (reserved ``batch_id=-1`` partitions,
-    visible to every epoch including epoch-0 crash replays)."""
+    visible to every epoch including epoch-0 crash replays). Re-seeding
+    into an EXISTING pre-r11 flat store preserves that store's flat
+    layout, per store, mirroring the epoch-append paths (mixed directory
+    depths break partition discovery)."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        store_layout_is_flat,
+    )
+
+    spark = media.sparkSession
     fps = decode_signals(media, id_col, payload_col).filter(
         F.col("decoded")
     ).select(id_col, "simhash")
-    write_bucketed_partition(fps, exact_store_path, -1, "simhash")
     write_bucketed_partition(
-        simhash_chunk_keys(fps, id_col), near_store_path, -1, ["ci", "cv"]
+        fps, exact_store_path, -1, "simhash",
+        legacy_flat=store_layout_is_flat(spark, exact_store_path),
+    )
+    write_bucketed_partition(
+        simhash_chunk_keys(fps, id_col), near_store_path, -1, ["ci", "cv"],
+        legacy_flat=store_layout_is_flat(spark, near_store_path),
     )
 
 
@@ -145,11 +157,21 @@ def ingest_media_funnel_batch(
     excludes this epoch's own (possibly uncommitted) appends, and all
     three writes overwrite their own partition. ONE decode pass per
     epoch, pinned — payloads never shuffle, never re-decode."""
+    from flink_1_3_2_hopsworks_spark.operators.iterate import (
+        push_pin_scope,
+        release_pin_scope,
+    )
+
     spark = batch.sparkSession
     _id = F.col(id_col)
     slim = None
     exact_keep = None
     near = None
+    # Epoch pin scope: the simhash ingest's eager probe checkpoint and
+    # the cluster-resolution supersteps are consumed before this epoch's
+    # writes return — release their blocks deterministically (see
+    # iterate.pinned_scope).
+    pins = push_pin_scope()
     try:
         # ONE decode pass, pinned (the foreachBatch re-read trap plus
         # the codec cost make this the most important pin in the loop).
@@ -270,6 +292,7 @@ def ingest_media_funnel_batch(
                 near_store_path, batch_id, ["ci", "cv"],
             )
     finally:
+        release_pin_scope(pins)
         if near is not None:
             near.unpersist()
         if exact_keep is not None:

@@ -110,6 +110,7 @@ def seed_signature_store(
     num_hashes: int = 64,
     portable: bool = False,
     bands: int = 8,
+    legacy_flat: bool | None = None,
 ) -> None:
     """Seed the ingestion loop's store with an EXISTING corpus before the
     stream starts: signatures land under the reserved ``batch_id=-1``
@@ -118,7 +119,20 @@ def seed_signature_store(
     by id hash, and the posting-key sidecar (``<store_path>_keys``) gets
     the seed's (id, band, bucket) rows bucketed by bucket hash — so every
     later epoch's probe prunes both scans. ``bands`` must match the
-    ingest loop's banding (the keys stamp enforces it)."""
+    ingest loop's banding (the keys stamp enforces it).
+
+    ``legacy_flat=None`` (default) mirrors the epoch-append paths:
+    re-seeding into an EXISTING pre-r11 flat store preserves its flat,
+    sidecar-less layout (a bucketed seed partition in a flat store mixes
+    directory depths and breaks partition discovery for the whole
+    store); a missing or bucketed store seeds bucketed. Pass an explicit
+    bool to override detection."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        store_layout_is_flat,
+    )
+
+    if legacy_flat is None:
+        legacy_flat = store_layout_is_flat(docs.sparkSession, store_path)
     sig = minhash_signature_store(
         docs, id_col, text_col,
         shingle_k=shingle_k, num_hashes=num_hashes, portable=portable,
@@ -126,7 +140,7 @@ def seed_signature_store(
     _write_store_epoch(
         sig, -1, store_path, id_col,
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
-        portable=portable, legacy_flat=False,
+        portable=portable, legacy_flat=legacy_flat,
     )
 
 
@@ -170,6 +184,100 @@ def _write_store_epoch(
     write_bucketed_partition(
         keys, f"{store_path}_keys", batch_id, ["_band", "_bucket"]
     )
+
+
+def compact_signature_store(
+    spark,
+    store_path: str,
+    before_batch_id: int,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> dict:
+    """OFFLINE compaction of a MinHash signature store AND its
+    posting-key sidecar: epochs ``batch_id < before_batch_id`` collapse
+    into one key-bucketed base partition each (see
+    ``stores.compact_store`` for the watermark/flat-store contract and
+    crash notes), and the sidecar's base is RE-DERIVED from the
+    compacted signatures with the store's own stamped hash family —
+    which is also what migrates a legacy flat store (never had a
+    sidecar) into the fully pruned r11 layout in one call. ``bands``
+    must match the ingest loop's banding; when a sidecar already
+    exists, its stamp is checked against it (mismatch raises, same
+    rationale as the probe-time check). Returns the signature store's
+    compaction stats dict."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        _KEYS_STAMP_PREFIX,
+        _STAMP_PREFIX,
+        _keys_stamp,
+        minhash_key_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        compact_store,
+        write_bucketed_partition,
+    )
+
+    # Parse the hash family from the store's stamp column BEFORE
+    # compacting (the stamp survives compaction — it is a data column).
+    store = spark.read.parquet(store_path)
+    stamps = [c for c in store.columns if c.startswith(_STAMP_PREFIX)]
+    if len(stamps) != 1:
+        raise ValueError(
+            f"signature store at {store_path!r} carries stamp(s) "
+            f"{stamps} — exactly one _mh_params_ stamp is required to "
+            "re-derive the posting-key sidecar."
+        )
+    k_s, n_s, p_s = stamps[0][len(_STAMP_PREFIX):].split("_")
+    shingle_k, num_hashes = int(k_s[1:]), int(n_s[1:])
+    portable = bool(int(p_s[1:]))
+
+    keys_path = f"{store_path}_keys"
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(keys_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(keys_path)):
+        kcols = spark.read.parquet(keys_path).columns
+        kstamps = [c for c in kcols if c.startswith(_KEYS_STAMP_PREFIX)]
+        expected = _keys_stamp(shingle_k, num_hashes, bands, portable)
+        if kstamps != [expected]:
+            raise ValueError(
+                f"posting-key sidecar at {keys_path!r} is stamped "
+                f"{kstamps}, but the store's hash family with "
+                f"bands={bands} derives {expected!r} — pass the "
+                "sidecar's own banding."
+            )
+
+    stats = compact_store(spark, store_path, id_col, before_batch_id)
+
+    # Re-derive the sidecar base from the compacted signatures (exact —
+    # same algebra as append time), then drop the old epoch partitions
+    # it replaces. Doing it in this order keeps the sidecar a SUPERSET
+    # of the store at every instant (a concurrent reader would at worst
+    # probe a few stale buckets, never miss one).
+    base_sig = (
+        spark.read.parquet(store_path)
+        .filter(F.col("batch_id") < before_batch_id)
+        .drop("batch_id", "_kb")
+    )
+    keys = minhash_key_store(
+        base_sig, id_col, shingle_k=shingle_k, num_hashes=num_hashes,
+        bands=bands, portable=portable,
+    )
+    tmp_root = f"{keys_path}/_compact_tmp"
+    write_bucketed_partition(keys, tmp_root, -1, ["_band", "_bucket"])
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(keys_path)):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(keys_path)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch_id=")):
+                continue
+            if int(name.split("=", 1)[1]) < before_batch_id:
+                fs.delete(st.getPath(), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(f"{tmp_root}/batch_id=-1"),
+        jvm.org.apache.hadoop.fs.Path(f"{keys_path}/batch_id=-1"),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
+    return stats
 
 
 def _read_keys_store(spark, store, store_path: str, before_batch_id: int):
@@ -251,9 +359,21 @@ def ingest_batch(
     # The finally covers EVERYTHING after the pin — a store-layout
     # ValueError or plan-build failure must not leak the cached batch
     # (ann.py's ingest_vector_batch has the same shape).
+    from flink_1_3_2_hopsworks_spark.operators.iterate import (
+        push_pin_scope,
+        release_pin_scope,
+    )
+
     batch = batch.persist()
     batch_sig = None
     verdicts = None
+    # Pin scope: the ingest's eager corpus-probe checkpoint (and the
+    # cluster-resolution iteration's per-superstep checkpoints) are
+    # epoch-internal — consumed before this epoch's writes return — so
+    # release their storage blocks deterministically at epoch end instead
+    # of waiting on double-GC + ContextCleaner (measured ~1 resident
+    # pinned RDD per epoch over a 24-epoch replay without this).
+    pins = push_pin_scope()
     try:
         store = _read_store(spark, store_path, batch_id)
         # r11 layout: a bucketed store always has a posting-key sidecar
@@ -299,6 +419,7 @@ def ingest_batch(
             portable=portable, legacy_flat=legacy,
         )
     finally:
+        release_pin_scope(pins)
         if verdicts is not None:
             verdicts.unpersist()
         if batch_sig is not None:

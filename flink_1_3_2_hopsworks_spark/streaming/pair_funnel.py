@@ -149,6 +149,11 @@ def ingest_pair_funnel_batch(
     img_near_store = f"{base_dir}/img_near_store"
     funnel_path = f"{base_dir}/funnel"
 
+    from flink_1_3_2_hopsworks_spark.operators.iterate import (
+        push_pin_scope,
+        release_pin_scope,
+    )
+
     batch = batch.persist()
     slim = None
     cap_keep = None
@@ -156,6 +161,11 @@ def ingest_pair_funnel_batch(
     sig2 = None
     cnear = None
     inear = None
+    # Epoch pin scope: both ingests' eager probe checkpoints and the
+    # cluster-resolution supersteps are consumed before this epoch's
+    # writes return — release their blocks deterministically (see
+    # iterate.pinned_scope).
+    pins = push_pin_scope()
     try:
         rule_ok = rules if rules is not None else _caption_rules(text_col)
         slim = (
@@ -250,6 +260,15 @@ def ingest_pair_funnel_batch(
             cnear.filter(F.col("_cn")).select(id_col), id_col
         ).select(id_col, "simhash")
         nstore = _read_store(spark, img_near_store, batch_id)
+        # Legacy guards, mirroring the media funnel's near store: a
+        # pre-existing PLAIN fingerprint store (no ci/cv chunk columns)
+        # keeps its row layout; a chunk store without _kb keeps its flat
+        # depth. Both flags read the ORIGINAL store — the synthesized
+        # empty frame below must not masquerade as a legacy layout.
+        near_plain_legacy = (
+            nstore is not None and "ci" not in nstore.columns
+        )
+        near_flat = nstore is not None and "_kb" not in nstore.columns
         if nstore is None:
             nstore = simhash_chunk_keys(p5.limit(0), id_col)
         inear = incremental_simhash_ingest(
@@ -339,17 +358,23 @@ def ingest_pair_funnel_batch(
             shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
             portable=portable, legacy_flat=sig_legacy,
         )
-        write_bucketed_partition(
-            simhash_chunk_keys(
-                p5.join(
-                    inear.filter(F.col("_in")).select(id_col), id_col,
-                    "left_semi",
-                ),
-                id_col,
-            ),
-            img_near_store, batch_id, ["ci", "cv"],
+        inear_surv = p5.join(
+            inear.filter(F.col("_in")).select(id_col), id_col, "left_semi"
         )
+        if near_plain_legacy:
+            # pre-existing plain (id, simhash) store: append survivors in
+            # ITS row layout (chunk rows would schema-merge as nulls).
+            inear_surv.write.mode("overwrite").parquet(
+                f"{img_near_store}/batch_id={batch_id}"
+            )
+        else:
+            write_bucketed_partition(
+                simhash_chunk_keys(inear_surv, id_col),
+                img_near_store, batch_id, ["ci", "cv"],
+                legacy_flat=near_flat,
+            )
     finally:
+        release_pin_scope(pins)
         for frame in (inear, cnear, sig2, img_keep, cap_keep, slim):
             if frame is not None:
                 frame.unpersist()

@@ -68,6 +68,185 @@ def write_bucketed_partition(
     ).repartition(n_buckets, F.col("_kb")).write.mode(
         "overwrite"
     ).partitionBy("_kb").parquet(target)
+    # An EMPTY frame under dynamic partitionBy writes only _SUCCESS — no
+    # data file carries the schema, so a store whose FIRST epoch has zero
+    # survivors (or any empty micro-batch) would make the next epoch's
+    # whole-store read fail with UNABLE_TO_INFER_SCHEMA (not the
+    # missing-path condition the loops treat as "no store yet") and crash
+    # the stream permanently. Flat writes never had this hole (an empty
+    # flat write emits one schema-bearing empty file). Restore that
+    # invariant at the same directory DEPTH: when no bucket directory
+    # landed, write one empty schema-bearing file under ``_kb=0`` —
+    # driver-side metadata listing only, no extra job on the data path.
+    if not _has_bucket_dirs(df.sparkSession, target):
+        df.drop("_kb").limit(0).write.mode("overwrite").parquet(
+            f"{target}/_kb=0"
+        )
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def count_store_files(spark, store_path: str) -> int:
+    """Number of DATA files under ``store_path`` (recursive; ``_``/``.``
+    names skipped) — the quantity partition discovery has to LIST on
+    every store read, which otherwise grows with crawl lifetime
+    (~epochs × buckets). Driver-side namenode walk, no Spark job."""
+    fs, root = _fs(spark, store_path)
+    if not fs.exists(root):
+        return 0
+    n = 0
+    stack = [root]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            # Spark's own discovery rule: _/. names are invisible UNLESS
+            # they are partition dirs (contain '='$) — _kb=3 counts.
+            if name.startswith(("_", ".")) and "=" not in name:
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                n += 1
+    return n
+
+
+def compact_store(
+    spark,
+    store_path: str,
+    key,
+    before_batch_id: int,
+    n_buckets: int = N_KEY_BUCKETS,
+) -> dict:
+    """OFFLINE compaction of an epoch-partitioned store: rewrite every
+    epoch ``batch_id < before_batch_id`` into ONE consolidated
+    key-bucketed base partition under the reserved ``batch_id=-1`` —
+    the crawl-lifetime lever the per-epoch layout cannot provide. Probe
+    I/O is already lifetime-bounded by bucket pruning, but FILE COUNT
+    (and with it partition discovery/listing cost on every store read)
+    grows ~epochs × buckets; compaction resets it to ≤ ``n_buckets``
+    files for the whole compacted history. Also the legacy-migration
+    path: a pre-r11 FLAT store comes out uniformly key-bucketed (row
+    layout unchanged — only the directory layout upgrades), after which
+    the ingest loops' probes prune it like any r11 store.
+
+    Correctness contract (the caller's side):
+    - ``before_batch_id`` must not exceed the stream's COMMITTED
+      watermark: the base partition is visible to every epoch (reads
+      filter ``batch_id < N`` and −1 < N), so folding a not-yet-committed
+      epoch into it would let that epoch's crash replay see its own
+      append and drop every document as a corpus dup.
+    - A FLAT store must be compacted in full (every epoch <
+      ``before_batch_id``): a bucketed base next to remaining flat
+      epochs would mix directory depths, which partition discovery
+      rejects. Raises otherwise.
+    - Verdict equivalence is exact: reads only ever filter
+      ``batch_id < N``, and every compacted row keeps its columns —
+      only its epoch attribution collapses to −1 (pytest-pinned against
+      a live ingest loop).
+
+    Not crash-atomic (it is an offline op): the consolidated base is
+    fully written under ``<store>/_compact_tmp`` (invisible to readers —
+    ``_``-prefixed) BEFORE any old epoch dir is deleted; a crash between
+    the deletes and the final rename loses nothing — recover by renaming
+    ``<store>/_compact_tmp/batch_id=-1`` to ``<store>/batch_id=-1``.
+
+    Returns ``{"epochs_compacted", "rows", "files_before",
+    "files_after"}``.
+    """
+    store = spark.read.parquet(store_path)
+    if "batch_id" not in store.columns:
+        raise ValueError(
+            f"store at {store_path!r} is not epoch-partitioned (no "
+            "batch_id partition column) — nothing to compact."
+        )
+    flat = "_kb" not in store.columns
+    fs, root = _fs(spark, store_path)
+    epochs = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch_id=")
+    )
+    todo = [e for e in epochs if e < before_batch_id]
+    if flat and len(todo) < len(epochs):
+        raise ValueError(
+            f"flat store at {store_path!r} must be compacted in full: "
+            f"epochs {sorted(set(epochs) - set(todo))} are >= "
+            f"before_batch_id={before_batch_id}, and a bucketed base "
+            "next to flat epochs mixes directory depths (partition "
+            "discovery rejects the whole store)."
+        )
+    files_before = count_store_files(spark, store_path)
+    if len(todo) < 2 and not flat:
+        # nothing to consolidate (0 or 1 bucketed epochs) — no-op
+        return {
+            "epochs_compacted": 0, "rows": 0,
+            "files_before": files_before, "files_after": files_before,
+        }
+    base = store.filter(F.col("batch_id") < before_batch_id).drop(
+        "batch_id", "_kb"
+    )
+    tmp_root = f"{store_path}/_compact_tmp"
+    write_bucketed_partition(base, tmp_root, -1, key, n_buckets=n_buckets)
+    rows = spark.read.parquet(f"{tmp_root}/batch_id=-1").count()
+    jvm = spark._jvm
+    for e in todo:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/batch_id={e}"
+        ), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(f"{tmp_root}/batch_id=-1"),
+        jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id=-1"),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
+    return {
+        "epochs_compacted": len(todo), "rows": rows,
+        "files_before": files_before,
+        "files_after": count_store_files(spark, store_path),
+    }
+
+
+def store_layout_is_flat(spark, store_path: str) -> bool:
+    """True when an EXISTING store at ``store_path`` was written in the
+    pre-r11 flat layout (no ``_kb`` partition column). The seed functions
+    use this to preserve a legacy store's layout when re-seeding
+    ``batch_id=-1`` into it — mixing a bucketed seed partition into a
+    flat store (or vice versa) gives parquet partition discovery mixed
+    directory depths and breaks every later read of the WHOLE store. A
+    missing store reads as not-flat: fresh stores take the bucketed
+    layout. Any error other than the missing-path condition propagates
+    (same rationale as ``_is_path_not_found``)."""
+    from pyspark.errors import AnalysisException
+
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        _is_path_not_found,
+    )
+
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if _is_path_not_found(e):
+            return False
+        raise
+    return "_kb" not in store.columns
+
+
+def _has_bucket_dirs(spark, target: str) -> bool:
+    """True when ``target`` contains at least one ``_kb=<n>`` partition
+    directory — a pure namenode listing (no Spark job)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    return any(
+        st.isDirectory() and st.getPath().getName().startswith("_kb=")
+        for st in fs.listStatus(path)
+    )
 
 
 def prune_store_by_key(

@@ -641,6 +641,32 @@ def test_incremental_near_ingest_rejects_mismatched_store(spark, tmp_path):
         )
 
 
+def test_minhash_key_store_rejects_mismatched_signatures(spark):
+    """minhash_key_store stamps the keys store from its ARGUMENTS — so a
+    stamped signature frame that disagrees with them must raise, or the
+    keys stamp would misrepresent the hash family its rows came from and
+    the keyed probe (which can only verify the keys stamp) would silently
+    read the mismatched dimension as 'no duplicates'."""
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        minhash_key_store,
+        minhash_signature_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some corpus text right here for the store")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signature_store(docs, "doc_id", "text", shingle_k=7)
+    # matching parameters: accepted (and the keys stamp carries them)
+    keys = minhash_key_store(sig, "doc_id", shingle_k=7)
+    assert any(c.startswith("_mh_keys_") for c in keys.columns)
+    # default shingle_k=5 disagrees with the frame's k7 stamp: refused
+    with pytest.raises(ValueError, match="different hash family"):
+        minhash_key_store(sig, "doc_id")
+    with pytest.raises(ValueError, match="different hash family"):
+        minhash_key_store(sig, "doc_id", shingle_k=7, portable=True)
+
+
 def test_simhash_star_edges_subset_of_pairs(spark):
     """Star edges are a verified subset of the pair graph with identical
     per-edge hamming (a pure function of the two fingerprints)."""

@@ -1,0 +1,193 @@
+"""Offline store compaction / legacy migration (streaming/stores.py
+``compact_store`` + streaming/neardup.py ``compact_signature_store``):
+epochs ``[*, N)`` collapse into one key-bucketed ``batch_id=-1`` base —
+verdict equivalence against the uncompacted twin, file-count reduction
+(the crawl-lifetime listing-cost lever), flat-store migration into the
+pruned r11 layout, and the partial-flat-compaction refusal."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+FRESH = "fresh unseen content one two three four five six"
+NOVEL = "a lone novel document unlike anything else at all"
+OTHER = "completely unrelated corpus text about engines and torque"
+
+EPOCHS = [
+    [(1, BASE), (2, OTHER)],
+    [(11, FRESH), (12, NOVEL)],
+    [(21, BASE + " almost"), (22, OTHER + " nearly")],
+]
+PROBE = [(31, BASE), (32, FRESH), (33, "never seen text at all here")]
+
+
+def _ingest_epochs(spark, base_dir, epochs=EPOCHS):
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    for e, rows in enumerate(epochs):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        ingest_batch(b, e, f"{base_dir}/store", f"{base_dir}/verdicts")
+
+
+def _epoch_verdicts(spark, base_dir, batch_id):
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    b = spark.createDataFrame(PROBE, "doc_id long, text string")
+    ingest_batch(b, batch_id, f"{base_dir}/store", f"{base_dir}/verdicts")
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{base_dir}/verdicts")
+            .filter(F.col("batch_id") == batch_id)
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+
+
+def test_compacted_store_verdict_equivalent_and_fewer_files(
+    spark, tmp_path
+):
+    """The headline contract: compacting epochs [*, N) changes NOTHING
+    about epoch-N verdicts (pre- vs post-compaction twins identical) and
+    collapses the store+sidecar file counts to <= one bucket set."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        compact_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        count_store_files,
+    )
+
+    a = str(tmp_path / "a")
+    _ingest_epochs(spark, a)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+
+    stats = compact_signature_store(spark, f"{b}/store", 3)
+    assert stats["epochs_compacted"] == 3
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == count_store_files(spark, f"{b}/store")
+    # one base partition only, everything under batch_id=-1
+    back = spark.read.parquet(f"{b}/store")
+    assert {r[0] for r in back.select("batch_id").distinct().collect()} == {
+        -1
+    }
+    assert back.count() == spark.read.parquet(f"{a}/store").count()
+
+    va = _epoch_verdicts(spark, a, 3)
+    vb = _epoch_verdicts(spark, b, 3)
+    assert va == vb and len(va) == len(PROBE)
+    # the loop keeps appending after compaction (epoch 4 runs clean)
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    b5 = spark.createDataFrame(
+        [(41, NOVEL), (42, "yet another brand new page")],
+        "doc_id long, text string",
+    )
+    ingest_batch(b5, 4, f"{b}/store", f"{b}/verdicts")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(f"{b}/verdicts")
+        .filter("batch_id = 4")
+        .collect()
+    }
+    assert got == {41: "corpus_near_dup", 42: "kept"}
+
+
+def test_flat_store_migrates_to_bucketed_with_sidecar(spark, tmp_path):
+    """Legacy migration: a pre-r11 FLAT signature store (no _kb, no
+    posting-key sidecar) compacts into the fully pruned r11 layout —
+    bucketed base + re-derived sidecar — with identical verdicts; a
+    PARTIAL flat compaction is refused (mixed directory depths)."""
+    import os
+
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        incremental_near_ingest,
+        minhash_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        _read_keys_store,
+        _read_store,
+        _write_store_epoch,
+        compact_signature_store,
+    )
+
+    store = str(tmp_path / "flat_store")
+    for e, rows in enumerate(EPOCHS):
+        _write_store_epoch(
+            minhash_signature_store(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text",
+            ),
+            e, store, "doc_id",
+            shingle_k=5, num_hashes=64, bands=8, portable=False,
+            legacy_flat=True,
+        )
+    assert not os.path.exists(f"{store}_keys")
+    batch = spark.createDataFrame(PROBE, "doc_id long, text string")
+    pre = sorted(
+        map(
+            tuple,
+            incremental_near_ingest(
+                batch, _read_store(spark, store, 3), "doc_id", "text"
+            ).collect(),
+        )
+    )
+
+    with pytest.raises(ValueError, match="compacted in full"):
+        compact_signature_store(spark, store, 2)
+
+    compact_signature_store(spark, store, 3)
+    migrated = _read_store(spark, store, 3)
+    assert "_kb" in migrated.columns
+    keys = _read_keys_store(spark, migrated, store, 3)
+    assert keys is not None and "_kb" in keys.columns
+
+    post = sorted(
+        map(
+            tuple,
+            incremental_near_ingest(
+                batch, migrated, "doc_id", "text", corpus_keys=keys
+            ).collect(),
+        )
+    )
+    assert pre == post and len(pre) == len(PROBE)
+
+
+def test_generic_chunk_store_compaction(spark, tmp_path):
+    """compact_store on a simhash chunk-posting store: rows survive
+    bit-for-bit, the probe still prunes (PartitionFilters on _kb), and
+    the file count collapses to one bucket set."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        compact_store,
+        prune_store_by_key,
+        write_bucketed_partition,
+    )
+
+    store = str(tmp_path / "chunks")
+    rows = []
+    for e in range(4):
+        df = spark.createDataFrame(
+            [(e * 10 + i, i, (e * 7 + i) % 50) for i in range(20)],
+            "simhash long, ci int, cv long",
+        )
+        rows += [tuple(r) for r in df.collect()]
+        write_bucketed_partition(df, store, e, ["ci", "cv"])
+
+    stats = compact_store(spark, store, ["ci", "cv"], 4)
+    assert stats["epochs_compacted"] == 4
+    assert stats["rows"] == len(rows)
+    assert stats["files_after"] < stats["files_before"]
+
+    back = spark.read.parquet(store)
+    assert sorted(
+        map(tuple, back.select("simhash", "ci", "cv").collect())
+    ) == sorted(rows)
+    probe = spark.createDataFrame([(1, 7)], "ci int, cv long")
+    pruned = prune_store_by_key(back, probe, ["ci", "cv"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

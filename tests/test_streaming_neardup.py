@@ -350,3 +350,103 @@ def test_posting_keys_path_matches_full_scan_and_prunes(spark, tmp_path):
         incremental_near_ingest(
             batch, store, "doc_id", "text", corpus_keys=bad_keys
         ).collect()
+
+
+def test_empty_epoch_store_write_keeps_store_readable(spark, tmp_path):
+    """An epoch with ZERO survivors (or an empty micro-batch) must not
+    poison the store: a dynamic partitionBy write of an empty frame
+    emits only _SUCCESS, so without the schema-bearing empty-file
+    fallback the NEXT epoch's whole-store read dies with
+    UNABLE_TO_INFER_SCHEMA — not the missing-path condition — and the
+    stream crashes permanently. Exercise the worst case (empty FIRST
+    epoch) end-to-end through ingest_batch."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    store = str(tmp_path / "store")
+    verdicts = str(tmp_path / "verdicts")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ingest_batch(empty, 0, store, verdicts)  # store epoch 0: zero rows
+    # next epoch reads the store (epoch 0 visible) and must not raise
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, BASE)], "doc_id long, text string"
+    )
+    ingest_batch(batch, 1, store, verdicts)
+    got = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in spark.read.parquet(verdicts)
+        .filter("batch_id = 1")
+        .collect()
+    }
+    assert got == {1: (True, "kept"), 2: (False, "batch_near_dup")}
+    # the store itself stays schema-readable end to end
+    back = spark.read.parquet(store)
+    assert back.filter("batch_id = 0").count() == 0
+    assert back.filter("batch_id = 1").count() == 1
+
+
+def test_reseed_into_flat_store_preserves_layout(spark, tmp_path):
+    """Re-seeding batch_id=-1 into an EXISTING pre-r11 FLAT store must
+    keep the flat layout (a bucketed seed partition would mix directory
+    depths and break parquet partition discovery for the whole store) —
+    and must not create a posting-key sidecar the flat epochs lack."""
+    import os
+
+    from flink_1_3_2_hopsworks_spark.dedup.incremental import (
+        minhash_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        _write_store_epoch,
+        seed_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    legacy_docs = spark.createDataFrame(
+        [(10, OTHER)], "doc_id long, text string"
+    )
+    _write_store_epoch(
+        minhash_signature_store(legacy_docs, "doc_id", "text"),
+        0, store, "doc_id",
+        shingle_k=5, num_hashes=64, bands=8, portable=False,
+        legacy_flat=True,
+    )
+    seed_docs = spark.createDataFrame(
+        [(1, BASE), (2, FRESH)], "doc_id long, text string"
+    )
+    seed_signature_store(seed_docs, store)  # auto-detects the flat layout
+    back = spark.read.parquet(store)  # mixed depths would raise here
+    assert "_kb" not in back.columns
+    assert {r["batch_id"] for r in back.select("batch_id").collect()} == {
+        -1, 0,
+    }
+    assert not os.path.exists(f"{store}_keys")
+    # a FRESH path still seeds bucketed, with the sidecar
+    fresh = str(tmp_path / "fresh_store")
+    seed_signature_store(seed_docs, fresh)
+    assert "_kb" in spark.read.parquet(fresh).columns
+    assert os.path.exists(f"{fresh}_keys")
+
+
+def test_many_epoch_replay_releases_checkpoint_blocks(spark, tmp_path):
+    """The ingest entry points are EAGER and pin their corpus-probe
+    result via localCheckpoint — measured pre-fix: ~1 resident pinned
+    RDD per epoch surviving gc.collect() (20 blocks after 24 epochs,
+    unbounded over a crawl lifetime). The epoch pin scope must release
+    every epoch's blocks deterministically: after a >=20-epoch replay,
+    ZERO of the loop's pinned RDDs remain resident."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import ingest_batch
+
+    store = str(tmp_path / "store")
+    verdicts = str(tmp_path / "verdicts")
+
+    def resident():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = resident()  # tolerate caches leaked by unrelated tests
+    for e in range(21):
+        rows = [
+            (e * 100 + i, f"{BASE} epoch {e} row {i}") for i in range(5)
+        ]
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        ingest_batch(b, e, store, verdicts)
+        assert resident() <= base, (e, resident(), base)
+    assert spark.read.parquet(verdicts).count() == 21 * 5
