@@ -1402,3 +1402,44 @@ def mm_text_to_image_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, query_text string",
     )
     return caption_to_image_topk(pairs, queries).orderBy("query_id", "rank")
+
+
+def mm_text_to_image_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval at SERVE scale — mm_text_to_image_topk with
+    the visual expansion on the IVF-ADC path
+    (multimodal/cross_modal.py caption_to_image_topk serve='ivfpq'): the
+    BM25 caption hits' images probe the corpus through the audited
+    ivfpq_topk contract under the frozen image-descriptor-space models
+    (corpus pruned to nprobe=2 of 4 coarse cells per probe, PQ
+    lookup-table cosine, per-probe top-10), a candidate scores its best
+    ADC cosine over the query's probes, and the same RRF fusion merges
+    the lists — the documented 100 TB swap for the brute expansion (the
+    corpus descriptor scan becomes nprobe partition reads of a persisted
+    cell-partitioned code index; the full-width corpus is never
+    re-scanned). Recall vs the brute arm is pytest-measured
+    (tests/test_multimodal_embed.py). Oracle: the brute oracle's BM25 +
+    fusion chain with the visual block swapped for the IVF-ADC replay
+    (cell assignment, nprobe probing, per-subspace argmin encode, the
+    explicit ADC chain, per-probe rank)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+    from flink_1_3_2_hopsworks_spark.multimodal.synth import image_twin
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", "text").join(
+        image_twin(docs, "doc_id"), "doc_id"
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "table scan join"),
+            (2, "window agg batch"),
+            (3, "customer order part"),
+            (4, "hash merge value"),
+            (5, "fast slow filter"),
+        ],
+        "query_id int, query_text string",
+    )
+    return caption_to_image_topk(pairs, queries, serve="ivfpq").orderBy(
+        "query_id", "rank"
+    )

@@ -2944,13 +2944,24 @@ def _mm_text_to_image_oracle(
     rrf_k: int = 60,
     n_patterns: int = 16,
     n_variants: int = 3,
+    serve: str = "brute",
+    nprobe: int = 2,
 ) -> str:
     """Replays caption_to_image_topk: the sim_bm25_topk SQL chain
     (top-bm25_k caption hits per literal query), the frozen descriptor
     table as both probe (hit images) and corpus side with
     best-probe-cosine ranking (ROUND 4 dp, ties by id), and the hybrid
     gate's reciprocal-rank fusion algebra (1/(rrf_k+rank) rounded 6 dp,
-    DECIMAL(38,6) sums, ties by id)."""
+    DECIMAL(38,6) sums, ties by id).
+
+    ``serve="ivfpq"`` swaps the brute best-probe block for the IVF-ADC
+    serve replay (the _mm_embed_topk_oracle chain with the query side =
+    the hits' probe descriptors under per-(query, rank) probe ids):
+    cosine cell assignment + nprobe probing, per-subspace argmin encode
+    (ties ORDER BY dist, code), the left-to-right ADC chain, the
+    per-PROBE top-visual_k rank (ivfpq_topk's window), then
+    best-probe-ADC-cosine per (query, image) feeding the same
+    visual-rank + fusion tail."""
     from flink_1_3_2_hopsworks_spark.multimodal.synth import (
         frozen_descriptor_table,
     )
@@ -2961,6 +2972,17 @@ def _mm_text_to_image_oracle(
         )
         for dk, dv, d in frozen_descriptor_table(n_patterns, n_variants)
     )
+    vis_block = f"""probes AS (
+        SELECT h.query_id, dd.dvec AS qv
+        FROM hits h JOIN ddesc dd ON dd.doc_id = h.doc_id
+    ), vis AS (
+        SELECT p.query_id, c.doc_id,
+            MAX(ROUND(LIST_COSINE_SIMILARITY(p.qv, c.dvec), 4)) AS mc
+        FROM ddesc c CROSS JOIN probes p
+        GROUP BY p.query_id, c.doc_id
+    )"""
+    if serve == "ivfpq":
+        vis_block = _mm_ivfpq_vis_block(visual_k, nprobe)
     return f"""
     WITH queries(query_id, query_text) AS (
         VALUES (1, 'table scan join'), (2, 'window agg batch'),
@@ -3018,15 +3040,7 @@ def _mm_text_to_image_oracle(
                 (doc_id // {n_patterns}) % {n_variants} AS dv
             FROM documents
         ) d JOIN dmap m USING (dk, dv)
-    ), probes AS (
-        SELECT h.query_id, dd.dvec AS qv
-        FROM hits h JOIN ddesc dd ON dd.doc_id = h.doc_id
-    ), vis AS (
-        SELECT p.query_id, c.doc_id,
-            MAX(ROUND(LIST_COSINE_SIMILARITY(p.qv, c.dvec), 4)) AS mc
-        FROM ddesc c CROSS JOIN probes p
-        GROUP BY p.query_id, c.doc_id
-    ), visranked AS (
+    ), {vis_block}, visranked AS (
         SELECT query_id, doc_id,
             ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY mc DESC, doc_id ASC
@@ -3059,4 +3073,110 @@ def _mm_text_to_image_oracle(
     """
 
 
+def _mm_ivfpq_vis_block(visual_k: int, nprobe: int) -> str:
+    """The IVF-ADC visual-expansion CTE block for
+    _mm_text_to_image_oracle(serve='ivfpq') — ends in the same
+    ``vis(query_id, doc_id, mc)`` relation the brute block produces.
+    Probe ids are ``-(query_id·1000 + rank)``: negative, so the engine's
+    ivfpq self-exclusion (id != probe id) never fires — mirrored here by
+    simply omitting it."""
+    from flink_1_3_2_hopsworks_spark.multimodal.embed import (
+        DESCRIPTOR_DIM,
+        mm_coarse_centroids,
+        mm_codebooks,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import _sqnorms
+
+    cents, books = mm_coarse_centroids(), mm_codebooks()
+    cent_values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    books = [[list(c) for c in b] for b in books]
+    m = len(books)
+    d = DESCRIPTOR_DIM // m
+    pq_values = ",\n                ".join(
+        "({s}, {j}, [{cv}]::DOUBLE[], {sq})".format(
+            s=s, j=j, cv=", ".join(repr(x) for x in c), sq=repr(sq)
+        )
+        for s, book in enumerate(books)
+        for j, (c, sq) in enumerate(zip(book, _sqnorms(book)))
+    )
+    num_chain = "\n                + ".join(
+        f"LIST_INNER_PRODUCT(q.qv[{s * d + 1}:{s * d + d}], c.cvs[{s + 1}])"
+        for s in range(m)
+    )
+    xsq_chain = " + ".join(f"c.sqns[{s + 1}]" for s in range(m))
+    return f"""cent(cell, ccv) AS (
+        VALUES {cent_values}
+    ), pqcent(s, code, cv, sqn) AS (
+        VALUES {pq_values}
+    ), probes AS MATERIALIZED (
+        SELECT h.query_id, -(h.query_id * 1000 + h.rank) AS pid,
+            dd.dvec AS qv,
+            SQRT(LIST_INNER_PRODUCT(dd.dvec, dd.dvec)) AS qnorm
+        FROM hits h JOIN ddesc dd ON dd.doc_id = h.doc_id
+    ), csims AS (
+        SELECT doc_id, cell, LIST_COSINE_SIMILARITY(dvec, ccv) AS sim
+        FROM ddesc CROSS JOIN cent
+    ), assigned AS (
+        SELECT doc_id, cell FROM (
+            SELECT doc_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY sim DESC, cell ASC
+            ) AS rn FROM csims
+        ) WHERE rn = 1
+    ), probed AS (
+        SELECT pid, cell FROM (
+            SELECT p.pid, ct.cell, ROW_NUMBER() OVER (
+                PARTITION BY p.pid ORDER BY
+                    LIST_COSINE_SIMILARITY(p.qv, ct.ccv) DESC, ct.cell ASC
+            ) AS rn FROM probes p CROSS JOIN cent ct
+        ) WHERE rn <= {nprobe}
+    ), subs AS (
+        SELECT doc_id, s, dvec[s * {d} + 1 : s * {d} + {d}] AS sub
+        FROM ddesc CROSS JOIN (SELECT UNNEST(RANGE(0, {m})) AS s)
+    ), distc AS (
+        SELECT doc_id, p.s, p.code, p.cv, p.sqn,
+            p.sqn - 2 * LIST_INNER_PRODUCT(sub, p.cv) AS dist
+        FROM subs JOIN pqcent p USING (s)
+    ), chosen AS (
+        SELECT doc_id, s, cv, sqn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id, s ORDER BY dist, code
+            ) AS rn FROM distc
+        ) WHERE rn = 1
+    ), codesw AS (
+        SELECT doc_id,
+            LIST(cv ORDER BY s) AS cvs,
+            LIST(sqn ORDER BY s) AS sqns
+        FROM chosen GROUP BY doc_id
+    ), adc AS (
+        SELECT pr.pid, a.doc_id,
+            ROUND(
+                CASE WHEN q.qnorm * SQRT({xsq_chain}) = 0 THEN 0.0
+                ELSE (
+                {num_chain}
+                ) / (q.qnorm * SQRT({xsq_chain})) END,
+            4) AS cosine
+        FROM probed pr
+        JOIN assigned a ON a.cell = pr.cell
+        JOIN codesw c ON c.doc_id = a.doc_id
+        JOIN probes q ON q.pid = pr.pid
+    ), perprobe AS (
+        SELECT pid, doc_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY pid ORDER BY cosine DESC, doc_id ASC
+            ) AS rn FROM adc
+        ) WHERE rn <= {visual_k}
+    ), vis AS (
+        SELECT q.query_id, pp.doc_id, MAX(pp.cosine) AS mc
+        FROM perprobe pp
+        JOIN (SELECT DISTINCT pid, query_id FROM probes) q USING (pid)
+        GROUP BY q.query_id, pp.doc_id
+    )"""
+
+
 ORACLE["mm_text_to_image_topk"] = _mm_text_to_image_oracle()
+ORACLE["mm_text_to_image_ivf_topk"] = _mm_text_to_image_oracle(
+    serve="ivfpq"
+)

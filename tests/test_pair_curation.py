@@ -170,3 +170,92 @@ def test_caption_to_image_topk_visual_channel_surfaces_unlabeled_twins(spark):
     # weak-visual-only doc 3
     assert out[2][1] == 1 and out[2][0] == 3
     assert out.get(3, (99, 1))[0] > out[2][0]
+
+
+def _word_pairs(spark, n=144):
+    """(caption, image) corpus with deterministic vocabulary captions and
+    the gate's (pattern, variant) image cycle — enough lexical structure
+    for BM25 and enough image repetition for the visual channel."""
+    rows = [
+        (
+            i,
+            f"token{i % 7} word{(i // 7) % 5} filler{i % 3} common text",
+            _img(i % 16, (i // 16) % 3),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary"
+    )
+
+
+def test_caption_to_image_ivfpq_recall_vs_brute(spark):
+    """The serve='ivfpq' visual expansion against the brute exact-cosine
+    arm on the same pair corpus: the LEXICAL channel is identical by
+    construction (same BM25 call), and the fused top-k recall stays
+    above the floor despite ADC quantization + nprobe cell pruning."""
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+
+    pairs = _word_pairs(spark)
+    queries = spark.createDataFrame(
+        [(1, "token1 word2"), (2, "token3 word0"), (3, "token5 filler1")],
+        "query_id int, query_text string",
+    )
+    brute = caption_to_image_topk(pairs, queries).collect()
+    ivf = caption_to_image_topk(pairs, queries, serve="ivfpq").collect()
+    bset = {(r["query_id"], r["doc_id"]) for r in brute}
+    iset = {(r["query_id"], r["doc_id"]) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.5, f"fused top-k recall vs brute = {recall}"
+    # both-channel survivors (caption hit + looks-like-itself) are the
+    # anchors — every brute n_lists=2 pair must survive the swap
+    anchors = {
+        (r["query_id"], r["doc_id"]) for r in brute if r["n_lists"] == 2
+    }
+    assert anchors <= iset
+
+
+def test_caption_to_image_ivfpq_twin_semantics(spark):
+    """The unlabeled-twin scenario holds on the serve path: an identical
+    image quantizes to the same cell and codes, so the visual channel
+    still surfaces it (ADC self-cosine is maximal)."""
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+
+    rows = [
+        (1, "a photo of migratory birds crossing the flyway", _img(1, 0)),
+        (2, "untitled upload number two", _img(1, 0)),
+        (3, "a completely different scene of machinery", _img(2, 0)),
+        (4, "birds on a wire at dusk", _img(3, 0)),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary"
+    )
+    queries = spark.createDataFrame(
+        [(1, "migratory birds flyway")], "query_id int, query_text string"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["n_lists"])
+        for r in caption_to_image_topk(
+            pairs, queries, k=4, bm25_k=2, visual_k=3, serve="ivfpq"
+        ).collect()
+    }
+    assert out[1] == (1, 2)
+    assert out[4] == (2, 2)
+    assert out[2][1] == 1  # visual-only surface survives the serve swap
+
+
+def test_caption_to_image_rejects_unknown_serve(spark):
+    from flink_1_3_2_hopsworks_spark.multimodal.cross_modal import (
+        caption_to_image_topk,
+    )
+
+    pairs = _word_pairs(spark, n=4)
+    queries = spark.createDataFrame(
+        [(1, "token1")], "query_id int, query_text string"
+    )
+    with pytest.raises(ValueError, match="serve="):
+        caption_to_image_topk(pairs, queries, serve="flat")
