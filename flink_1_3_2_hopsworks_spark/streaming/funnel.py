@@ -62,6 +62,7 @@ from flink_1_3_2_hopsworks_spark.streaming.neardup import (
     _read_keys_store,
     _read_store,
     _write_store_epoch,
+    compact_signature_store,
 )
 from flink_1_3_2_hopsworks_spark.streaming.stores import (
     prune_store_by_key,
@@ -138,6 +139,32 @@ def seed_funnel_state(
         portable=portable,
         legacy_flat=store_layout_is_flat(spark, sig_store_path),
     )
+
+
+def compact_funnel_stores(
+    spark,
+    fp_store_path: str,
+    sig_store_path: str,
+    before_batch_id: int,
+    bands: int = 8,
+) -> dict:
+    """OFFLINE compaction of the text funnel's two dedup stores: epochs
+    ``batch_id < before_batch_id`` of the fingerprint store collapse
+    into one ``_fp``-bucketed ``batch_id=-1`` base (stores.compact_store
+    — see its watermark/flat-store contract) and the signature store +
+    posting-key sidecar through ``compact_signature_store``. The funnel
+    OUTPUT (the per-epoch funnel rows) is never compacted — its epoch
+    attribution IS the result. Run between epochs, with
+    ``before_batch_id`` at or below the stream's committed watermark.
+    Returns ``{"fp": stats, "sig": stats}``."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import compact_store
+
+    return {
+        "fp": compact_store(spark, fp_store_path, "_fp", before_batch_id),
+        "sig": compact_signature_store(
+            spark, sig_store_path, before_batch_id, bands=bands
+        ),
+    }
 
 
 def curation_funnel_stream(

@@ -98,6 +98,31 @@ def seed_media_funnel_state(
     )
 
 
+def compact_media_funnel_stores(
+    spark,
+    exact_store_path: str,
+    near_store_path: str,
+    before_batch_id: int,
+) -> dict:
+    """OFFLINE compaction of the media funnel's two perceptual stores:
+    epochs ``batch_id < before_batch_id`` collapse into one key-bucketed
+    ``batch_id=-1`` base each — the exact store on its ``simhash`` probe
+    key, the chunk-posting near store on ``(ci, cv)``
+    (stores.compact_store — see its watermark/flat-store contract). Run
+    between epochs with ``before_batch_id`` at or below the committed
+    watermark. Returns ``{"exact": stats, "near": stats}``."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import compact_store
+
+    return {
+        "exact": compact_store(
+            spark, exact_store_path, "simhash", before_batch_id
+        ),
+        "near": compact_store(
+            spark, near_store_path, ["ci", "cv"], before_batch_id
+        ),
+    }
+
+
 def media_funnel_stream(
     stream: DataFrame,
     exact_store_path: str,

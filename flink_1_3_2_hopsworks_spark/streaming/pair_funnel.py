@@ -83,6 +83,47 @@ STAGES = (
 )
 
 
+def compact_pair_funnel_stores(
+    spark,
+    base_dir: str,
+    before_batch_id: int,
+    bands: int = 8,
+) -> dict:
+    """OFFLINE compaction of the pair funnel's FOUR dedup stores under
+    ``base_dir``: the caption fingerprint store (``_fp``), the image
+    exact store (``simhash``), the caption MinHash signature store +
+    posting-key sidecar (compact_signature_store), and the image
+    chunk-posting near store (``(ci, cv)``) — each collapsing its
+    epochs ``batch_id < before_batch_id`` into one key-bucketed
+    ``batch_id=-1`` base (stores.compact_store — see its
+    watermark/flat-store contract). The per-epoch funnel OUTPUT under
+    ``base_dir/funnel`` is never compacted — its epoch attribution IS
+    the result. Run between epochs with ``before_batch_id`` at or
+    below the committed watermark. Returns per-store stats keyed
+    ``fp / img_exact / sig / img_near``."""
+    from flink_1_3_2_hopsworks_spark.streaming.neardup import (
+        compact_signature_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import compact_store
+
+    return {
+        "fp": compact_store(
+            spark, f"{base_dir}/fp_store", "_fp", before_batch_id
+        ),
+        "img_exact": compact_store(
+            spark, f"{base_dir}/img_exact_store", "simhash",
+            before_batch_id,
+        ),
+        "sig": compact_signature_store(
+            spark, f"{base_dir}/sig_store", before_batch_id, bands=bands
+        ),
+        "img_near": compact_store(
+            spark, f"{base_dir}/img_near_store", ["ci", "cv"],
+            before_batch_id,
+        ),
+    }
+
+
 def pair_funnel_stream(
     stream: DataFrame,
     base_dir: str,

@@ -191,3 +191,72 @@ def test_generic_chunk_store_compaction(spark, tmp_path):
     pruned = prune_store_by_key(back, probe, ["ci", "cv"])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_pair_funnel_compaction_verdict_equivalent(spark, tmp_path):
+    """compact_pair_funnel_stores covers all four store kinds in one
+    call (fp, exact simhash, MinHash sig + sidecar, chunk postings):
+    compacting epochs [*, 3) changes NOTHING about an epoch-3 probe's
+    funnel rows (pre- vs post-compaction twins identical) and shrinks
+    every store's file count."""
+    from test_streaming_pair_funnel import SCHEMA, T_BASE, _frames, _img
+
+    from flink_1_3_2_hopsworks_spark.streaming.pair_funnel import (
+        compact_pair_funnel_stores,
+        ingest_pair_funnel_batch,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        count_store_files,
+    )
+
+    a = str(tmp_path / "a")
+    for i, b in enumerate(_frames(spark)):
+        ingest_pair_funnel_batch(b, i, a)
+    bdir = str(tmp_path / "b")
+    shutil.copytree(a, bdir)
+
+    stats = compact_pair_funnel_stores(spark, bdir, 3)
+    for name in ("fp", "img_exact", "sig", "img_near"):
+        assert stats[name]["epochs_compacted"] >= 3, (name, stats[name])
+        # per store: never grows; a 3-row epoch writes so few files that
+        # a single store can break even at this scale — the TOTAL must
+        # still strictly drop (at crawl scale each epoch carries up to
+        # n_buckets files, so the reduction is ~epochs x buckets)
+        assert stats[name]["files_after"] <= stats[name]["files_before"]
+    assert sum(s["files_after"] for s in stats.values()) < sum(
+        s["files_before"] for s in stats.values()
+    )
+
+    # epoch-3 probe: caption exact dup of stored 1, image NEAR dup of
+    # stored (4,0) via (4,2), and one clean pair
+    probe_rows = [
+        (31, T_BASE, _img(11, 0)),
+        (32, "wholly new caption about rope bridges and canyon winds",
+         _img(4, 2)),
+        (33, "a fresh clean pair nothing resembles in either modality",
+         _img(9, 0)),
+    ]
+    probe = spark.createDataFrame(probe_rows, SCHEMA)
+    ingest_pair_funnel_batch(probe, 3, a)
+    ingest_pair_funnel_batch(probe, 3, bdir)
+
+    def _epoch3(base):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{base}/funnel")
+                .filter(F.col("batch_id") == 3)
+                .collect(),
+            )
+        )
+
+    rows_a, rows_b = _epoch3(a), _epoch3(bdir)
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+    # and the uncompacted twin carries strictly more store files in
+    # total than the compacted one after the identical probe epoch
+    stores = ("fp_store", "img_exact_store", "sig_store",
+              "img_near_store")
+    assert sum(
+        count_store_files(spark, f"{bdir}/{s}") for s in stores
+    ) < sum(count_store_files(spark, f"{a}/{s}") for s in stores)
