@@ -138,3 +138,61 @@ def seed_code_store(
     ).write.mode("overwrite").partitionBy(cell_col).parquet(
         f"{store_path}/batch_id=-1"
     )
+
+
+def compact_vector_store(
+    spark,
+    store_path: str,
+    before_batch_id: int,
+    cell_col: str = "_cell",
+) -> dict:
+    """OFFLINE compaction of the ANN code store: epochs
+    ``batch_id < before_batch_id`` collapse into one consolidated
+    ``batch_id=-1`` base partition, KEEPING ``cell_col`` as the inner
+    partition column — the store's serving layout (``ivfpq_topk`` prunes
+    by cell directory) must survive compaction, so the generic
+    key-bucket rewrite does not apply here. One file per non-empty cell
+    in the base (repartition on the cell before the partitioned write,
+    the tasks×partitions tiny-file lesson), so the compacted history
+    costs ≤ num_cells files regardless of how many epochs it replaces.
+    Same watermark contract as ``stores.compact_store``:
+    ``before_batch_id`` must not exceed the committed epoch watermark,
+    or a replayed epoch would see its own vectors in the base and
+    anti-join them away. Returns the compaction stats dict."""
+    import pyspark.sql.functions as F
+
+    from flink_1_3_2_hopsworks_spark.streaming.stores import compact_store
+
+    def _writer(base: DataFrame, tmp_root: str) -> None:
+        target = f"{tmp_root}/batch_id=-1"
+        (
+            base.repartition(F.col(cell_col))
+            .write.mode("overwrite")
+            .partitionBy(cell_col)
+            .parquet(target)
+        )
+        # empty-history guard (stores.write_bucketed_partition's
+        # invariant): a dynamic partitionBy of an empty frame writes no
+        # schema-bearing file — land one under cell 0 so the next store
+        # read does not die with UNABLE_TO_INFER_SCHEMA.
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(target)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_cells = fs.exists(path) and any(
+            st.isDirectory()
+            and st.getPath().getName().startswith(f"{cell_col}=")
+            for st in fs.listStatus(path)
+        )
+        if not has_cells:
+            base.drop(cell_col).limit(0).write.mode("overwrite").parquet(
+                f"{target}/{cell_col}=0"
+            )
+
+    return compact_store(
+        spark,
+        store_path,
+        key=None,  # unused: the writer owns the layout
+        before_batch_id=before_batch_id,
+        inner_col=cell_col,
+        writer=_writer,
+    )

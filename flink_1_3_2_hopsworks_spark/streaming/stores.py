@@ -120,6 +120,8 @@ def compact_store(
     key,
     before_batch_id: int,
     n_buckets: int = N_KEY_BUCKETS,
+    inner_col: str = "_kb",
+    writer=None,
 ) -> dict:
     """OFFLINE compaction of an epoch-partitioned store: rewrite every
     epoch ``batch_id < before_batch_id`` into ONE consolidated
@@ -163,7 +165,12 @@ def compact_store(
             f"store at {store_path!r} is not epoch-partitioned (no "
             "batch_id partition column) — nothing to compact."
         )
-    flat = "_kb" not in store.columns
+    # ``inner_col`` names the store family's inner partition column
+    # (``_kb`` for the key-bucketed dedup stores, ``_cell`` for the ANN
+    # code stores) — its absence marks a legacy FLAT store, which must
+    # compact in full (mixed directory depths are rejected by parquet
+    # partition discovery).
+    flat = inner_col not in store.columns
     fs, root = _fs(spark, store_path)
     epochs = sorted(
         int(st.getPath().getName().split("=", 1)[1])
@@ -188,10 +195,20 @@ def compact_store(
             "files_before": files_before, "files_after": files_before,
         }
     base = store.filter(F.col("batch_id") < before_batch_id).drop(
-        "batch_id", "_kb"
+        "batch_id"
     )
     tmp_root = f"{store_path}/_compact_tmp"
-    write_bucketed_partition(base, tmp_root, -1, key, n_buckets=n_buckets)
+    if writer is not None:
+        # store families with their own inner layout (e.g. the ANN code
+        # stores' ``_cell``) write the consolidated base themselves; the
+        # base keeps ``inner_col`` as a regular column (the writer
+        # re-partitions on it) and the writer MUST land the result under
+        # ``<tmp_root>/batch_id=-1`` at the store's regular depth.
+        writer(base, tmp_root)
+    else:
+        write_bucketed_partition(
+            base.drop(inner_col), tmp_root, -1, key, n_buckets=n_buckets
+        )
     rows = spark.read.parquet(f"{tmp_root}/batch_id=-1").count()
     jvm = spark._jvm
     for e in todo:

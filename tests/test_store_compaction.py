@@ -260,3 +260,66 @@ def test_pair_funnel_compaction_verdict_equivalent(spark, tmp_path):
     assert sum(
         count_store_files(spark, f"{bdir}/{s}") for s in stores
     ) < sum(count_store_files(spark, f"{a}/{s}") for s in stores)
+
+
+def test_vector_store_compaction_preserves_cell_layout(spark, tmp_path):
+    """compact_vector_store: the ANN code store compacts into a
+    batch_id=-1 base that KEEPS ``_cell`` as the inner partition column
+    (the serving layout ivfpq_topk prunes by), with identical store
+    content (modulo epoch attribution), an identical post-compaction
+    ingest epoch (re-crawl skip preserved), and fewer files."""
+    import glob
+    import os
+
+    from flink_1_3_2_hopsworks_spark.catalog import load_table
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.ann import (
+        compact_vector_store,
+        ingest_vector_batch,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        count_store_files,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = str(tmp_path / "a" / "store")
+    for e, (lo, hi) in enumerate([(0, 40), (30, 70), (60, 100)]):
+        ingest_vector_batch(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ),
+            e, a, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        )
+    b = str(tmp_path / "b" / "store")
+    shutil.copytree(a, b)
+
+    stats = compact_vector_store(spark, b, 3)
+    assert stats["epochs_compacted"] == 3
+    assert stats["files_after"] < stats["files_before"]
+    assert count_store_files(spark, b) < count_store_files(spark, a)
+    # serving layout preserved: _cell dirs inside the base partition
+    assert glob.glob(os.path.join(b, "batch_id=-1", "_cell=*"))
+
+    def _content(path, epoch_filter=None):
+        df = spark.read.parquet(path)
+        if epoch_filter is not None:
+            df = df.filter(F.col("batch_id") == epoch_filter)
+        return sorted(
+            map(tuple, df.drop("batch_id").collect()),
+        )
+
+    assert _content(a) == _content(b)
+
+    # post-compaction epoch: 90-99 are re-crawls (must skip), 100-119 new
+    probe = emb.filter((F.col("vec_id") >= 90) & (F.col("vec_id") < 120))
+    ingest_vector_batch(probe, 3, a, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS)
+    ingest_vector_batch(probe, 3, b, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS)
+    ep3_a, ep3_b = _content(a, 3), _content(b, 3)
+    assert ep3_a == ep3_b
+    appended_ids = {t[0] for t in ep3_a}
+    assert appended_ids == set(range(100, 120))
