@@ -392,3 +392,86 @@ def ivfpq_append_batch(
     return pq_encode(
         fresh, id_col, vec_col, codebooks, cell_centroids=coarse_centroids
     )
+
+
+def ivfpq_store_topk(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Serve IVF-ADC top-k FROM the persisted ``_cell``-partitioned code
+    store — the deployment shape ``ivfpq_topk``'s docstring promises:
+    partition pruning IS the inverted file. ``ivfpq_topk`` re-runs the
+    corpus encode kernel on every call; here cells and codes were paid
+    once at ingest (seed_code_store / ingest_vector_batch /
+    compact_vector_store all write this layout), so a serve call reads
+    ONLY the ≤ ``queries × nprobe`` probed cell directories and never
+    touches a raw vector or a Python kernel on the corpus side.
+
+    Plan shape: ONE tiny probe kernel over the queries
+    (``ivf_probe_cells``) whose ≤ |queries| × nprobe rows are collected —
+    bounded BY CONSTRUCTION by the serve-call query set, the query-side
+    twin of the stores' ≤ 64 bucket-id collect — and re-emitted both as a
+    static ``cell IN (...)`` scan filter (PartitionFilters at plan time;
+    no DPP subquery needed) and as the literal probe frame for the
+    per-query cell equi-join. The store scan projects (id, cell, codes)
+    only, joins the broadcast query LUTs on ``cell_col``, and the
+    codegen'd ADC cosine + WindowGroupLimit top-k tail is shared with
+    ``ivfpq_topk`` — results are IDENTICAL to serving the raw corpus
+    through ``ivfpq_topk`` under the same frozen models (pytest-pinned,
+    and the registry gate's oracle replays the full encode+ADC chain
+    from the raw vectors).
+
+    Works unchanged on a seeded store, a multi-epoch ingest store, and a
+    ``compact_vector_store`` base: all keep ``cell_col`` as the inner
+    partition column, ids are unique store-wide by the ingest loop's
+    anti-join invariant, and serving reads every ``batch_id`` present.
+    """
+    from flink_1_3_2_hopsworks_spark.similarity.ivf import ivf_probe_cells
+
+    store = spark.read.parquet(store_path)
+    m = len(codebooks)
+    code_cols = [f"code_{s}" for s in range(m)]
+    missing = [c for c in (id_col, cell_col, *code_cols)
+               if c not in store.columns]
+    if missing:
+        raise ValueError(
+            f"store at {store_path!r} is missing column(s) {missing} — "
+            "serve-path stores are written by seed_code_store / "
+            "ingest_vector_batch / compact_vector_store with "
+            f"{cell_col!r} as the inner partition column and one "
+            f"code_0..code_{m - 1} row per id."
+        )
+    # Bounded collect (|queries| × nprobe rows): one probe-kernel
+    # execution feeds BOTH the static partition filter and the join.
+    probe = ivf_probe_cells(
+        queries, query_id, vec_col, coarse_centroids, nprobe
+    )
+    probe_rows = probe.collect()
+    cells = sorted({r[cell_col] for r in probe_rows})
+    probe_df = spark.createDataFrame(probe_rows, probe.schema)
+    coded = store.filter(F.col(cell_col).isin(cells)).select(
+        id_col, cell_col, *code_cols
+    )
+    q = _query_luts(queries, query_id, vec_col, codebooks).join(
+        probe_df, query_id
+    )
+    scored = (
+        coded.join(F.broadcast(q), cell_col)
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", _adc_cosine(codebooks))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

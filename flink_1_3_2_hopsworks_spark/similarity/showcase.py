@@ -203,6 +203,61 @@ def pipe_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def sim_ivf_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving FROM the persisted code store (similarity/pq.py
+    ivfpq_store_topk) — the 100 TB deployment shape ivfpq_topk's
+    docstring names: the ``_cell``-partitioned store built by the ingest
+    loops IS the inverted file, and a serve call reads only the probed
+    cell directories (static ``cell IN (...)`` PartitionFilters from one
+    bounded query-side probe kernel; the corpus-side encode kernel runs
+    ZERO times at serve time). The gate builds the store the way a crawl
+    would — embeddings with vec_id % 3 == 0 seeded under batch_id=-1,
+    the other two thirds ingested as epochs 0 and 1 through
+    ingest_vector_batch (broadcast id probe + fused Arrow encode) — then
+    serves the standard 5 probes under the frozen models. Because
+    appended rows are bit-identical to a full rebuild (the
+    ivfpq_append_batch contract), the result EQUALS ivfpq_topk over the
+    raw corpus, so the oracle replays the full encode+ADC chain from the
+    embeddings table; store-vs-direct equality, compacted-store serve
+    equivalence, and the partition-pruned plan are pytest-pinned
+    (tests/test_similarity_pq.py)."""
+    import shutil
+    import tempfile
+
+    from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+        FROZEN_CENTROIDS,
+        FROZEN_PQ_CODEBOOKS,
+    )
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_store_topk
+    from flink_1_3_2_hopsworks_spark.streaming.ann import (
+        ingest_vector_batch,
+        seed_code_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="annstore_gate_")
+    store = f"{base}/codes"
+    try:
+        seed_code_store(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+            store, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        )
+        for epoch in (0, 1):
+            ingest_vector_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == epoch + 1),
+                epoch, store, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            )
+        rows = ivfpq_store_topk(
+            spark, store, _queries_from_corpus(emb), FROZEN_CENTROIDS,
+            FROZEN_PQ_CODEBOOKS, "vec_id", "embedding", k=10, nprobe=6,
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine double, rank int"
+    ).orderBy("query_id", "rank")
+
+
 def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval (similarity/hybrid.py rrf_fuse) —
     the fusion step every production retrieval stack runs on top of its

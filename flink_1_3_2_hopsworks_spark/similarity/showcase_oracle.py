@@ -350,6 +350,11 @@ ORACLE: dict[str, str] = {
     "sim_bruteforce_topk": _BRUTEFORCE_SQL,
     "sim_pq_topk": _pq_topk_oracle(),
     "sim_ivfpq_topk": _ivfpq_topk_oracle(),
+    # Store-served twin: the gate builds the _cell-partitioned store from
+    # the same embeddings (seed + two ingest epochs, appends bit-identical
+    # to a rebuild) and serves through ivfpq_store_topk, so the expected
+    # rows are EXACTLY the full encode+ADC replay over the raw vectors.
+    "sim_ivf_store_topk": _ivfpq_topk_oracle(),
 }
 
 

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 
 from flink_1_3_2_hopsworks_spark.catalog import load_table
 from flink_1_3_2_hopsworks_spark.similarity.gate_model import (
+    FROZEN_CENTROIDS,
     FROZEN_PQ_CODEBOOKS,
 )
 from flink_1_3_2_hopsworks_spark.similarity.knn import brute_force_topk
@@ -443,3 +444,137 @@ def test_rerank_recall_beats_plain_ivfpq(spark):
     recall_rerank = len(rer_keys & set(truth)) / len(truth)
     assert recall_rerank >= recall_plain
     assert recall_rerank > recall_plain  # measured gap closes on this corpus
+
+
+def _build_store(spark, tmpdir, emb):
+    from flink_1_3_2_hopsworks_spark.streaming.ann import (
+        ingest_vector_batch,
+        seed_code_store,
+    )
+
+    store = f"{tmpdir}/codes"
+    seed_code_store(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+        store, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+    )
+    for epoch in (0, 1):
+        ingest_vector_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == epoch + 1),
+            epoch, store, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        )
+    return store
+
+
+def test_store_topk_equals_direct_serve(spark, tmp_path):
+    """Serving from the persisted multi-epoch code store must reproduce
+    ivfpq_topk over the raw corpus row-for-row (the bit-identical-append
+    contract composed with the shared ADC tail)."""
+    from flink_1_3_2_hopsworks_spark.similarity.pq import (
+        ivfpq_store_topk,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark)
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    store = _build_store(spark, str(tmp_path), emb)
+    served = ivfpq_store_topk(
+        spark, store, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, nprobe=4,
+    ).orderBy("query_id", "rank").collect()
+    direct = ivfpq_topk(
+        emb, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, nprobe=4,
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+
+def test_store_topk_equals_after_compaction(spark, tmp_path):
+    """compact_vector_store keeps `_cell` as the inner partition column,
+    so the serve path must return identical rows from the compacted base
+    (with strictly fewer files)."""
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_store_topk
+    from flink_1_3_2_hopsworks_spark.streaming.ann import (
+        compact_vector_store,
+    )
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        count_store_files,
+    )
+
+    emb = _emb(spark)
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    store = _build_store(spark, str(tmp_path), emb)
+
+    def serve():
+        return ivfpq_store_topk(
+            spark, store, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            "vec_id", "embedding", k=10, nprobe=4,
+        ).orderBy("query_id", "rank").collect()
+
+    before = serve()
+    files_before = count_store_files(spark, store)
+    compact_vector_store(spark, store, before_batch_id=2)
+    files_after = count_store_files(spark, store)
+    assert files_after < files_before
+    assert [tuple(r) for r in serve()] == [tuple(r) for r in before]
+
+
+def test_store_topk_plan_prunes_partitions_no_corpus_kernel(spark, tmp_path):
+    """The serve-path contract: the store scan carries the probed cells as
+    PartitionFilters (partition pruning IS the inverted file) and the
+    corpus side crosses into Python ZERO times — the only MapInPandas in
+    the plan are the two bounded query-side kernels (cell probe runs
+    pre-plan via collect; LUTs ride the broadcast side)."""
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_store_topk
+
+    emb = _emb(spark)
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    store = _build_store(spark, str(tmp_path), emb)
+    df = ivfpq_store_topk(
+        spark, store, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+        "vec_id", "embedding", k=10, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln or "PartitionFilters" in ln
+    ]
+    assert any(
+        "PartitionFilters" in ln and "_cell" in ln for ln in scan_lines
+    ), scan_lines
+    # The only Python crossing is the broadcast LUT kernel over the 5
+    # query rows (AQE prints the reused broadcast subtree twice) — never
+    # a corpus-side encode kernel.
+    mip = [ln for ln in plan.splitlines() if "MapInPandas" in ln]
+    assert mip and all("_lut" in ln for ln in mip), mip
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_store_topk_missing_columns_raises(spark, tmp_path):
+    """A store without codes/cell layout must be rejected loudly, not
+    served as garbage."""
+    import pytest
+
+    from flink_1_3_2_hopsworks_spark.similarity.pq import ivfpq_store_topk
+
+    emb = _emb(spark)
+    bad = f"{tmp_path}/flat"
+    emb.select("vec_id", "embedding").write.parquet(bad)
+    q = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="missing column"):
+        ivfpq_store_topk(
+            spark, bad, q, FROZEN_CENTROIDS, FROZEN_PQ_CODEBOOKS,
+            "vec_id", "embedding",
+        )
