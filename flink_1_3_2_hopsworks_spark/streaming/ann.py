@@ -37,12 +37,25 @@ def ann_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "_cell",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous IVF-PQ ingestion loop over ``stream`` (a
     streaming DataFrame carrying ``id_col`` and ``vec_col``). Each
     micro-batch appends its surviving rows' (id, cell, codes) under
     ``store_path/batch_id=N`` partitioned by ``cell_col``."""
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from flink_1_3_2_hopsworks_spark.streaming.stores import (
+            compaction_due,
+        )
+
+        if compaction_due(batch_id, compact_every):
+            # Self-maintenance: fold committed code epochs into one
+            # batch_id=-1 base, preserving the _cell serving layout —
+            # crash-replay-safe (stores.recover_compaction).
+            compact_vector_store(
+                batch.sparkSession, store_path, batch_id,
+                cell_col=cell_col,
+            )
         ingest_vector_batch(
             batch, batch_id, store_path, coarse_centroids, codebooks,
             id_col=id_col, vec_col=vec_col, cell_col=cell_col,

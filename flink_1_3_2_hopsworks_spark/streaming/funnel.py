@@ -65,6 +65,7 @@ from flink_1_3_2_hopsworks_spark.streaming.neardup import (
     compact_signature_store,
 )
 from flink_1_3_2_hopsworks_spark.streaming.stores import (
+    compaction_due,
     prune_store_by_key,
     write_bucketed_partition,
 )
@@ -183,13 +184,29 @@ def curation_funnel_stream(
     max_bucket: int = 1000,
     portable: bool = True,
     salt: str = "fun10",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous curation funnel over ``stream`` (a streaming
     DataFrame carrying ``id_col`` and ``text_col``). Each micro-batch
     writes its four funnel rows under ``funnel_path/batch_id=N`` and
-    appends each stage's survivors to that stage's store."""
+    appends each stage's survivors to that stage's store.
+
+    ``compact_every=N`` makes the loop SELF-MAINTAINING: at the start of
+    every Nth epoch the committed history (epochs ``< batch_id``) of both
+    stores collapses into one key-bucketed base
+    (:func:`compact_funnel_stores`), so crawl-lifetime file counts stay
+    bounded without an offline job. Safe under crash replay: the
+    compaction runs before the epoch's own writes, only ever folds
+    committed epochs (the compact_store watermark contract), and is
+    idempotent via the write-ahead manifest (stores.recover_compaction).
+    """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if compaction_due(batch_id, compact_every):
+            compact_funnel_stores(
+                batch.sparkSession, fp_store_path, sig_store_path,
+                batch_id, bands=bands,
+            )
         ingest_funnel_batch(
             batch, batch_id, fp_store_path, sig_store_path, funnel_path,
             id_col=id_col, text_col=text_col, rules=rules,
@@ -416,6 +433,7 @@ def funnel_replay(
     base_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
     **params,
 ) -> DataFrame:
     """Deterministic sequential replay (the batch twin and backfill path):
@@ -429,6 +447,11 @@ def funnel_replay(
     sig_store = f"{base_dir}/sig_store"
     funnel = f"{base_dir}/funnel"
     for e, b in enumerate(batches):
+        if compaction_due(e, compact_every):
+            compact_funnel_stores(
+                spark, fp_store, sig_store, e,
+                bands=params.get("bands", 8),
+            )
         ingest_funnel_batch(
             b, e, fp_store, sig_store, funnel,
             id_col=id_col, text_col=text_col, **params,

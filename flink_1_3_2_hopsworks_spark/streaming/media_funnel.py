@@ -54,6 +54,7 @@ from flink_1_3_2_hopsworks_spark.multimodal.curation import decode_signals
 from flink_1_3_2_hopsworks_spark.operators.sampling import salted_h32
 from flink_1_3_2_hopsworks_spark.streaming.neardup import _read_store
 from flink_1_3_2_hopsworks_spark.streaming.stores import (
+    compaction_due,
     prune_store_by_key,
     write_bucketed_partition,
 )
@@ -137,14 +138,23 @@ def media_funnel_stream(
     max_distance: int = 3,
     max_bucket: int = 1000,
     salt: str = "mmfun10",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous media ingest funnel over ``stream`` (a
     streaming DataFrame carrying ``id_col`` and a binary
     ``payload_col``). Each micro-batch writes its five funnel rows under
     ``funnel_path/batch_id=N`` and appends each perceptual stage's
-    survivors to that stage's store."""
+    survivors to that stage's store. ``compact_every=N`` self-maintains
+    the two stores: every Nth epoch folds the committed history into one
+    key-bucketed base before ingesting (crash-replay-safe — see
+    curation_funnel_stream's note and stores.recover_compaction)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if compaction_due(batch_id, compact_every):
+            compact_media_funnel_stores(
+                batch.sparkSession, exact_store_path, near_store_path,
+                batch_id,
+            )
         ingest_media_funnel_batch(
             batch, batch_id, exact_store_path, near_store_path,
             funnel_path, id_col=id_col, payload_col=payload_col,
@@ -331,6 +341,7 @@ def media_funnel_replay(
     base_dir: str,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    compact_every: int | None = None,
     **params,
 ) -> DataFrame:
     """Deterministic sequential replay (the batch twin and backfill
@@ -344,6 +355,8 @@ def media_funnel_replay(
     near_store = f"{base_dir}/near_store"
     funnel = f"{base_dir}/funnel"
     for e, b in enumerate(batches):
+        if compaction_due(e, compact_every):
+            compact_media_funnel_stores(spark, exact_store, near_store, e)
         ingest_media_funnel_batch(
             b, e, exact_store, near_store, funnel,
             id_col=id_col, payload_col=payload_col, **params,

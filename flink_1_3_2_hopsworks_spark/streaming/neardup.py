@@ -304,6 +304,7 @@ def near_ingest_stream(
     bands: int = 8,
     max_bucket: int = 1000,
     portable: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous near-dedup ingestion loop over ``stream``
     (a streaming DataFrame carrying ``id_col`` and ``text_col``).
@@ -318,6 +319,19 @@ def near_ingest_stream(
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from flink_1_3_2_hopsworks_spark.streaming.stores import (
+            compaction_due,
+        )
+
+        if compaction_due(batch_id, compact_every):
+            # Self-maintenance: fold the committed signature epochs (and
+            # the posting-key sidecar) into one key-bucketed base before
+            # this epoch runs — crash-replay-safe via the write-ahead
+            # manifest (stores.recover_compaction).
+            compact_signature_store(
+                batch.sparkSession, store_path, batch_id, id_col=id_col,
+                bands=bands,
+            )
         ingest_batch(
             batch, batch_id, store_path, verdict_path,
             id_col=id_col, text_col=text_col, threshold=threshold,

@@ -68,6 +68,7 @@ from flink_1_3_2_hopsworks_spark.streaming.neardup import (
     _write_store_epoch,
 )
 from flink_1_3_2_hopsworks_spark.streaming.stores import (
+    compaction_due,
     prune_store_by_key,
     write_bucketed_partition,
 )
@@ -132,6 +133,7 @@ def pair_funnel_stream(
     text_col: str = "text",
     payload_col: str = "payload",
     rules: Column | None = None,
+    compact_every: int | None = None,
     **params,
 ) -> StreamingQuery:
     """Start the continuous paired-curation funnel over ``stream`` (a
@@ -141,6 +143,11 @@ def pair_funnel_stream(
     ``img_near_store``, ``funnel``)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if compaction_due(batch_id, compact_every):
+            compact_pair_funnel_stores(
+                batch.sparkSession, base_dir, batch_id,
+                bands=params.get("bands", 8),
+            )
         ingest_pair_funnel_batch(
             batch, batch_id, base_dir,
             id_col=id_col, text_col=text_col, payload_col=payload_col,
@@ -428,6 +435,7 @@ def pair_funnel_replay(
     id_col: str = "doc_id",
     text_col: str = "text",
     payload_col: str = "payload",
+    compact_every: int | None = None,
     **params,
 ) -> DataFrame:
     """Deterministic sequential replay (the batch twin and backfill
@@ -438,6 +446,10 @@ def pair_funnel_replay(
     (pytest-pinned)."""
     spark = batches[0].sparkSession
     for e, b in enumerate(batches):
+        if compaction_due(e, compact_every):
+            compact_pair_funnel_stores(
+                spark, base_dir, e, bands=params.get("bands", 8)
+            )
         ingest_pair_funnel_batch(
             b, e, base_dir,
             id_col=id_col, text_col=text_col, payload_col=payload_col,

@@ -114,6 +114,92 @@ def count_store_files(spark, store_path: str) -> int:
     return n
 
 
+def compaction_due(batch_id: int, compact_every) -> bool:
+    """True when a crawl loop configured with ``compact_every=N`` should
+    compact epochs ``[*, batch_id)`` at the START of epoch ``batch_id``.
+    Epochs below the current one are checkpoint-committed (foreachBatch
+    replays at most the current epoch), so the compact_store watermark
+    contract holds; a replayed epoch re-runs the same compaction, which
+    is idempotent (recover + no-op on an already-consolidated store)."""
+    return (
+        bool(compact_every) and batch_id > 0
+        and batch_id % compact_every == 0
+    )
+
+
+_COMPACT_MANIFEST = "_compact_manifest.json"
+
+
+def _write_compact_manifest(spark, store_path: str, todo: list) -> None:
+    """Atomically record the epoch set an in-flight compaction is about
+    to delete: create ``_compact_manifest.json.tmp`` then rename — a
+    crash mid-write can never leave a readable-but-partial manifest, so
+    manifest-exists ⇒ the consolidated tmp base is complete."""
+    import json
+
+    fs, _ = _fs(spark, store_path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path}/{_COMPACT_MANIFEST}.tmp"
+    )
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps({"todo": todo}).encode("utf-8")))
+    out.close()
+    fs.rename(
+        tmp, jvm.org.apache.hadoop.fs.Path(f"{store_path}/{_COMPACT_MANIFEST}")
+    )
+
+
+def recover_compaction(spark, store_path: str) -> dict | None:
+    """Finish an interrupted :func:`compact_store` run, idempotently.
+
+    The manifest is written only AFTER the consolidated base is fully
+    under ``_compact_tmp/batch_id=-1``, so its presence means the data is
+    safe and only the deletes/rename may be partial. Recovery replays
+    them: delete every manifest epoch still present (skipping ``-1`` when
+    the tmp base is already gone — that means the rename landed and the
+    current ``batch_id=-1`` IS the new base), rename the tmp base in if
+    it still exists, and clear the tmp root + manifest. Returns the
+    recovered manifest dict, or ``None`` when there was nothing to
+    recover (the overwhelmingly common case — one existence check).
+
+    Called automatically at the start of every ``compact_store``; safe to
+    call directly after a crash before any store read."""
+    import json
+
+    fs, _ = _fs(spark, store_path)
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    man = P(f"{store_path}/{_COMPACT_MANIFEST}")
+    # A crash between creating and renaming the .tmp manifest leaves only
+    # the .tmp: the deletes never started, the store is intact — discard.
+    man_tmp = P(f"{store_path}/{_COMPACT_MANIFEST}.tmp")
+    if fs.exists(man_tmp):
+        fs.delete(man_tmp, False)
+    if not fs.exists(man):
+        return None
+    inp = fs.open(man)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+    finally:
+        inp.close()
+    manifest = json.loads(raw)
+    tmp_base = P(f"{store_path}/_compact_tmp/batch_id=-1")
+    tmp_exists = fs.exists(tmp_base)
+    for e in manifest["todo"]:
+        if e == -1 and not tmp_exists:
+            # rename already landed: batch_id=-1 is the NEW base
+            continue
+        p = P(f"{store_path}/batch_id={e}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    if tmp_exists:
+        fs.rename(tmp_base, P(f"{store_path}/batch_id=-1"))
+    fs.delete(P(f"{store_path}/_compact_tmp"), True)
+    fs.delete(man, False)
+    return manifest
+
+
 def compact_store(
     spark,
     store_path: str,
@@ -150,15 +236,23 @@ def compact_store(
       only its epoch attribution collapses to −1 (pytest-pinned against
       a live ingest loop).
 
-    Not crash-atomic (it is an offline op): the consolidated base is
-    fully written under ``<store>/_compact_tmp`` (invisible to readers —
-    ``_``-prefixed) BEFORE any old epoch dir is deleted; a crash between
-    the deletes and the final rename loses nothing — recover by renaming
-    ``<store>/_compact_tmp/batch_id=-1`` to ``<store>/batch_id=-1``.
+    Crash-safe (write-ahead manifest): the consolidated base is fully
+    written under ``<store>/_compact_tmp`` (invisible to readers —
+    ``_``-prefixed), then ``<store>/_compact_manifest.json`` records the
+    epoch list about to be deleted (atomic create-then-rename), and only
+    then do the deletes + final rename run. A crash anywhere leaves one
+    of two states: no manifest → the store is untouched (a half-written
+    tmp is simply overwritten next time); manifest present → the base is
+    complete, and :func:`recover_compaction` (run automatically at the
+    next ``compact_store`` call on the same path, or callable directly)
+    finishes the deletes/rename idempotently. This is what lets the
+    ingest loops run compaction INSIDE a replayable foreachBatch epoch
+    (``compact_every``) without a crash window.
 
     Returns ``{"epochs_compacted", "rows", "files_before",
     "files_after"}``.
     """
+    recover_compaction(spark, store_path)
     store = spark.read.parquet(store_path)
     if "batch_id" not in store.columns:
         raise ValueError(
@@ -211,6 +305,9 @@ def compact_store(
         )
     rows = spark.read.parquet(f"{tmp_root}/batch_id=-1").count()
     jvm = spark._jvm
+    # Point of no return: the manifest commits the delete set AFTER the
+    # base is fully written — from here a crash recovers forward.
+    _write_compact_manifest(spark, store_path, todo)
     for e in todo:
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{store_path}/batch_id={e}"
@@ -220,6 +317,10 @@ def compact_store(
         jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id=-1"),
     )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{store_path}/{_COMPACT_MANIFEST}"),
+        False,
+    )
     return {
         "epochs_compacted": len(todo), "rows": rows,
         "files_before": files_before,

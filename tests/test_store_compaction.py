@@ -323,3 +323,170 @@ def test_vector_store_compaction_preserves_cell_layout(spark, tmp_path):
     assert ep3_a == ep3_b
     appended_ids = {t[0] for t in ep3_a}
     assert appended_ids == set(range(100, 120))
+
+
+def test_auto_compaction_in_funnel_replay_equivalent(spark, tmp_path):
+    """compact_every wires compaction INTO the crawl loop: a replay that
+    self-compacts at epoch 2 (folding epochs 0-1 into the base) must emit
+    funnel rows identical to the uncompacted twin — epoch 2 carries both
+    a cross-epoch exact dup and a cross-epoch NEAR dup against the
+    now-compacted store — with fewer store files."""
+    from test_streaming_funnel import _frames
+
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import funnel_replay
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        count_store_files,
+    )
+
+    plain = funnel_replay(
+        _frames(spark), str(tmp_path / "plain")
+    ).collect()
+    compacted = funnel_replay(
+        _frames(spark), str(tmp_path / "auto"), compact_every=2
+    ).collect()
+    assert [tuple(r) for r in compacted] == [tuple(r) for r in plain]
+    # Both stores folded epochs 0-1 into the reserved base (at this toy
+    # scale the absolute file count may tie — the reduction itself is
+    # pinned by the offline compaction tests over more epochs; what the
+    # loop must guarantee is the consolidated layout and no growth).
+    for store in ("fp_store", "sig_store"):
+        assert count_store_files(
+            spark, str(tmp_path / "auto" / store)
+        ) <= count_store_files(spark, str(tmp_path / "plain" / store))
+        back = spark.read.parquet(str(tmp_path / "auto" / store))
+        assert {
+            r[0] for r in back.select("batch_id").distinct().collect()
+        } == {-1, 2}, store
+
+
+def test_auto_compaction_epoch_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the COMPACTING epoch re-runs compaction + ingest;
+    both must be no-ops on the second pass (recover finds nothing, the
+    store is already consolidated, the epoch overwrites its own
+    partitions with identical content)."""
+    from test_streaming_funnel import _frames
+
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import (
+        compact_funnel_stores,
+        funnel_replay,
+        ingest_funnel_batch,
+    )
+
+    base = str(tmp_path / "d")
+    first = funnel_replay(_frames(spark), base, compact_every=2).collect()
+
+    def _store_rows(store):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{base}/{store}")
+                .drop("batch_id", "_kb")
+                .collect(),
+            )
+        )
+
+    fp_before = _store_rows("fp_store")
+    sig_before = _store_rows("sig_store")
+    # replay epoch 2 exactly as the foreachBatch body would
+    compact_funnel_stores(
+        spark, f"{base}/fp_store", f"{base}/sig_store", 2
+    )
+    ingest_funnel_batch(
+        _frames(spark)[2], 2, f"{base}/fp_store", f"{base}/sig_store",
+        f"{base}/funnel",
+    )
+    again = (
+        spark.read.parquet(f"{base}/funnel")
+        .select(
+            F.col("batch_id").cast("long"),
+            "stage_idx", "stage", "n_docs", "n_tokens", "id_checksum",
+        )
+        .orderBy("batch_id", "stage_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+    assert _store_rows("fp_store") == fp_before
+    assert _store_rows("sig_store") == sig_before
+
+
+def _generic_store(spark, path, n_epochs=3):
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        write_bucketed_partition,
+    )
+
+    rows = []
+    for e in range(n_epochs):
+        df = spark.createDataFrame(
+            [(e * 10 + i, f"v{e}_{i}") for i in range(4)],
+            "k long, v string",
+        )
+        write_bucketed_partition(df, path, e, "k")
+        rows += [(e * 10 + i, f"v{e}_{i}") for i in range(4)]
+    return sorted(rows)
+
+
+def _store_content(spark, path):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(path).select("k", "v").collect(),
+        )
+    )
+
+
+def test_compaction_recovery_after_partial_deletes(spark, tmp_path):
+    """The write-ahead manifest makes compaction crash-safe: a crash
+    AFTER some epoch dirs were deleted (but before the base rename) must
+    recover to the full consolidated store — the pre-manifest protocol
+    lost those epochs' rows."""
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        _write_compact_manifest,
+        compact_store,
+        write_bucketed_partition,
+    )
+
+    store = str(tmp_path / "s")
+    expected = _generic_store(spark, store)
+    # simulate the crashed run: consolidated base fully under tmp,
+    # manifest committed, then a crash mid-deletes (epochs 0-1 gone)
+    base = spark.read.parquet(store).select("k", "v")
+    write_bucketed_partition(base, f"{store}/_compact_tmp", -1, "k")
+    _write_compact_manifest(spark, store, [0, 1, 2])
+    shutil.rmtree(f"{store}/batch_id=0")
+    shutil.rmtree(f"{store}/batch_id=1")
+    # the next compact_store call on this path must recover FIRST
+    stats = compact_store(spark, store, "k", 3)
+    assert _store_content(spark, store) == expected
+    back = spark.read.parquet(store)
+    assert {r[0] for r in back.select("batch_id").distinct().collect()} == {
+        -1
+    }
+    assert stats["epochs_compacted"] == 0  # recovery left one base: no-op
+
+
+def test_compaction_recovery_after_rename(spark, tmp_path):
+    """Crash AFTER the base rename but before the manifest delete: the
+    current batch_id=-1 IS the new base — recovery must keep it (the -1
+    entry in the manifest refers to the OLD base, already replaced)."""
+    import json
+    import os
+
+    from flink_1_3_2_hopsworks_spark.streaming.stores import (
+        recover_compaction,
+        write_bucketed_partition,
+    )
+
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, v string"
+    )
+    write_bucketed_partition(df, store, -1, "k")
+    expected = _store_content(spark, store)
+    with open(f"{store}/_compact_manifest.json", "w") as f:
+        json.dump({"todo": [0, 1, -1]}, f)
+    got = recover_compaction(spark, store)
+    assert got == {"todo": [0, 1, -1]}
+    assert _store_content(spark, store) == expected
+    assert not os.path.exists(f"{store}/_compact_manifest.json")
+    # idempotent: nothing left to recover
+    assert recover_compaction(spark, store) is None
