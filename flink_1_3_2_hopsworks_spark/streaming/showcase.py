@@ -574,6 +574,41 @@ def ev_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("batch_id", "stage_idx")
 
 
+def ev_curation_funnel_stream_compacting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SELF-COMPACTING arm of ev_curation_funnel_stream: the same
+    three-epoch replay with ``compact_every=2``, so epoch 2 first folds
+    epochs 0-1 of both stores into the consolidated key-bucketed base
+    (streaming/stores.py compact_store, write-ahead-manifest crash
+    safety) and then ingests against the compacted state — its
+    cross-epoch exact AND near dups must still resolve identically.
+    Shares ev_curation_funnel_stream's oracle verbatim: compaction is
+    verdict-equivalent by contract, so the DuckDB replay of the
+    UNCOMPACTED store algebra is exactly what the compacting loop must
+    reproduce (the correctness artifact itself proves the equivalence,
+    not just the pytest pins in tests/test_store_compaction.py)."""
+    import shutil
+    import tempfile
+
+    from flink_1_3_2_hopsworks_spark.streaming.funnel import funnel_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e) for e in range(3)
+    ]
+    base = tempfile.mkdtemp(prefix="funnel_gate_c_")
+    try:
+        rows = funnel_replay(batches, base, compact_every=2).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, stage_idx int, stage string, n_docs long, "
+        "n_tokens long, id_checksum long",
+    ).orderBy("batch_id", "stage_idx")
+
+
 def mm_pair_curation_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-replay twin of the streaming PAIRED curation funnel
     (streaming/pair_funnel.py — caption rules → image quality → caption

@@ -481,6 +481,12 @@ def _curation_funnel_stream_oracle(
 
 
 ORACLE["ev_curation_funnel_stream"] = _curation_funnel_stream_oracle()
+# The self-compacting arm reproduces the identical funnel rows from a
+# mid-replay-compacted store (verdict equivalence is the compaction
+# contract) — same oracle, deliberately.
+ORACLE["ev_curation_funnel_stream_compacting"] = (
+    _curation_funnel_stream_oracle()
+)
 
 ORACLE["ev_curation_stream_stats"] = """
     WITH kept AS (
