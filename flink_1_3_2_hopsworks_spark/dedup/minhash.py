@@ -382,19 +382,25 @@ def minhash_near_dups(
         # output, not the candidates. Same result set: the estimator is a
         # pure function of the two signatures, so per-band duplicates agree
         # and distinct-after-filter ≡ distinct-before-join.
+        # Narrower shuffle types (guide §2.3): every signature component is
+        # pmod(·, 2³¹−1), so it fits an INT exactly — casting the join-side
+        # payload halves the bytes both exchange sides carry (the estimator
+        # compares values, and int==int ≡ long==long on identical values).
+        # Bucket keys were already derived from the LONG columns above, so
+        # nothing key-related changes.
         sig_cols = [f"_h{i}" for i in range(num_hashes)]
         wide = sig.select("_id", *sig_cols).join(capped, "_id")
         left = wide.select(
             "_band",
             "_bucket",
             F.col("_id").alias("id_a"),
-            *[F.col(c).alias(f"_a{i}") for i, c in enumerate(sig_cols)],
+            *[F.col(c).cast("int").alias(f"_a{i}") for i, c in enumerate(sig_cols)],
         )
         right = wide.select(
             "_band",
             "_bucket",
             F.col("_id").alias("id_b"),
-            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
+            *[F.col(c).cast("int").alias(f"_b{i}") for i, c in enumerate(sig_cols)],
         )
         agree = sum(
             F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
@@ -522,8 +528,11 @@ def minhash_star_edges(
             _shingles(df, id_col, text_col, shingle_k), num_hashes, portable
         )
     if id_filter is not None:
+        # No distinct on the filter side: LEFT SEMI is insensitive to
+        # right-side duplicates, so the pre-r12 distinct only added an
+        # exchange + aggregate to every probe-filtered call.
         sig = sig.join(
-            id_filter.select(F.col(id_col).alias("_id")).distinct(),
+            id_filter.select(F.col(id_col).alias("_id")),
             "_id",
             "left_semi",
         )
@@ -540,9 +549,15 @@ def minhash_star_edges(
     # Signatures ride the bucket rows from the start (one explode over the
     # persisted signature table) — the anchor aggregate below needs them and
     # a separate sig⋈bucket join would just re-shuffle the same longs.
+    # Narrower shuffle types (guide §2.3): bucket keys derive from the LONG
+    # columns here, then the payload the exploded rows carry through the
+    # anchor aggregate and the bucket join is cast to INT — every signature
+    # component is pmod(·, 2³¹−1) so the value fits exactly, and the
+    # estimator's equality compares are value-identical. Halves the bytes of
+    # both star-geometry exchanges.
     wide = sig.select(
         "_id",
-        *sig_cols,
+        *[F.col(c).cast("int").alias(c) for c in sig_cols],
         F.explode(
             F.array(
                 *[

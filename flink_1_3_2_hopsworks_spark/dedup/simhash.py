@@ -52,9 +52,16 @@ def simhash_fingerprints(
     """(id, simhash) per row — whitespace tokens, 64-bit Charikar majority.
 
     One explode + one hash-aggregate; everything whole-stage-codegen'd.
-    Empty/whitespace-only texts get fingerprint 0 (restored by the left
-    join — explode of an empty token array drops the row). ``hash_expr``
-    swaps the token-hash function (default xxhash64; see portable_hash60).
+    Empty/whitespace-only texts get fingerprint 0: instead of restoring
+    them with an id ⟕ aggregate join (a second corpus-keyed exchange +
+    join, the pre-r12 shape), every id contributes one NULL-hash row to
+    the SAME aggregate via a union — sums skip NULLs, ``_n`` counts only
+    real hashes, and an all-NULL group majority-votes to fingerprint 0.
+    One exchange total, join-free (r12 — the union rides the aggregate's
+    existing shuffle). ``hash_expr`` swaps the token-hash function
+    (default xxhash64; see portable_hash60); it must return non-NULL for
+    non-NULL input, as both provided families do — a NULL hash row is
+    the "document exists" marker.
     """
     hash_expr = hash_expr or F.xxhash64
     ids = df.select(F.col(id_col).alias("_id"))
@@ -62,7 +69,9 @@ def simhash_fingerprints(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     ).filter(F.col("_tok") != "")
-    hashed = toks.select("_id", hash_expr(F.col("_tok")).alias("_h"))
+    hashed = toks.select("_id", hash_expr(F.col("_tok")).alias("_h")).unionByName(
+        ids.select("_id", F.lit(None).cast("long").alias("_h"))
+    )
     # Per-bit set-counts, packed 4 counters × 16 bits into each of 16 long
     # accumulators: one aggregate pass with 17 small SUM expressions (vs 64
     # one-per-bit sums, whose generated code takes longer to Janino-compile
@@ -84,8 +93,10 @@ def simhash_fingerprints(
             t = t + extra
         return t
 
+    # count("_h"), not count(1): the per-id NULL marker row from the union
+    # must not count toward the majority denominator.
     sums = hashed.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count("_h").alias("_n"),
         *[F.sum(_packed(g)).alias(f"_p{g}") for g in range(16)],
     )
     # Majority per bit: 2*count_set > n  →  set bit b of the fingerprint.
@@ -99,11 +110,10 @@ def simhash_fingerprints(
             .otherwise(0)
             .cast("long")
         )
-    fps = sums.select("_id", fp.alias(out_col))
-    return (
-        ids.join(fps, "_id", "left")
-        .select(F.col("_id").alias(id_col), F.coalesce(out_col, F.lit(0)).alias(out_col))
-    )
+    # An all-NULL group (empty/whitespace-only doc): every _p{g} is NULL,
+    # so each majority WHEN's condition is NULL → otherwise(0) → fp = 0,
+    # the same verdict the old coalesce produced.
+    return sums.select(F.col("_id").alias(id_col), fp.alias(out_col))
 
 
 def _chunk(col: Column, i: int) -> Column:
@@ -269,14 +279,18 @@ def simhash_near_dups(
     # and cuts the candidate stream to near-duplicates only, so the
     # dropDuplicates shuffle moves the surviving pairs — not every blocked
     # candidate (a pair sharing k chunks appears k times; dedup must follow
-    # the verify, but the verify is the cheap half).
+    # the verify, but the verify is the cheap half). No dropDuplicates
+    # HERE: the final dedup after the exact-star union covers it in ONE
+    # pair-keyed exchange instead of two (r12) — every duplicate of a pair
+    # carries the same hamming (a pure function of the two fingerprints,
+    # and 0 from the exact arm), so one dedup at the end is
+    # row-equivalent.
     blocked = (
         left.join(right, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("long"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
     )
     # Exact-duplicate recovery (see docstring): canonical star per
     # identical-fingerprint group, linear in group size. groupBy+join, not
