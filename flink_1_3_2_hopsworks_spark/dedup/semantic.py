@@ -27,7 +27,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+from flink_1_3_2_hopsworks_spark.functions.vectors import (
+    cosine_with_norms,
+    norm,
+)
 
 
 def semantic_dup_pairs(
@@ -71,16 +74,32 @@ def semantic_dup_pairs(
             .select("_cell")
         )
         c = c.join(oversized, "_cell", "left_anti")
+    # Hoist the L2 norm to one evaluation per VECTOR before the quadratic
+    # within-cell join: cosine()'s norms are interpreted HOF aggregates and
+    # appear twice per pair (guard + division), so the pre-r12 shape paid
+    # 4 norm aggregations per PAIR. cosine_with_norms keeps the arithmetic
+    # bit-identical (same guard, same division — just hoisted).
+    c = c.withColumn("_n", norm(F.col("_v")))
     a = c.select(
-        "_cell", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+        "_cell", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = c.select(
-        "_cell", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+        "_cell", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "_cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_with_norms(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

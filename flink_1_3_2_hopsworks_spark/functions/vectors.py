@@ -42,6 +42,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_with_norms(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """:func:`cosine` with the two L2 norms PRE-computed per vector.
+
+    Bit-identical to ``cosine(a, b)`` when ``norm_a``/``norm_b`` are
+    :func:`norm` of the same vectors: the expression shape (the
+    ``denom == 0`` guard, the single division) is unchanged — only the
+    norm evaluations are hoisted out of the per-pair expression. The HOF
+    aggregates here are interpreted (never codegen'd), so a join that
+    scores P pairs over N vectors drops from 4·P interpreted norm
+    aggregations (each norm appears in the guard AND the division) to N —
+    the r12 measured fix for the within-cell SemDeDup join and the
+    brute-force/LSH top-k scorers."""
+    denom = norm_a * norm_b
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     """Euclidean distance."""
     return F.sqrt(

@@ -74,7 +74,10 @@ def caption_to_image_topk(
     ``n_lists = 2`` marks images found BOTH by their own caption and by
     looking like another hit.
     """
-    from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+    from flink_1_3_2_hopsworks_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
     from flink_1_3_2_hopsworks_spark.multimodal.embed import image_embeddings
     from flink_1_3_2_hopsworks_spark.similarity.bm25 import bm25_topk
     from flink_1_3_2_hopsworks_spark.similarity.hybrid import rrf_fuse
@@ -87,24 +90,41 @@ def caption_to_image_topk(
     hits = bm25_topk(pairs, queries, id_col, text_col, k=bm25_k)
     text_list = hits.select(query_id, id_col, "rank")
 
-    # ONE decode pass over the pair corpus; probes are the hits' rows.
-    emb = image_embeddings(pairs, id_col, payload_col)
+    # ONE decode pass over the pair corpus, PINNED (r12): both the probe
+    # derivation (hits ⋈ emb) and the corpus scoring side reference this
+    # frame — unpinned, the BMP decode kernel ran once per reference
+    # (twice in the brute arm, twice more inside the IVF-ADC arm's
+    # encode+probe). Library-internal persist, caller-owned lifecycle —
+    # the same documented contract as the signature tables and
+    # mm_image_near_dups' fingerprint pin.
+    emb = image_embeddings(pairs, id_col, payload_col).persist()
     if serve == "ivfpq":
         vis = _ivfpq_visual_expansion(
             emb, hits, id_col, query_id, visual_k, nprobe
         )
     else:
+        # Norms hoisted per vector/probe (cosine() re-aggregates both
+        # norms per pair; cosine_with_norms is bit-identical arithmetic).
         probes = (
             hits.select(query_id, id_col)
             .join(emb, id_col)
             .select(F.col(query_id), F.col("embedding").alias("_qv"))
+            .withColumn("_qn", norm(F.col("_qv")))
         )
-        scored = emb.select(
-            F.col(id_col), F.col("embedding").alias("_cv")
-        ).crossJoin(F.broadcast(probes))
+        scored = (
+            emb.select(F.col(id_col), F.col("embedding").alias("_cv"))
+            .withColumn("_cn", norm(F.col("_cv")))
+            .crossJoin(F.broadcast(probes))
+        )
         vis = (
             scored.withColumn(
-                "_cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+                "_cos",
+                F.round(
+                    cosine_with_norms(
+                        F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                    ),
+                    4,
+                ),
             )
             .groupBy(query_id, id_col)
             .agg(F.max("_cos").alias("_mc"))

@@ -31,7 +31,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from flink_1_3_2_hopsworks_spark.functions.vectors import as_double, cosine, norm
+from flink_1_3_2_hopsworks_spark.functions.vectors import (
+    as_double,
+    cosine,
+    cosine_with_norms,
+    norm,
+)
 
 
 def _normalized(vec) -> Column:
@@ -115,11 +120,22 @@ def ivf_probe_topk(
         .select(query_id, "_qv", "_cell")
     )
 
+    # Norms hoisted per vector/query (cosine() re-aggregates both norms
+    # per candidate; cosine_with_norms is bit-identical — see vectors.py).
     scored = (
         index.withColumnRenamed(vec_col, "_cv")
-        .join(F.broadcast(probed), "_cell")
+        .withColumn("_cn", norm(F.col("_cv")))
+        .join(
+            F.broadcast(probed.withColumn("_qn", norm(F.col("_qv")))),
+            "_cell",
+        )
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -244,10 +260,18 @@ def ivf_fixed_topk(
         ivf_probe_cells(queries, query_id, vec_col, centroids, nprobe),
         query_id,
     )
+    # Same norm hoist as ivf_probe_topk: one norm per corpus vector / per
+    # probe row instead of two interpreted aggregations per candidate.
     scored = (
-        c.join(F.broadcast(q), "_cell")
+        c.withColumn("_cn", norm(F.col("_cv")))
+        .join(F.broadcast(q.withColumn("_qn", norm(F.col("_qv")))), "_cell")
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from flink_1_3_2_hopsworks_spark.dedup.embedding import hyperplanes, sign_signature
-from flink_1_3_2_hopsworks_spark.functions.vectors import cosine
+from flink_1_3_2_hopsworks_spark.functions.vectors import cosine_with_norms, norm
 
 
 def brute_force_topk(
@@ -35,14 +35,24 @@ def brute_force_topk(
     ``queries`` must carry (query_id, vec_col). Output: query_id, id, cosine,
     rank — rank deterministic via (cosine desc, id asc).
     """
+    # Norms hoisted to one interpreted-HOF evaluation per vector per side
+    # (cosine() would re-aggregate both norms per PAIR — 4·|corpus|·|queries|
+    # array passes); cosine_with_norms is bit-identical arithmetic.
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
+        "_cn", norm(F.col("_cv"))
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -69,16 +79,25 @@ def lsh_topk(
     is missed when any hyperplane separates it from the query).
     """
     planes = hyperplanes(dim, num_planes, seed)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
-        "_sig", sign_signature(F.col("_cv"), planes)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        .withColumn("_sig", sign_signature(F.col("_cv"), planes))
+        .withColumn("_cn", norm(F.col("_cv")))
     )
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")).withColumn(
-        "_sig", sign_signature(F.col("_qv"), planes)
+    q = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+        .withColumn("_sig", sign_signature(F.col("_qv"), planes))
+        .withColumn("_qn", norm(F.col("_qv")))
     )
     scored = (
         c.join(F.broadcast(q), "_sig")
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
