@@ -253,6 +253,16 @@ def incremental_near_ingest(
     batch_sig = _sig(
         new_docs if batch_signatures is None else batch_signatures
     )
+    # Text-derived batch signatures are referenced by the probe AND the
+    # within-batch star below; in the EAGER path pin them once (slim:
+    # batch × num_hashes ids+ints) so the shingle+hash pass runs once,
+    # not once per consumer. Lazy path keeps the plan untouched (audits).
+    batch_sig_pinned = False
+    if materialize_probe and batch_signatures is None:
+        from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
+
+        batch_sig = materialize(batch_sig)
+        batch_sig_pinned = True
     batch_b = banded_bucket_keys(batch_sig, num_hashes, bands, portable)
 
     agree = sum(
@@ -265,10 +275,22 @@ def incremental_near_ingest(
         "_band", "_bucket", F.col("_id").alias("_bid"),
         *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
     )
+    corpus_sig_cached = None
     if corpus_keys is None:
-        corpus_b = banded_bucket_keys(
-            _sig(corpus), num_hashes, bands, portable
-        )
+        corpus_sig = _sig(corpus)
+        # The corpus-signature subtree feeds TWO consumers — the
+        # oversized-bucket aggregate and the capped probe side — and
+        # Spark shares nothing between them, so an un-pinned text-derived
+        # corpus paid the md5 shingle+hash pass TWICE per probe (measured
+        # ~2× the one-pass cost at gate scale). In the EAGER path the
+        # probe runs inside this call, so a persist is strictly scoped:
+        # cache → materialize(probe) → unpersist below. Store-backed
+        # corpora (signature columns present) skip the cache — their
+        # second consumer is just a second slim parquet scan.
+        if materialize_probe and not set(sig_cols) <= set(corpus.columns):
+            corpus_sig_cached = corpus_sig.persist()
+            corpus_sig = corpus_sig_cached
+        corpus_b = banded_bucket_keys(corpus_sig, num_hashes, bands, portable)
         # Cap degenerate corpus buckets (a store would drop these keys at
         # append time) — hash-aggregate + anti-join, same rationale as
         # minhash_near_dups.
@@ -310,6 +332,10 @@ def incremental_near_ingest(
         from flink_1_3_2_hopsworks_spark.operators.iterate import materialize
 
         corpus_dup_ids = materialize(corpus_dup_ids)
+        if corpus_sig_cached is not None:
+            # Probe executed above — the scoped corpus-signature cache has
+            # served both consumers; release it before returning.
+            corpus_sig_cached.unpersist()
 
     survivors = new_docs.join(
         corpus_dup_ids.withColumnRenamed(id_col, "_drop"),
@@ -327,10 +353,17 @@ def incremental_near_ingest(
         # With pre-computed signatures, restrict them to the corpus-stage
         # survivors by id semi-join (signatures are per-doc independent —
         # star_edges' documented id_filter equivalence) instead of
-        # re-shingling the survivor text.
-        signatures=batch_signatures,
+        # re-shingling the survivor text. The EAGER path reuses its own
+        # pinned batch signatures the same way — the epoch's text is
+        # shingled exactly once.
+        signatures=(
+            batch_sig if batch_sig_pinned and batch_signatures is None
+            else batch_signatures
+        ),
         id_filter=(
-            None if batch_signatures is None else survivors.select(id_col)
+            None
+            if batch_signatures is None and not batch_sig_pinned
+            else survivors.select(id_col)
         ),
     )
     clustered = resolve_duplicate_clusters(survivors, edges, id_col)

@@ -38,7 +38,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates any inverted index toward all-pairs). Bigrams (not
     unigrams): the tiny vocabulary makes unigram posting lists degenerate
     (every doc shares every token)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=2)
 
 
@@ -81,7 +81,7 @@ def dd_simhash_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-membership (the r7 sf10 worst case); dd_simhash_pairs survives as
     the explicit audit gate. Portable hash → the DuckDB oracle replays
     fingerprints, blocking, cap, anchor choice, and verify in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     from flink_1_3_2_hopsworks_spark.dedup.simhash import simhash_star_edges
 
     return simhash_star_edges(
@@ -263,7 +263,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     phone patterns masked by a codegen'd regexp_replace chain; the oracle
     applies the same RE2-compatible patterns. Output is fingerprinted so
     the gate hashes redacted CONTENT, not multi-KB strings."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     red = T.redact_pii("text")
     return docs.select(
         "doc_id",
@@ -522,7 +522,7 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROZEN_CENTROIDS,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return semantic_dedup(
         emb, "vec_id", "embedding", FROZEN_CENTROIDS, threshold=0.40
     ).orderBy("vec_id")
@@ -559,7 +559,7 @@ def pipe_incremental_near_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_near_ingest,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return incremental_near_ingest(
         docs.filter(F.col("source") == "src7"),
         docs.filter(F.col("source") != "src7"),

@@ -79,12 +79,28 @@ def async_lookup(
                 return await asyncio.gather(*tasks)
             return [await t for t in asyncio.as_completed(tasks)]
 
+        res_cols = [f.name for f in extra]
         for pdf in batches:
             if pdf.empty:
                 continue
             pairs = asyncio.run(drive(pdf.to_dict("records")))
-            yield pd.DataFrame(
-                [{**row, **(res if res is not None else null_result)} for row, res in pairs]
-            )
+            if ordered:
+                # Vectorized assembly (guide §4.2): gather() preserves task
+                # creation order == input row order, so the result columns
+                # concat positionally onto the untouched input batch —
+                # no per-row dict merge, no list-of-dicts frame build.
+                res = pd.DataFrame.from_records(
+                    [r if r is not None else null_result for _, r in pairs],
+                    columns=res_cols,
+                )
+                yield pd.concat((pdf.reset_index(drop=True), res), axis=1)
+            else:
+                # Completion order: rows must be rebuilt alongside results.
+                yield pd.DataFrame(
+                    [
+                        {**row, **(res if res is not None else null_result)}
+                        for row, res in pairs
+                    ]
+                )
 
     return df.mapInPandas(run, out_schema)

@@ -64,7 +64,7 @@ from __future__ import annotations
 
 import inspect
 import json
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 import pandas as pd
@@ -489,27 +489,57 @@ class Pattern:
         bytes — but AQE sizes the shuffle by BYTES and will happily coalesce
         a small-looking exchange down to one partition, serializing the
         whole Python stage. Pass the cluster's parallelism when the input is
-        small relative to its NFA cost (defaults to leaving the plan alone).
+        small relative to its NFA cost (defaults to the session shuffle
+        partitioning).
+
+        Plan shape (r12, guide §4): one key-hash repartition + per-partition
+        sort feeding ``mapInPandas`` — whole Arrow batches cross the Python
+        boundary and keys are split out with a pandas groupby, instead of
+        ``groupBy().applyInPandas``'s one Python invocation per key (a
+        many-small-keys corpus paid ~10⁴ per-group crossings for the same
+        NFA work). Keys are contiguous after the sort; a key spanning two
+        Arrow batches is carried over inside the task, so per-key semantics
+        are identical to the grouped form.
         """
         schema = self._out_schema(df, key_cols, with_timeouts)
-        if num_partitions:
-            df = df.repartition(num_partitions, *key_cols)
-        out_cols = [*self._OUT_COLS, "timed_out"] if with_timeouts else self._OUT_COLS
-        empty = pd.DataFrame(columns=[*key_cols, *out_cols])
+        # Key-locality contract for the batch-wise scan: every row of a key
+        # in ONE task, contiguous after the partition-local sort.
+        df = (
+            df.repartition(num_partitions, *key_cols)
+            if num_partitions
+            else df.repartition(*key_cols)
+        ).sortWithinPartitions(*key_cols, ts_col, id_col)
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_one(g: pd.DataFrame) -> pd.DataFrame | None:
             _, matches, timeouts = self._scan(
-                self._to_events(pdf, ts_col, id_col),
+                self._to_events(g, ts_col, id_col),
                 flush_timeouts=with_timeouts,
             )
             if not matches and not (with_timeouts and timeouts):
-                return empty
-            keys = {k: pdf.iloc[0][k] for k in key_cols}
+                return None
+            keys = {k: g.iloc[0][k] for k in key_cols}
             return self._match_rows(
                 matches, keys, timeouts if with_timeouts else None
             )
 
-        return df.groupBy(*key_cols).applyInPandas(run, schema)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pending: pd.DataFrame | None = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if pending is not None:
+                    pdf = pd.concat((pending, pdf), ignore_index=True)
+                    pending = None
+                groups = [g for _, g in pdf.groupby(key_cols, sort=False)]
+                # The batch's last key may continue in the next Arrow batch.
+                pending = groups.pop()
+                out = [r for g in groups if (r := run_one(g)) is not None]
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+            if pending is not None and (last := run_one(pending)) is not None:
+                yield last
+
+        return df.mapInPandas(run, schema)
 
     def match_stream(
         self,

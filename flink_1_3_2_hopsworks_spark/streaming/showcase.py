@@ -268,7 +268,13 @@ def cep_double_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Oracle = LAG over the per-user (ts, event_id) sequence."""
     from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
 
-    events = load_table(spark, sf_dir, "events")
+    # Project to the columns the NFA touches (guide §4.1): the pattern
+    # reads event_type only, the output needs (key, ts, id) — shipping
+    # ``props`` (the fat payload string) across the Arrow boundary would
+    # be pure overhead. Strict contiguity forbids a TYPE filter here.
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     pattern = Pattern.begin(
         "e1", lambda e: e["event_type"] == "error"
     ).next("e2", lambda e: e["event_type"] == "error")
@@ -300,8 +306,12 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so irrelevant types are dropped BEFORE the Python NFA — the predicate
     # pushes into the parquet scan and the Arrow transfer shrinks to the
     # candidate rows. At 100 TB this filter, not the NFA, is the lever.
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "purchase")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        # Columns the NFA touches + keys/ts/id only (guide §4.1) — props
+        # never crosses the Arrow boundary.
+        .select("user_id", "ts", "event_id", "event_type")
     )
     pattern = (
         Pattern.begin("signup", lambda e: e["event_type"] == "signup")
@@ -335,7 +345,11 @@ def cep_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditions; the DuckDB oracle states it as a first-match theta join."""
     from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
 
-    events = load_table(spark, sf_dir, "events")
+    # The spike step may accept ANY event type, so no type filter — but the
+    # NFA reads only event_type/value (guide §4.1 column prune).
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
     pattern = (
         Pattern.begin("err", lambda e: e["event_type"] == "error")
         .followed_by(
@@ -369,9 +383,11 @@ def cep_clean_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
 
     # Keep the not-guard's event type in the scan: dropping 'error' rows
-    # would silently disable the kill semantics.
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "purchase", "error")
+    # would silently disable the kill semantics. Column prune per §4.1.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type")
     )
     pattern = (
         Pattern.begin("signup", lambda e: e["event_type"] == "signup")
@@ -402,8 +418,10 @@ def cep_signup_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-of-flush). Oracle: NOT EXISTS first-purchase-in-window."""
     from flink_1_3_2_hopsworks_spark.streaming.cep import Pattern
 
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "purchase")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
     )
     pattern = (
         Pattern.begin("signup", lambda e: e["event_type"] == "signup")
@@ -451,7 +469,11 @@ def ev_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_1_3_2_hopsworks_spark.operators.async_io import async_lookup
 
-    events = load_table(spark, sf_dir, "events").filter(
+    # spread=True (A/B-measured 1.39 → 0.97 s): the asyncio lookup loop is
+    # Python-CPU per row, and the single-file gate scan would otherwise run
+    # the whole mapInPandas stage as ONE task (guide §2.5 unsplittable
+    # input). Size-gated — a no-op at production scale.
+    events = load_table(spark, sf_dir, "events", spread=True).filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "value")
 
