@@ -440,6 +440,52 @@ _LAST_PROVEN_ROUND: dict[str, int] = {
 }
 
 
+# Round-12 (optimization round) plan-shape changes: these names' physical
+# plans were restructured this round, which invalidates their last driver
+# proof — drop the stamp so they head the r12 artifact (never-proven sort
+# order) alongside the three new r12 gates and the stalest r7/r8 cohorts.
+# All were re-proven locally in this round's TWO full 203/203 parity
+# sweeps (OPTIMIZATION_r12.md). Per-name cause:
+#   cep_* (5)                 — match_batch groupBy().applyInPandas →
+#                               repartition+sort+mapInPandas; gate column
+#                               pruning (streaming/cep.py, showcase.py)
+#   ev_async_enrich           — vectorized ordered assembly + size-gated
+#                               input spread (operators/async_io.py)
+#   dd_minhash_pairs/_recall, pipe_near_dedup(_pairs)
+#                             — estimator int-cast + star distinct drop
+#   dd_simhash_pairs/_stars   — fingerprint union + pairs dedup collapse
+#                               (+ stars input spread)
+#   dd_semantic_dedup         — cosine_with_norms + input spread
+#   dd_ngram_jaccard_pairs, text_pii_redact — size-gated input spread
+#   pipe_incremental_near_ingest, ev_curation_funnel_stream,
+#   mm_curation_funnel(_stream), mm_pair_curation_funnel(_stream),
+#   mm_image_near_dups, pipe_curation_e2e
+#                             — ingest one-shingle-pass epoch body /
+#                               star-edge internals
+#   sim_bruteforce/lsh/ivf_topk, sim_recall_eval, sim_ivfpq_rerank_topk,
+#   sim_hybrid_rrf_topk, ml_knn_neighbors, sim_bm25_topk
+#                             — cosine_with_norms through knn/ivf/pq
+#   mm_text_to_image_topk     — decode-pass pin + norm hoist (cross_modal)
+_R12_PLAN_CHANGED = [
+    "cep_clean_purchase", "cep_double_error", "cep_error_spike",
+    "cep_signup_purchase", "cep_signup_timeout",
+    "dd_minhash_pairs", "dd_minhash_recall", "dd_ngram_jaccard_pairs",
+    "dd_semantic_dedup", "dd_simhash_pairs", "dd_simhash_stars",
+    "ev_async_enrich", "ev_curation_funnel_stream",
+    "ml_knn_neighbors",
+    "mm_curation_funnel", "mm_curation_funnel_stream",
+    "mm_image_near_dups", "mm_pair_curation_funnel",
+    "mm_pair_curation_funnel_stream", "mm_text_to_image_topk",
+    "pipe_curation_e2e", "pipe_incremental_near_ingest",
+    "pipe_near_dedup", "pipe_near_dedup_pairs",
+    "sim_bm25_topk", "sim_bruteforce_topk", "sim_hybrid_rrf_topk",
+    "sim_ivf_topk", "sim_ivfpq_rerank_topk", "sim_lsh_topk",
+    "sim_recall_eval", "text_pii_redact",
+]
+for _n in _R12_PLAN_CHANGED:
+    _LAST_PROVEN_ROUND.pop(_n, None)
+
+
 def _ordered(names) -> list[str]:
     # A renamed/removed query silently skewing the rotation would hide a
     # coverage gap — fail loudly instead.

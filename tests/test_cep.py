@@ -457,3 +457,35 @@ def test_default_arg_predicate_is_simple_condition(spark):
         "s1", lambda e, want="a": e["event_type"] == want
     ).followed_by("s2", lambda e: e["event_type"] == "b")
     assert _matches(df, p) == [(0, 1)]
+
+
+def test_match_batch_key_spanning_arrow_batches(spark):
+    """r12 plan change: match_batch scans whole Arrow batches via
+    mapInPandas and must carry a key whose rows straddle an Arrow-batch
+    boundary inside the task. Force tiny record batches so many keys
+    span boundaries, pin ONE partition so every key rides the same task,
+    and check the full match set against the per-key NFA run directly."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    data = []
+    eid = 0
+    for u in range(40):  # 3 rows per user -> one (a, b) match each
+        for step, et in enumerate(["a", "c", "b"]):
+            data.append((eid, t0 + timedelta(seconds=10 * step), u, et, 0.0))
+            eid += 1
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    p = Pattern.begin("s1", lambda e: e["event_type"] == "a").followed_by(
+        "s2", lambda e: e["event_type"] == "b"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = p.match_batch(df, ["user_id"], "ts", "event_id", num_partitions=1)
+        got = sorted((r["user_id"], tuple(r["event_ids"])) for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == [(u, (3 * u, 3 * u + 2)) for u in range(40)]
