@@ -382,25 +382,27 @@ def minhash_near_dups(
         # output, not the candidates. Same result set: the estimator is a
         # pure function of the two signatures, so per-band duplicates agree
         # and distinct-after-filter ≡ distinct-before-join.
-        # Narrower shuffle types (guide §2.3): every signature component is
-        # pmod(·, 2³¹−1), so it fits an INT exactly — casting the join-side
-        # payload halves the bytes both exchange sides carry (the estimator
-        # compares values, and int==int ≡ long==long on identical values).
-        # Bucket keys were already derived from the LONG columns above, so
-        # nothing key-related changes.
+        # The signature payload rides as LONGs. The r12 int-cast "width
+        # halving" here was REVERTED in r13: UnsafeRow stores every
+        # fixed-width field in an 8-byte slot, so casting long→int does
+        # NOT shrink the exchange payload — it only adds 2·num_hashes cast
+        # expressions per candidate row (and inflates Janino compile:
+        # 9.6 s vs 3.6 s cold). Quiet-gated interleaved A/B: long median
+        # 3.97 s vs int-cast 4.25 s, and the r12 driver bench regressed
+        # this gate 19% (plans/r13/ab_dedup_components_r13.json).
         sig_cols = [f"_h{i}" for i in range(num_hashes)]
         wide = sig.select("_id", *sig_cols).join(capped, "_id")
         left = wide.select(
             "_band",
             "_bucket",
             F.col("_id").alias("id_a"),
-            *[F.col(c).cast("int").alias(f"_a{i}") for i, c in enumerate(sig_cols)],
+            *[F.col(c).alias(f"_a{i}") for i, c in enumerate(sig_cols)],
         )
         right = wide.select(
             "_band",
             "_bucket",
             F.col("_id").alias("id_b"),
-            *[F.col(c).cast("int").alias(f"_b{i}") for i, c in enumerate(sig_cols)],
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
         )
         agree = sum(
             F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
@@ -549,15 +551,13 @@ def minhash_star_edges(
     # Signatures ride the bucket rows from the start (one explode over the
     # persisted signature table) — the anchor aggregate below needs them and
     # a separate sig⋈bucket join would just re-shuffle the same longs.
-    # Narrower shuffle types (guide §2.3): bucket keys derive from the LONG
-    # columns here, then the payload the exploded rows carry through the
-    # anchor aggregate and the bucket join is cast to INT — every signature
-    # component is pmod(·, 2³¹−1) so the value fits exactly, and the
-    # estimator's equality compares are value-identical. Halves the bytes of
-    # both star-geometry exchanges.
+    # They ride as LONGs: the r12 int-cast was reverted in r13 — UnsafeRow
+    # gives every fixed-width field an 8-byte slot, so the cast saved no
+    # exchange bytes and only added per-row cast work (A/B + driver-bench
+    # evidence in plans/r13/ab_dedup_components_r13.json).
     wide = sig.select(
         "_id",
-        *[F.col(c).cast("int").alias(c) for c in sig_cols],
+        *sig_cols,
         F.explode(
             F.array(
                 *[

@@ -52,16 +52,18 @@ def simhash_fingerprints(
     """(id, simhash) per row — whitespace tokens, 64-bit Charikar majority.
 
     One explode + one hash-aggregate; everything whole-stage-codegen'd.
-    Empty/whitespace-only texts get fingerprint 0: instead of restoring
-    them with an id ⟕ aggregate join (a second corpus-keyed exchange +
-    join, the pre-r12 shape), every id contributes one NULL-hash row to
-    the SAME aggregate via a union — sums skip NULLs, ``_n`` counts only
-    real hashes, and an all-NULL group majority-votes to fingerprint 0.
-    One exchange total, join-free (r12 — the union rides the aggregate's
-    existing shuffle). ``hash_expr`` swaps the token-hash function
-    (default xxhash64; see portable_hash60); it must return non-NULL for
-    non-NULL input, as both provided families do — a NULL hash row is
-    the "document exists" marker.
+    Empty/whitespace-only texts get fingerprint 0 (restored by the left
+    join — explode of an empty token array drops the row). ``hash_expr``
+    swaps the token-hash function (default xxhash64; see portable_hash60).
+
+    r13 note: the r12 union-into-the-aggregate restore (one NULL-hash
+    marker row per id instead of the id ⟕ aggregate join) was REVERTED
+    after the r12 driver bench regressed both simhash gates ~18% and a
+    quiet-gated interleaved A/B confirmed it structural: union-shape
+    median 3.54 s vs join-shape 2.06 s on identical downstream pipelines
+    (plans/r13/ab_dedup_components_r13.json) — the union forces every id
+    through the aggregate's exchange and breaks the scan→explode→partial-
+    agg codegen pipeline, costing more than the avoided join.
     """
     hash_expr = hash_expr or F.xxhash64
     ids = df.select(F.col(id_col).alias("_id"))
@@ -69,9 +71,7 @@ def simhash_fingerprints(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     ).filter(F.col("_tok") != "")
-    hashed = toks.select("_id", hash_expr(F.col("_tok")).alias("_h")).unionByName(
-        ids.select("_id", F.lit(None).cast("long").alias("_h"))
-    )
+    hashed = toks.select("_id", hash_expr(F.col("_tok")).alias("_h"))
     # Per-bit set-counts, packed 4 counters × 16 bits into each of 16 long
     # accumulators: one aggregate pass with 17 small SUM expressions (vs 64
     # one-per-bit sums, whose generated code takes longer to Janino-compile
@@ -93,10 +93,8 @@ def simhash_fingerprints(
             t = t + extra
         return t
 
-    # count("_h"), not count(1): the per-id NULL marker row from the union
-    # must not count toward the majority denominator.
     sums = hashed.groupBy("_id").agg(
-        F.count("_h").alias("_n"),
+        F.count(F.lit(1)).alias("_n"),
         *[F.sum(_packed(g)).alias(f"_p{g}") for g in range(16)],
     )
     # Majority per bit: 2*count_set > n  →  set bit b of the fingerprint.
@@ -110,10 +108,11 @@ def simhash_fingerprints(
             .otherwise(0)
             .cast("long")
         )
-    # An all-NULL group (empty/whitespace-only doc): every _p{g} is NULL,
-    # so each majority WHEN's condition is NULL → otherwise(0) → fp = 0,
-    # the same verdict the old coalesce produced.
-    return sums.select(F.col("_id").alias(id_col), fp.alias(out_col))
+    fps = sums.select("_id", fp.alias(out_col))
+    return (
+        ids.join(fps, "_id", "left")
+        .select(F.col("_id").alias(id_col), F.coalesce(out_col, F.lit(0)).alias(out_col))
+    )
 
 
 def _chunk(col: Column, i: int) -> Column:

@@ -530,7 +530,12 @@ class Pattern:
                 if pending is not None:
                     pdf = pd.concat((pending, pdf), ignore_index=True)
                     pending = None
-                groups = [g for _, g in pdf.groupby(key_cols, sort=False)]
+                # dropna=False: Spark's groupBy keeps null-key groups, so the
+                # batch scan must too — pandas' default dropna=True would
+                # silently drop every null-key row from the match output.
+                groups = [
+                    g for _, g in pdf.groupby(key_cols, sort=False, dropna=False)
+                ]
                 # The batch's last key may continue in the next Arrow batch.
                 pending = groups.pop()
                 out = [r for g in groups if (r := run_one(g)) is not None]

@@ -489,3 +489,29 @@ def test_match_batch_key_spanning_arrow_batches(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert got == [(u, (3 * u, 3 * u + 2)) for u in range(40)]
+
+
+def test_match_batch_keeps_null_key_groups(spark):
+    """r13: pandas' groupby default dropna=True silently dropped null-key
+    rows from match_batch while Spark's groupBy (the pre-r12 grouped form)
+    kept them — match_batch must keep null-key groups too. One null-key
+    user and one normal user, both with an (a, b) match."""
+    data = [
+        (0, datetime.fromisoformat("2024-01-01 00:00:00"), None, "a", 0.0),
+        (1, datetime.fromisoformat("2024-01-01 00:01:00"), None, "b", 0.0),
+        (2, datetime.fromisoformat("2024-01-01 00:02:00"), "u1", "a", 0.0),
+        (3, datetime.fromisoformat("2024-01-01 00:03:00"), "u1", "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user string, event_type string, value double",
+    )
+    p = Pattern.begin("s1", lambda e: e["event_type"] == "a").followed_by(
+        "s2", lambda e: e["event_type"] == "b"
+    )
+    out = p.match_batch(df, ["user"], "ts", "event_id").collect()
+    got = sorted(
+        ((r["user"], tuple(r["event_ids"])) for r in out),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert got == [(None, (0, 1)), ("u1", (2, 3))]
