@@ -64,23 +64,22 @@ def _superstep_loop(
             .groupBy("id")
             .agg(aggregate.alias("msg"))
         )
-        return st.join(msgs, "id", "left").select(
-            "id", update(F.col(value_col), F.col("msg")).alias(value_col)
-        )
-
-    converged = None
-    if converge_on:
-        def converged(prev: DataFrame, curr: DataFrame) -> bool:
+        new_value = update(F.col(value_col), F.col("msg"))
+        cols = ["id", new_value.alias(value_col)]
+        if converge_on:
             # Null-safe: a user update() that yields NULL must count as a
-            # change, not vanish from the filter (NULL != x is NULL).
-            return (
-                prev.withColumnRenamed(value_col, "_prev")
-                .join(curr, "id")
-                .filter(~F.col("_prev").eqNullSafe(F.col(value_col)))
-                .isEmpty()
+            # change, not vanish (NULL != x is NULL). Convergence rides the
+            # superstep's checkpoint action (iterate changed_col) — no
+            # separate prev⋈curr comparison job per round (r13).
+            cols.append(
+                (~new_value.eqNullSafe(F.col(value_col))).alias("_changed")
             )
+        return st.join(msgs, "id", "left").select(*cols)
 
-    return iterate(state, step, max_iterations, converged)
+    return iterate(
+        state, step, max_iterations,
+        changed_col="_changed" if converge_on else None,
+    )
 
 
 def scatter_gather_iteration(
@@ -225,6 +224,9 @@ def community_detection(
             .select("id", F.col("label").alias("new_label"), "best")
         )
         superstep = i + 1
+        # `_changed` = the adopted label differs from the held one (labels
+        # are never NULL — init is the id and coalesce keeps it non-NULL);
+        # convergence rides the checkpoint action (iterate changed_col).
         return state.join(winner, "id", "left").select(
             "id",
             F.coalesce("new_label", "label").alias("label"),
@@ -235,14 +237,12 @@ def community_detection(
             )
             .otherwise(F.col("best"))
             .alias("score"),
+            (
+                F.col("new_label").isNotNull()
+                & (F.col("new_label") != F.col("label"))
+            ).alias("_changed"),
         )
 
-    def converged(prev: DataFrame, curr: DataFrame) -> bool:
-        return (
-            prev.withColumnRenamed("label", "_pl")
-            .join(curr, "id")
-            .filter(~F.col("_pl").eqNullSafe(F.col("label")))
-            .isEmpty()
-        )
-
-    return iterate(init, step, max_iterations, converged).select("id", "label")
+    return iterate(
+        init, step, max_iterations, changed_col="_changed"
+    ).select("id", "label")

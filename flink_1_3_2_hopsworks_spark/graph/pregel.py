@@ -103,6 +103,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("id")
             .agg(F.min("component").alias("msg"))
         )
+        # `_changed` = a strictly smaller neighbor min arrived (NULL msg →
+        # NULL → not counted). Convergence is read off the superstep's own
+        # checkpoint action via iterate(changed_col=...) — the pre-r13
+        # prev⋈curr isEmpty comparison was a second full job per superstep
+        # (guide §5; measured in the ingest-epoch CC tail).
         return (
             state.join(msgs, "id", "left")
             .select(
@@ -110,18 +115,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                 F.least(
                     F.col("component"), F.coalesce("msg", F.col("component"))
                 ).alias("component"),
+                (F.col("msg") < F.col("component")).alias("_changed"),
             )
         )
 
-    def converged(prev: DataFrame, curr: DataFrame) -> bool:
-        changed = (
-            prev.withColumnRenamed("component", "pc")
-            .join(curr, "id")
-            .filter(F.col("pc") != F.col("component"))
-        )
-        return changed.isEmpty()
-
-    return iterate(init, step, max_iterations, converged)
+    return iterate(init, step, max_iterations, changed_col="_changed")
 
 
 def pagerank(
@@ -202,19 +200,15 @@ def sssp(edges: DataFrame, source, weight_col: str = "weight",
             .groupBy("id")
             .agg(F.min("cand").alias("cand"))
         )
+        # `_changed` = a strictly shorter candidate arrived; convergence
+        # rides the checkpoint action (iterate changed_col — one job per
+        # relaxation round instead of two).
         return state.join(relaxed, "id", "left").select(
             "id",
             F.least(F.col("distance"), F.coalesce("cand", F.col("distance"))).alias(
                 "distance"
             ),
+            (F.col("cand") < F.col("distance")).alias("_changed"),
         )
 
-    def converged(prev: DataFrame, curr: DataFrame) -> bool:
-        return (
-            prev.withColumnRenamed("distance", "pd")
-            .join(curr, "id")
-            .filter(F.col("pd") != F.col("distance"))
-            .isEmpty()
-        )
-
-    return iterate(init, step, max_iterations, converged)
+    return iterate(init, step, max_iterations, changed_col="_changed")

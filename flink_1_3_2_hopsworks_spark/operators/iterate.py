@@ -130,10 +130,38 @@ def iterate(
     max_iterations: int,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
     checkpoint_every: int = 1,
+    changed_col: str | None = None,
 ) -> DataFrame:
     """Bulk iteration: ``state = step(state, i)`` for up to ``max_iterations``,
     stopping early when ``converged(prev, curr)`` returns True.
+
+    ``changed_col`` (r13) fuses convergence detection into the superstep's
+    own checkpoint action: ``step``'s output must carry a boolean column of
+    that name ("this row changed this round"); its sum rides the eager
+    ``localCheckpoint`` as a ``Dataset.observe`` metric, and the loop stops
+    when no row changed — ONE job per superstep instead of two (the
+    separate prev⋈curr comparison job a ``converged`` callback costs).
+    The column is dropped from the state between rounds and from the
+    result. Mutually exclusive with ``converged``.
     """
+    if changed_col is not None:
+        if converged is not None:
+            raise ValueError("pass either converged or changed_col, not both")
+        from pyspark.sql import Observation
+
+        state = _materialize(initial)
+        for i in range(max_iterations):
+            obs = Observation()
+            nxt = step(state, i).observe(
+                obs,
+                F.sum(F.col(changed_col).cast("long")).alias("_n_changed"),
+            )
+            # The eager checkpoint is the action that populates the
+            # observation — obs.get returns as soon as it completes.
+            state = _materialize(nxt).drop(changed_col)
+            if not (obs.get["_n_changed"] or 0):
+                break
+        return state
     state = _materialize(initial)
     for i in range(max_iterations):
         nxt = step(state, i)

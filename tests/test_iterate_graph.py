@@ -4,6 +4,7 @@ DeltaIteration / Gelly subset)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from flink_1_3_2_hopsworks_spark.graph.pregel import (
     connected_components,
@@ -102,3 +103,42 @@ def test_connected_components_pins_upstream_edge_plan(spark):
     comp = connected_components(edges, max_iterations=10)
     assert comp.filter(F.col("component") != 0).isEmpty()
     assert acc.value == 6  # each edge row flowed through the plan ONCE
+
+
+def test_iterate_changed_col_stops_early_and_drops_column(spark):
+    """r13 fused convergence: iterate(changed_col=...) must stop as soon
+    as a superstep reports zero changes (observed off the checkpoint
+    action, no separate comparison job) and must not leak the indicator
+    column into the state or the result."""
+    from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+
+    calls = []
+
+    def step(state, i):
+        calls.append(i)
+        assert "_changed" not in state.columns  # dropped between rounds
+        # Converges to value 3 in three increments.
+        nxt = state.select(
+            "id",
+            F.least(F.col("v") + 1, F.lit(3)).alias("v"),
+            (F.col("v") < 3).alias("_changed"),
+        )
+        return nxt
+
+    init = spark.range(4).select("id", F.lit(0).cast("long").alias("v"))
+    out = iterate(init, step, max_iterations=10, changed_col="_changed")
+    assert out.columns == ["id", "v"]
+    assert [r["v"] for r in out.collect()] == [3, 3, 3, 3]
+    # Rounds 0,1,2 change rows; round 3 observes zero changes and stops.
+    assert calls == [0, 1, 2, 3]
+
+
+def test_iterate_changed_col_and_converged_mutually_exclusive(spark):
+    from flink_1_3_2_hopsworks_spark.operators.iterate import iterate
+
+    init = spark.range(1).select("id", F.lit(0).alias("v"))
+    with pytest.raises(ValueError):
+        iterate(
+            init, lambda s, i: s, 3,
+            converged=lambda a, b: True, changed_col="_changed",
+        )
